@@ -1,0 +1,160 @@
+"""Whoosh-compatible analyzer chain, Arrow-batched for Spark.
+
+Reproduces the exact token stream of the reference chain
+``RegexTokenizer() | LowercaseFilter() | StopFilter()``:
+
+- token pattern ``\\w+(\\.?\\w+)*`` (reference:
+  /root/reference/src/whoosh/analysis/tokenizers.py:33)
+- lowercase after tokenizing (analysis/filters.py:215-227)
+- stop filter drops tokens shorter than ``minsize`` (default 2), longer than
+  ``maxsize``, or in the stop set; surviving tokens are *renumbered* so that
+  the first kept token retains its original position and each later kept
+  token gets ``first_kept_pos + i`` (analysis/filters.py:296-320 semantics)
+- field length = number of kept tokens; per-term weight = tf (token boosts
+  default to 1.0, formats.py:162-263 semantics)
+
+The Spark surface is :func:`Analyzer.tokens_udf` — a pandas UDF mapping a
+string column to ``struct<terms: array<struct<term,tf,positions>>, length>``
+so one Arrow batch crosses the JVM/Python boundary per ~10k docs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+# Identical *values* to the reference default English stop set
+# (analysis/filters.py:41-45) — required data for behavioral parity.
+STOP_WORDS = frozenset(
+    "a an and are as at be by can for from have if in is it may not of on or "
+    "tbd that the this to us we when will with yet you your".split()
+)
+
+DEFAULT_PATTERN = r"\w+(\.?\w+)*"
+
+TOKEN_STRUCT = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+ANALYSIS_STRUCT = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(TOKEN_STRUCT)),
+        T.StructField("length", T.IntegerType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Serializable analyzer config; the UDF closure captures only this."""
+
+    pattern: str = DEFAULT_PATTERN
+    lowercase: bool = True
+    stopwords: frozenset = field(default_factory=lambda: STOP_WORDS)
+    minsize: int = 2
+    maxsize: int | None = None
+    use_stopfilter: bool = True
+
+    # ---- driver-side (query analysis, tests) ----
+
+    def raw_tokens(self, text: str) -> list[str]:
+        pat = re.compile(self.pattern)
+        toks = [m.group(0) for m in pat.finditer(text)]
+        if self.lowercase:
+            toks = [t.lower() for t in toks]
+        return toks
+
+    def tokens(self, text: str) -> list[tuple[str, int]]:
+        """Kept (term, position) pairs with Whoosh renumbering."""
+        toks = self.raw_tokens(text)
+        if not self.use_stopfilter:
+            return list(zip(toks, range(len(toks))))
+        kept: list[tuple[str, int]] = []
+        first_pos = None
+        for pos, t in enumerate(toks):
+            if len(t) >= self.minsize and (self.maxsize is None or len(t) <= self.maxsize) and t not in self.stopwords:
+                if first_pos is None:
+                    first_pos = pos
+                kept.append((t, first_pos + len(kept)))
+        return kept
+
+    def query_terms(self, text: str) -> list[str]:
+        return [t for t, _ in self.tokens(text)]
+
+    def analyze_doc(self, text: str) -> tuple[list[tuple[str, int, list[int]]], int]:
+        """Per-doc aggregation: [(term, tf, positions)], field_length."""
+        kept = self.tokens(text or "")
+        agg: dict[str, list[int]] = {}
+        for term, pos in kept:
+            agg.setdefault(term, []).append(pos)
+        terms = [(t, len(ps), ps) for t, ps in agg.items()]
+        return terms, len(kept)
+
+    # ---- Spark-side ----
+
+    def tokens_udf(self):
+        cfg = self  # plain dataclass — cheap to pickle into the UDF
+
+        @pandas_udf(ANALYSIS_STRUCT)
+        def analyze(texts: pd.Series) -> pd.DataFrame:
+            pat = re.compile(cfg.pattern)
+            stops = cfg.stopwords
+            minsize, maxsize = cfg.minsize, cfg.maxsize
+            lower = cfg.lowercase
+            use_stop = cfg.use_stopfilter
+            out_terms = []
+            out_len = []
+            for text in texts:
+                if text is None:
+                    out_terms.append([])
+                    out_len.append(0)
+                    continue
+                toks = [m.group(0) for m in pat.finditer(text)]
+                if lower:
+                    toks = [t.lower() for t in toks]
+                agg: dict[str, list[int]] = {}
+                if use_stop:
+                    first_pos = None
+                    n_kept = 0
+                    for pos, t in enumerate(toks):
+                        if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
+                            if first_pos is None:
+                                first_pos = pos
+                            agg.setdefault(t, []).append(first_pos + n_kept)
+                            n_kept += 1
+                else:
+                    n_kept = len(toks)
+                    for pos, t in enumerate(toks):
+                        agg.setdefault(t, []).append(pos)
+                out_terms.append([(t, len(ps), ps) for t, ps in agg.items()])
+                out_len.append(n_kept)
+            return pd.DataFrame({"terms": out_terms, "length": out_len})
+
+        return analyze
+
+    def apply(self, df, text_col: str, out_col: str = "_analysis"):
+        """df -> df + struct column with per-doc (terms, length)."""
+        return df.withColumn(out_col, self.tokens_udf()(F.col(text_col)))
+
+
+def standard_analyzer(**kw) -> Analyzer:
+    """RegexTokenizer | Lowercase | StopFilter — the target chain."""
+    return Analyzer(**kw)
+
+
+def simple_analyzer() -> Analyzer:
+    """RegexTokenizer | Lowercase (no stop filter)."""
+    return Analyzer(use_stopfilter=False)
+
+
+def id_analyzer(lowercase: bool = False) -> Analyzer:
+    """Whole-value-as-one-token analyzer for ID fields."""
+    return Analyzer(pattern=r"(?s)\A.*\Z", lowercase=lowercase, use_stopfilter=False)

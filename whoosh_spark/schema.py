@@ -1,0 +1,106 @@
+"""Index schema: field types and per-field indexing config.
+
+Capability-parallel to the reference schema system
+(/root/reference/src/whoosh/fields.py:60-357, 1315-1535) but reduced to the
+Spark data model: the *document table* is an ordinary DataFrame; a field
+type only decides which derived tables a column feeds (postings / lengths /
+stored) and with which analyzer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from whoosh_spark.analysis import Analyzer, id_analyzer, standard_analyzer
+
+
+@dataclass(frozen=True)
+class FieldType:
+    analyzer: Analyzer | None = None
+    indexed: bool = True
+    stored: bool = False
+    unique: bool = False
+    scorable: bool = False  # record lengths + use BM25
+    phrase: bool = False  # record positions
+    field_boost: float = 1.0
+    kind: str = "text"
+
+
+def TEXT(stored: bool = False, phrase: bool = True, analyzer: Analyzer | None = None, field_boost: float = 1.0) -> FieldType:
+    return FieldType(
+        analyzer=analyzer or standard_analyzer(),
+        indexed=True,
+        stored=stored,
+        scorable=True,
+        phrase=phrase,
+        field_boost=field_boost,
+        kind="text",
+    )
+
+
+def ID(stored: bool = False, unique: bool = False, lowercase: bool = False) -> FieldType:
+    return FieldType(
+        analyzer=id_analyzer(lowercase=lowercase),
+        indexed=True,
+        stored=stored,
+        unique=unique,
+        scorable=False,
+        phrase=False,
+        kind="id",
+    )
+
+
+def KEYWORD(stored: bool = False, lowercase: bool = True, commas: bool = False, scorable: bool = False) -> FieldType:
+    pattern = r"[^,]+" if commas else r"[^ \t\r\n]+"
+    return FieldType(
+        analyzer=Analyzer(pattern=pattern, lowercase=lowercase, use_stopfilter=False),
+        indexed=True,
+        stored=stored,
+        scorable=scorable,
+        kind="keyword",
+    )
+
+
+def NUMERIC(stored: bool = False) -> FieldType:
+    # Numeric predicates are native in Spark (SURVEY.md §2.4 NumericRange) —
+    # no sortable-bytes/tiered-precision trick needed; kept as a doc column.
+    return FieldType(analyzer=None, indexed=False, stored=True, kind="numeric")
+
+
+def STORED() -> FieldType:
+    return FieldType(analyzer=None, indexed=False, stored=True, kind="stored")
+
+
+@dataclass(frozen=True)
+class IndexSchema:
+    fields: dict = dc_field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> FieldType:
+        return self.fields[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.fields
+
+    def indexed_fields(self) -> list[str]:
+        return [n for n, f in sorted(self.fields.items()) if f.indexed]
+
+    def stored_fields(self) -> list[str]:
+        return [n for n, f in sorted(self.fields.items()) if f.stored]
+
+    def scorable_fields(self) -> list[str]:
+        return [n for n, f in sorted(self.fields.items()) if f.scorable]
+
+    @staticmethod
+    def of(**fields: FieldType) -> "IndexSchema":
+        return IndexSchema(dict(fields))
+
+
+def code_corpus_schema() -> IndexSchema:
+    """The BASELINE.json input_hint schema: (repo, path, commit, lang, content)."""
+    return IndexSchema.of(
+        repo=ID(stored=True),
+        path=ID(stored=True, unique=True),
+        commit=ID(stored=True),
+        lang=ID(stored=True),
+        content=TEXT(phrase=True),
+    )
