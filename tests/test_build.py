@@ -1,0 +1,97 @@
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.schema import IndexSchema, ID, TEXT
+
+DOCS = [
+    ("A", "Yellow brown", "Blue red green render purple?"),
+    ("B", "Alpha beta", "Gamma delta epsilon omega."),
+    ("C", "One two", "Three rendered four five."),
+    ("D", "Quick went", "Every red town."),
+    ("E", "Yellow uptown", "Interest rendering outer photo!"),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    schema = IndexSchema.of(key=ID(stored=True), name=TEXT(), value=TEXT())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=k, name=n, value=v) for i, (k, n, v) in enumerate(DOCS)]
+    )
+    build_index(spark, df, schema, d, sha_col="value")
+    return Index(spark, d)
+
+
+def test_manifest_and_stats(tiny_index):
+    ix = tiny_index
+    assert ix.doc_count_all() == 5
+    # 'name' lengths: each title is 2 tokens, all kept
+    assert ix.manifest.field_length("name") == 10
+    assert ix.avg_field_length("name") == 2.0
+
+
+def test_postings_roundtrip(tiny_index):
+    ix = tiny_index
+    p = ix.postings_for("name", ["yellow"]).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["tf"]) for r in p] == [(0, 1), (4, 1)]
+    p = ix.postings_for("value", ["red"]).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in p] == [0, 3]
+
+
+def test_positions_roundtrip(tiny_index):
+    p = tiny_index.postings_for("value", ["red"], with_positions=True).orderBy("doc_id").collect()
+    # doc A: "Blue red green render purple" -> red at kept-pos 1
+    assert list(p[0]["positions"]) == [1]
+
+
+def test_term_stats(tiny_index):
+    st = tiny_index.term_stats("value", ["red", "render"])
+    assert st["red"]["df"] == 2
+    assert st["render"]["df"] == 1
+
+
+def test_sha256_recorded(tiny_index, spark):
+    docs = tiny_index.docs()
+    assert "content_sha256" in docs.columns
+    row = docs.filter(F.col("key") == "A").collect()[0]
+    import hashlib
+
+    assert row["content_sha256"] == hashlib.sha256(DOCS[0][2].encode()).hexdigest()
+
+
+def test_multi_chunk_build_and_resume(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_chunks"))
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=str(i), value=f"alfa bravo token{i % 3}") for i in range(20)]
+    )
+    m = build_index(spark, df, schema, d, num_chunks=3, sha_col="value")
+    assert len(m.segments) == 3
+    assert sorted(m.completed_chunks) == [0, 1, 2]
+    ix = Index(spark, d)
+    assert ix.doc_count_all() == 20
+    p = ix.postings_for("value", ["alfa"]).collect()
+    assert len(p) == 20
+    # resume: a second call is a no-op (all chunks recorded)
+    m2 = build_index(spark, df, schema, d, num_chunks=3, sha_col="value")
+    assert m2.generation == m.generation
+
+
+def test_hot_term_bucketing(spark, tmp_path_factory):
+    # hot term in every doc across a wide doc_id range -> multiple buckets
+    d = str(tmp_path_factory.mktemp("idx_hot"))
+    schema = IndexSchema.of(value=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i * 100, value="def unique%d" % i) for i in range(400)])
+    build_index(spark, df, schema, d, sha_col=None)
+    ix = Index(spark, d)
+    blocks = ix.postings_blocks().filter(F.col("term") == "def")
+    nbuckets = blocks.select("bucket").distinct().count()
+    assert nbuckets > 1  # skew split across doc-id buckets
+    decoded = ix.postings_for("value", ["def"])
+    assert decoded.count() == 400
+    # every block respects the 128-posting cap
+    assert blocks.agg(F.max("count")).collect()[0][0] <= 128

@@ -1,0 +1,303 @@
+"""Rank-identity differential tests: our engine vs reference Whoosh.
+
+Builds the same corpus in both engines (insertion order = doc_id = docnum)
+and asserts top-k (docID, score) lists are identical — the north-star
+requirement (BASELINE.json: "rank-identical in docIDs and scores").
+
+Fixture corpora follow FIXTURES.md B1/B2/B3/B5 (ports of the reference's
+tests/test_searching.py, tests/test_results.py, tests/test_weightings.py).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+import whoosh_spark.query as Q
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.schema import IndexSchema, ID, TEXT
+from whoosh_spark.search import Searcher
+
+
+# ---------------------------------------------------------------- fixtures
+
+B1_DOCS = [
+    ("A", "Yellow brown", "Blue red green render purple?"),
+    ("B", "Alpha beta", "Gamma delta epsilon omega."),
+    ("C", "One two", "Three rendered four five."),
+    ("D", "Quick went", "Every red town."),
+    ("E", "Yellow uptown", "Interest rendering outer photo!"),
+]
+
+B2_DOCS = [
+    ("Miss Mary", "Mary had a little white lamb its fleece was white as snow"),
+    ("Snow White", "Snow white lived in the forest with seven dwarfs"),
+]
+
+B3_DOCS = ["alfa bravo charlie", "bravo charlie delta", "charlie delta echo", "delta echo foxtrot"]
+
+
+def _weighting100_docs():
+    rng = random.Random(42)
+    vocab = "alfa bravo charlie delta echo foxtrot".split()
+    return [" ".join(rng.choice(vocab) for _ in range(rng.randint(10, 20))) for _ in range(100)]
+
+
+def _build_whoosh(whoosh_ref, field_defs, rows):
+    from whoosh import fields
+    from whoosh.filedb.filestore import RamStorage
+
+    schema = fields.Schema(**field_defs())
+    ix = RamStorage().create_index(schema)
+    w = ix.writer()
+    for row in rows:
+        w.add_document(**row)
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def b1(spark, whoosh_ref, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("b1"))
+    schema = IndexSchema.of(key=ID(stored=True), name=TEXT(), value=TEXT())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=k, name=n, value=v) for i, (k, n, v) in enumerate(B1_DOCS)]
+    )
+    build_index(spark, df, schema, d, sha_col=None)
+
+    from whoosh import fields
+
+    wix = _build_whoosh(
+        whoosh_ref,
+        lambda: dict(key=fields.ID(stored=True), name=fields.TEXT(), value=fields.TEXT()),
+        [dict(key=k, name=n, value=v) for k, n, v in B1_DOCS],
+    )
+    return Index(spark, d), wix
+
+
+@pytest.fixture(scope="module")
+def b2(spark, whoosh_ref, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("b2"))
+    schema = IndexSchema.of(title=TEXT(stored=True), content=TEXT(stored=True))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, title=t, content=c) for i, (t, c) in enumerate(B2_DOCS)]
+    )
+    build_index(spark, df, schema, d, sha_col="content")
+
+    from whoosh import fields
+
+    wix = _build_whoosh(
+        whoosh_ref,
+        lambda: dict(title=fields.TEXT(stored=True), content=fields.TEXT(stored=True)),
+        [dict(title=t, content=c) for t, c in B2_DOCS],
+    )
+    return Index(spark, d), wix
+
+
+@pytest.fixture(scope="module")
+def w100(spark, whoosh_ref, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("w100"))
+    docs = _weighting100_docs()
+    schema = IndexSchema.of(text=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    build_index(spark, df, schema, d, sha_col=None)
+
+    from whoosh import fields
+
+    wix = _build_whoosh(whoosh_ref, lambda: dict(text=fields.TEXT()), [dict(text=t) for t in docs])
+    return Index(spark, d), wix
+
+
+# ------------------------------------------------------------------ helpers
+
+def ours(spark_ix, q, limit=10, **searcher_kw):
+    s = Searcher(spark_ix, **searcher_kw)
+    rows = s.search(q, limit=limit).collect()
+    s.clear_cache()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def theirs(wix, wq, limit=10, weighting=None):
+    kw = {}
+    if weighting is not None:
+        kw["weighting"] = weighting
+    with wix.searcher(**kw) as s:
+        r = s.search(wq, limit=limit)
+        return [(h.docnum, h.score) for h in r]
+
+
+def assert_identical(got, want, q=""):
+    assert [d for d, _ in got] == [d for d, _ in want], f"{q}: docIDs {got} != {want}"
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == s2, f"{q}: score mismatch doc {d1}: {s1!r} != {s2!r}"
+
+
+# -------------------------------------------------------------------- tests
+
+def _wq(whoosh_ref):
+    from whoosh import query as wq
+
+    return wq
+
+
+QUERY_CASES = [
+    # (name, ours-lambda, whoosh-lambda)
+    ("term", lambda: Q.Term("name", "yellow"), lambda w: w.Term("name", "yellow")),
+    ("term2", lambda: Q.Term("value", "red"), lambda w: w.Term("value", "red")),
+    (
+        "and",
+        lambda: Q.And([Q.Term("value", "red"), Q.Term("name", "yellow")]),
+        lambda w: w.And([w.Term("value", "red"), w.Term("name", "yellow")]),
+    ),
+    (
+        "or",
+        lambda: Q.Or([Q.Term("value", "red"), Q.Term("name", "yellow")]),
+        lambda w: w.Or([w.Term("value", "red"), w.Term("name", "yellow")]),
+    ),
+    (
+        "or3",
+        lambda: Q.Or([Q.Term("value", "red"), Q.Term("value", "town"), Q.Term("value", "purple")]),
+        lambda w: w.Or([w.Term("value", "red"), w.Term("value", "town"), w.Term("value", "purple")]),
+    ),
+    (
+        "and3",
+        lambda: Q.And([Q.Term("value", "red"), Q.Term("value", "green"), Q.Term("value", "blue")]),
+        lambda w: w.And([w.Term("value", "red"), w.Term("value", "green"), w.Term("value", "blue")]),
+    ),
+    (
+        "require",
+        lambda: Q.Require(Q.Term("value", "red"), Q.Term("name", "yellow")),
+        lambda w: w.Require(w.Term("value", "red"), w.Term("name", "yellow")),
+    ),
+    (
+        "andnot",
+        lambda: Q.AndNot(Q.Term("name", "yellow"), Q.Term("value", "purple")),
+        lambda w: w.AndNot(w.Term("name", "yellow"), w.Term("value", "purple")),
+    ),
+    (
+        "andmaybe",
+        lambda: Q.AndMaybe(Q.Term("value", "red"), Q.Term("name", "yellow")),
+        lambda w: w.AndMaybe(w.Term("value", "red"), w.Term("name", "yellow")),
+    ),
+    (
+        "and_not_child",
+        lambda: Q.And([Q.Term("value", "red"), Q.Not(Q.Term("value", "town"))]),
+        lambda w: w.And([w.Term("value", "red"), w.Not(w.Term("value", "town"))]),
+    ),
+    (
+        "not_standalone",
+        lambda: Q.Not(Q.Term("value", "red")),
+        lambda w: w.Not(w.Term("value", "red")),
+    ),
+    (
+        "dismax",
+        lambda: Q.DisjunctionMax([Q.Term("value", "red"), Q.Term("name", "yellow")]),
+        lambda w: w.DisjunctionMax([w.Term("value", "red"), w.Term("name", "yellow")]),
+    ),
+    ("every", lambda: Q.Every(), lambda w: w.Every()),
+    (
+        "boost",
+        lambda: Q.Or([Q.Term("value", "red", boost=2.0), Q.Term("name", "yellow")]),
+        lambda w: w.Or([w.Term("value", "red", boost=2.0), w.Term("name", "yellow")]),
+    ),
+    ("prefix", lambda: Q.Prefix("value", "ren"), lambda w: w.Prefix("value", "ren")),
+    (
+        "wildcard",
+        lambda: Q.Wildcard("value", "re*er"),
+        lambda w: w.Wildcard("value", "re*er"),
+    ),
+    (
+        "termrange",
+        lambda: Q.TermRange("value", "aaa", "ddd"),
+        lambda w: w.TermRange("value", "aaa", "ddd"),
+    ),
+    (
+        "phrase",
+        lambda: Q.Phrase("value", ["red", "green"]),
+        lambda w: w.Phrase("value", ["red", "green"]),
+    ),
+    (
+        "phrase3",
+        lambda: Q.Phrase("value", ["blue", "red", "green"]),
+        lambda w: w.Phrase("value", ["blue", "red", "green"]),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,mk_ours,mk_theirs", QUERY_CASES, ids=[c[0] for c in QUERY_CASES])
+def test_b1_rank_identity(b1, whoosh_ref, name, mk_ours, mk_theirs):
+    ix, wix = b1
+    w = _wq(whoosh_ref)
+    got = ours(ix, mk_ours(), limit=10)
+    want = theirs(wix, mk_theirs(w), limit=10)
+    assert_identical(got, want, name)
+
+
+def test_b1_expected_keys(b1):
+    ix, _ = b1
+    got = ours(ix, Q.Term("name", "yellow"))
+    assert [d for d, _ in got] == [0, 4]  # A, E (reference test_searching.py:70-73)
+
+
+def test_b2_score_retrieval(b2, whoosh_ref):
+    ix, wix = b2
+    w = _wq(whoosh_ref)
+    got = ours(ix, Q.Term("content", "white"))
+    want = theirs(wix, w.Term("content", "white"))
+    assert_identical(got, want, "white")
+    assert got[0][0] == 0  # Miss Mary first
+    assert all(s not in (0, 1) for _, s in got)
+
+
+def test_b3_resultcopy(spark, whoosh_ref, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("b3"))
+    schema = IndexSchema.of(a=TEXT(stored=True))
+    df = spark.createDataFrame([Row(doc_id=i, a=t) for i, t in enumerate(B3_DOCS)])
+    build_index(spark, df, schema, d, sha_col=None)
+    ix = Index(spark, d)
+    got = ours(ix, Q.Term("a", "charlie"))
+    assert len(got) == 3
+
+
+@pytest.mark.parametrize("term", ["alfa", "bravo", "charlie", "delta", "echo", "foxtrot"])
+def test_w100_single_terms(w100, whoosh_ref, term):
+    ix, wix = w100
+    w = _wq(whoosh_ref)
+    got = ours(ix, Q.Term("text", term), limit=20)
+    want = theirs(wix, w.Term("text", term), limit=20)
+    assert_identical(got, want, term)
+
+
+def test_w100_compound(w100, whoosh_ref):
+    ix, wix = w100
+    w = _wq(whoosh_ref)
+    cases = [
+        (Q.And([Q.Term("text", "alfa"), Q.Term("text", "echo")]),
+         w.And([w.Term("text", "alfa"), w.Term("text", "echo")])),
+        (Q.Or([Q.Term("text", "alfa"), Q.Term("text", "echo"), Q.Term("text", "bravo"),
+               Q.Term("text", "delta"), Q.Term("text", "foxtrot")]),
+         w.Or([w.Term("text", "alfa"), w.Term("text", "echo"), w.Term("text", "bravo"),
+               w.Term("text", "delta"), w.Term("text", "foxtrot")])),
+        (Q.And([Q.Term("text", "alfa"), Q.Term("text", "bravo"), Q.Term("text", "charlie")]),
+         w.And([w.Term("text", "alfa"), w.Term("text", "bravo"), w.Term("text", "charlie")])),
+        (Q.Phrase("text", ["alfa", "bravo"]), w.Phrase("text", ["alfa", "bravo"])),
+        (Q.Phrase("text", ["alfa", "bravo", "charlie"]),
+         w.Phrase("text", ["alfa", "bravo", "charlie"])),
+    ]
+    for oq, wq2 in cases:
+        got = ours(ix, oq, limit=15)
+        want = theirs(wix, wq2, limit=15)
+        assert_identical(got, want, repr(oq))
+
+
+def test_w100_other_weightings(w100, whoosh_ref):
+    from whoosh import scoring as wscoring
+
+    from whoosh_spark.search import Frequency, TF_IDF
+
+    ix, wix = w100
+    w = _wq(whoosh_ref)
+    for ow, ww in [(TF_IDF(), wscoring.TF_IDF()), (Frequency(), wscoring.Frequency())]:
+        got = ours(ix, Q.Term("text", "charlie"), limit=15, weighting=ow)
+        want = theirs(wix, w.Term("text", "charlie"), limit=15, weighting=ww)
+        assert_identical(got, want, type(ow).__name__)

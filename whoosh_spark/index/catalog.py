@@ -1,0 +1,196 @@
+"""Index catalog: open an index directory, read segment tables, decode postings.
+
+Query-side counterpart of build.py. The reader exposes:
+
+- ``postings_blocks()`` — the raw block table (union over live segments),
+  with Parquet term-predicate pushdown;
+- ``decode(blocks_df)`` — Arrow-batched block decode back to
+  ``(field, term, doc_id, tf, len_byte[, positions])`` rows;
+- global statistics (doc_count_all, field lengths, per-term df) combined
+  across segments the way the reference MultiReader does
+  (/root/reference/src/whoosh/reading.py:1252-1270).
+
+Deletes are tombstone doc_id parquet per segment
+(reference: tombstone sets in the TOC, writing.py:298-338); readers
+anti-join them out.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from whoosh_spark.index import codec
+from whoosh_spark.index.segment import Manifest, read_manifest
+from whoosh_spark.schema import IndexSchema, schema_from_dict
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("len_byte", T.IntegerType()),
+    ]
+)
+DECODED_POS_SCHEMA = T.StructType(
+    DECODED_SCHEMA.fields + [T.StructField("positions", T.ArrayType(T.IntegerType()))]
+)
+
+
+class Index:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.reload()
+
+    def reload(self) -> None:
+        self.manifest: Manifest = read_manifest(self.index_dir)
+        self.schema: IndexSchema = schema_from_dict(self.manifest.schema)
+
+    # ---- segment table access ----
+
+    def _seg_paths(self, table: str) -> list[str]:
+        return [
+            os.path.join(s.path(self.index_dir), table)
+            for s in self.manifest.segments
+        ]
+
+    def _read(self, table: str) -> DataFrame:
+        paths = self._seg_paths(table)
+        if not paths:
+            raise ValueError("index has no segments")
+        return self.spark.read.parquet(*paths)
+
+    def postings_blocks(self) -> DataFrame:
+        return self._read("postings.parquet")
+
+    def termstats(self) -> DataFrame:
+        return self._read("termstats.parquet")
+
+    def lengths(self) -> DataFrame:
+        df = self._read("lengths.parquet")
+        return self._mask_deleted(df)
+
+    def docs(self) -> DataFrame:
+        return self._mask_deleted(self._read("docs.parquet"))
+
+    # ---- deletes ----
+
+    def _delete_paths(self) -> list[str]:
+        return [
+            os.path.join(s.path(self.index_dir), "deletes.parquet")
+            for s in self.manifest.segments
+            if s.has_deletes
+        ]
+
+    def deleted_docs(self) -> DataFrame | None:
+        paths = self._delete_paths()
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def _mask_deleted(self, df: DataFrame) -> DataFrame:
+        dd = self.deleted_docs()
+        if dd is None:
+            return df
+        return df.join(F.broadcast(dd.select("doc_id")), on="doc_id", how="left_anti")
+
+    # ---- global stats (MultiReader combine semantics) ----
+
+    def doc_count_all(self) -> int:
+        return self.manifest.doc_count_all()
+
+    def doc_count(self) -> int:
+        return self.manifest.doc_count()
+
+    def avg_field_length(self, fieldname: str) -> float:
+        return self.manifest.avg_field_length(fieldname)
+
+    def term_stats(self, field: str, terms: list[str]) -> dict[str, dict]:
+        """Collect combined per-term stats for a (small) query term set.
+
+        df sums across segments; extrema combine by min/max. Deleted docs
+        still count toward df — matching the reference, which computes idf
+        from uncollected doc_frequency (scoring.py:53-60).
+        """
+        if not terms:
+            return {}
+        ts = (
+            self.termstats()
+            .filter((F.col("field") == field) & F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("total_tf").alias("total_tf"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_len_byte").alias("min_len_byte"),
+                F.max("max_len_byte").alias("max_len_byte"),
+                F.min("min_id").alias("min_id"),
+                F.max("max_id").alias("max_id"),
+            )
+        )
+        return {r["term"]: r.asDict() for r in ts.collect()}
+
+    def field_terms(self, field: str) -> DataFrame:
+        """Distinct terms of a field with combined df (the lexicon scan)."""
+        return (
+            self.termstats()
+            .filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+
+    # ---- posting decode ----
+
+    def postings_for(self, field: str, terms: list[str], with_positions: bool = False) -> DataFrame:
+        """Decoded postings for the given terms: (field, term, doc_id, tf,
+        len_byte[, positions]). Parquet row-group stats prune the term scan
+        (blocks are written term-sorted)."""
+        blocks = self.postings_blocks().filter(
+            (F.col("field") == field) & F.col("term").isin(list(terms))
+        )
+        decoded = decode_blocks(blocks, with_positions=with_positions)
+        return self._mask_deleted(decoded)
+
+
+def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+    out_schema = DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
+    cols = ["field", "term", "count", "ids", "tfs", "len_bytes"] + (
+        ["positions"] if with_positions else []
+    )
+
+    def decode_iter(batches):
+        for pdf in batches:
+            fields, terms, doc_ids, tfs, lbs, poss = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                n = int(row.count)
+                ids = codec.delta_decode(row.ids, n)
+                tf = codec.varint_decode(row.tfs, n)
+                lb = np.frombuffer(row.len_bytes, dtype=np.uint8).astype(np.int32)
+                fields.append(np.full(n, row.field, dtype=object))
+                terms.append(np.full(n, row.term, dtype=object))
+                doc_ids.append(ids)
+                tfs.append(tf)
+                lbs.append(lb)
+                if with_positions:
+                    poss.extend(codec.decode_position_lists(row.positions, n))
+            if not doc_ids:
+                continue
+            out = pd.DataFrame(
+                {
+                    "field": np.concatenate(fields),
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(doc_ids),
+                    "tf": np.concatenate(tfs),
+                    "len_byte": np.concatenate(lbs),
+                }
+            )
+            if with_positions:
+                out["positions"] = [list(map(int, p)) for p in poss]
+            yield out
+
+    return blocks.select(*cols).mapInPandas(decode_iter, out_schema)

@@ -1,0 +1,597 @@
+"""Query algebra: the logical operators of the engine.
+
+Node classes carry the same *semantics* as the reference query objects
+(/root/reference/src/whoosh/query/ — qcore.py, terms.py, compound.py,
+wrappers.py, positional.py, ranges.py) with ``normalize()`` rewrites
+replicating the reference's logical optimizer (compound.py:119-188 and the
+per-class normalize methods). Physical planning onto DataFrames lives in
+whoosh_spark/search/engine.py.
+
+Score semantics (verified empirically against the reference):
+  And/Or           sum of matching children's scores
+  DisjunctionMax   max of matching children's scores
+  Not              complement docs, constant score 1.0 (InverseMatcher weight)
+  And w/ Not child positive join minus Not docs, +1.0 per Not child
+  AndNot(a, b)     a's docs minus b's, a's scores
+  Require(a, b)    docs in both, a's scores only
+  AndMaybe(a, b)   a's docs; score a + b where b matches
+  Every            all docs, score 1.0
+  Phrase           docs passing the SpanNear2 position chain; score = sum of
+                   the words' term scores
+"""
+
+from __future__ import annotations
+
+import re
+from fnmatch import translate as glob_translate
+
+
+class Query:
+    boost: float = 1.0
+
+    def normalize(self) -> "Query":
+        return self
+
+    def children(self) -> list["Query"]:
+        return []
+
+    def estimate_size(self, stats) -> int:
+        """stats: object with .df(field, term) and .doc_count()."""
+        raise NotImplementedError
+
+    def leaf_terms(self) -> list[tuple[str, str]]:
+        """All (field, term) pairs whose postings this query may read."""
+        out = []
+        for c in self.children():
+            out.extend(c.leaf_terms())
+        return out
+
+    def with_boost(self, boost: float) -> "Query":
+        import copy
+
+        q = copy.copy(self)
+        q.boost = boost
+        return q
+
+    def __or__(self, other):
+        return Or([self, other])
+
+    def __and__(self, other):
+        return And([self, other])
+
+    def __sub__(self, other):
+        return And([self, Not(other)])
+
+
+class _NullQuery(Query):
+    def normalize(self):
+        return self
+
+    def estimate_size(self, stats):
+        return 0
+
+    def __repr__(self):
+        return "NullQuery"
+
+
+NullQuery = _NullQuery()
+
+
+class Term(Query):
+    """Leaf: documents containing ``text`` in ``field``
+    (reference query/terms.py:40-142)."""
+
+    def __init__(self, field: str, text: str, boost: float = 1.0):
+        self.field = field
+        self.text = text
+        self.boost = boost
+
+    def __repr__(self):
+        b = f", boost={self.boost}" if self.boost != 1.0 else ""
+        return f"Term({self.field!r}, {self.text!r}{b})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Term)
+            and (self.field, self.text, self.boost) == (other.field, other.text, other.boost)
+        )
+
+    def __hash__(self):
+        return hash((Term, self.field, self.text, self.boost))
+
+    def estimate_size(self, stats):
+        return stats.df(self.field, self.text)
+
+    def leaf_terms(self):
+        return [(self.field, self.text)]
+
+
+class CompoundQuery(Query):
+    JOINT = " ? "
+
+    def __init__(self, subqueries: list[Query], boost: float = 1.0):
+        self.subqueries = list(subqueries)
+        self.boost = boost
+
+    def children(self):
+        return self.subqueries
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.subqueries!r})"
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and self.subqueries == other.subqueries
+            and self.boost == other.boost
+        )
+
+    def __hash__(self):
+        return hash((type(self).__name__, tuple(map(hash, self.subqueries)), self.boost))
+
+    def _rebuild(self, subs):
+        return type(self)(subs, boost=self.boost)
+
+    def normalize(self):
+        # reference compound.py:119-188: normalize children, flatten same-class
+        # nesting (merging boosts), drop NullQuery, dedupe, collapse singletons
+        subs = []
+        for q in self.subqueries:
+            q = q.normalize()
+            if q is NullQuery:
+                continue
+            if type(q) is type(self) and q.boost == 1.0:
+                subs.extend(q.subqueries)
+            else:
+                subs.append(q)
+        seen = []
+        for q in subs:
+            if q not in seen:
+                seen.append(q)
+        subs = seen
+        if not subs:
+            return NullQuery
+        if len(subs) == 1:
+            s = subs[0]
+            if self.boost != 1.0:
+                s = s.with_boost(s.boost * self.boost)
+            return s
+        return self._rebuild(subs)
+
+
+class And(CompoundQuery):
+    JOINT = " AND "
+
+    def estimate_size(self, stats):
+        return min(q.estimate_size(stats) for q in self.subqueries)
+
+
+class Or(CompoundQuery):
+    JOINT = " OR "
+
+    def __init__(self, subqueries, boost: float = 1.0, minmatch: int = 0, scale=None):
+        super().__init__(subqueries, boost)
+        self.minmatch = minmatch
+        self.scale = scale
+
+    def _rebuild(self, subs):
+        return Or(subs, boost=self.boost, minmatch=self.minmatch, scale=self.scale)
+
+    def estimate_size(self, stats):
+        return min(sum(q.estimate_size(stats) for q in self.subqueries), stats.doc_count())
+
+
+class DisjunctionMax(CompoundQuery):
+    JOINT = " dismax "
+
+    def __init__(self, subqueries, boost: float = 1.0, tiebreak: float = 0.0):
+        super().__init__(subqueries, boost)
+        self.tiebreak = tiebreak
+
+    def _rebuild(self, subs):
+        return DisjunctionMax(subs, boost=self.boost, tiebreak=self.tiebreak)
+
+    def estimate_size(self, stats):
+        return min(sum(q.estimate_size(stats) for q in self.subqueries), stats.doc_count())
+
+
+class Not(Query):
+    def __init__(self, query: Query, boost: float = 1.0):
+        self.query = query
+        self.boost = boost
+
+    def __repr__(self):
+        return f"Not({self.query!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, Not) and self.query == other.query
+
+    def __hash__(self):
+        return hash((Not, hash(self.query)))
+
+    def children(self):
+        return [self.query]
+
+    def normalize(self):
+        q = self.query.normalize()
+        if q is NullQuery:
+            return NullQuery
+        n = Not(q, boost=self.boost)
+        return n
+
+    def estimate_size(self, stats):
+        return stats.doc_count()
+
+
+class BinaryQuery(Query):
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a = a
+        self.b = b
+        self.boost = boost
+
+    def children(self):
+        return [self.a, self.b]
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.a!r}, {self.b!r})"
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.a == other.a and self.b == other.b
+
+    def __hash__(self):
+        return hash((type(self).__name__, hash(self.a), hash(self.b)))
+
+    def normalize(self):
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if a is NullQuery:
+            return NullQuery
+        if b is NullQuery:
+            return a
+        return type(self)(a, b, boost=self.boost)
+
+    def estimate_size(self, stats):
+        return self.a.estimate_size(stats)
+
+
+class AndNot(BinaryQuery):
+    """a minus b (reference compound.py:546-573)."""
+
+
+class Require(BinaryQuery):
+    """a's docs that also match b; scores from a (compound.py:590-624)."""
+
+
+class AndMaybe(BinaryQuery):
+    """a's docs; add b's score where b matches (compound.py:627-652)."""
+
+
+class Otherwise(BinaryQuery):
+    """b only if a matches nothing (compound.py:576-587)."""
+
+    def normalize(self):
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if a is NullQuery:
+            return b
+        if b is NullQuery:
+            return a
+        return Otherwise(a, b, boost=self.boost)
+
+
+class Phrase(Query):
+    """Words within ``slop``, in order (reference positional.py:121-249;
+    physical semantics = SpanNear2(ordered=True, mindist=1))."""
+
+    def __init__(self, field: str, words: list[str], slop: int = 1, boost: float = 1.0):
+        self.field = field
+        self.words = list(words)
+        self.slop = slop
+        self.boost = boost
+
+    def __repr__(self):
+        return f"Phrase({self.field!r}, {self.words!r}, slop={self.slop})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Phrase)
+            and (self.field, self.words, self.slop, self.boost)
+            == (other.field, other.words, other.slop, other.boost)
+        )
+
+    def __hash__(self):
+        return hash((Phrase, self.field, tuple(self.words), self.slop, self.boost))
+
+    def normalize(self):
+        words = [w for w in self.words if w is not None]
+        if not words:
+            return NullQuery
+        if len(words) == 1:
+            return Term(self.field, words[0], boost=self.boost)
+        return Phrase(self.field, words, slop=self.slop, boost=self.boost)
+
+    def estimate_size(self, stats):
+        return min(stats.df(self.field, w) for w in self.words)
+
+    def leaf_terms(self):
+        return [(self.field, w) for w in self.words]
+
+
+class MultiTerm(Query):
+    """Base for queries that expand to a set of matching terms against the
+    lexicon (reference terms.py:148-229 simplify-to-Or semantics).
+
+    ``constantscore=True`` (the reference default for Prefix/Wildcard/Regex/
+    TermRange, terms.py:240-243 / ranges.py:143) makes a multi-term expansion
+    score every match exactly 1.0 (boost is NOT applied — verified against
+    the reference); a single-term expansion still scores normally."""
+
+    constantscore = False
+
+    def __init__(self, field: str, boost: float = 1.0):
+        self.field = field
+        self.boost = boost
+
+    def term_predicate(self, term: str) -> bool:
+        raise NotImplementedError
+
+    def spark_term_filter(self):
+        """Optional: a pyspark Column predicate over F.col('term') used to
+        push the expansion into the lexicon scan. None -> driver filter."""
+        return None
+
+    def estimate_size(self, stats):
+        return stats.doc_count()
+
+    def leaf_terms(self):
+        return []  # resolved against the lexicon at plan time
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.__dict__ == other.__dict__
+
+    def __hash__(self):
+        return hash((type(self).__name__, tuple(sorted(self.__dict__.items(), key=lambda kv: kv[0]))))
+
+
+class Prefix(MultiTerm):
+    constantscore = True
+    def __init__(self, field: str, text: str, boost: float = 1.0):
+        super().__init__(field, boost)
+        self.text = text
+
+    def __repr__(self):
+        return f"Prefix({self.field!r}, {self.text!r})"
+
+    def term_predicate(self, term):
+        return term.startswith(self.text)
+
+    def spark_term_filter(self):
+        from pyspark.sql import functions as F
+
+        return F.col("term").startswith(self.text)
+
+
+class Wildcard(MultiTerm):
+    constantscore = True
+    def __init__(self, field: str, pattern: str, boost: float = 1.0):
+        super().__init__(field, boost)
+        self.pattern = pattern
+        self._re = re.compile(glob_translate(pattern))
+
+    def __repr__(self):
+        return f"Wildcard({self.field!r}, {self.pattern!r})"
+
+    def term_predicate(self, term):
+        return bool(self._re.match(term))
+
+    def spark_term_filter(self):
+        from pyspark.sql import functions as F
+
+        # literal prefix pushdown (reference terms.py:264-272)
+        prefix = re.split(r"[*?\[]", self.pattern, maxsplit=1)[0]
+        if prefix:
+            return F.col("term").startswith(prefix)
+        return None
+
+    def normalize(self):
+        # degenerate patterns (reference terms.py:332-348)
+        text = self.pattern
+        if text == "*":
+            return Every(self.field, boost=self.boost)
+        if "*" not in text and "?" not in text and "[" not in text:
+            return Term(self.field, text, boost=self.boost)
+        if text.endswith("*") and "*" not in text[:-1] and "?" not in text[:-1] and "[" not in text[:-1]:
+            return Prefix(self.field, text[:-1], boost=self.boost)
+        return self
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and (self.field, self.pattern, self.boost) == (other.field, other.pattern, other.boost)
+        )
+
+    def __hash__(self):
+        return hash((Wildcard, self.field, self.pattern, self.boost))
+
+
+class Regex(MultiTerm):
+    constantscore = True
+    def __init__(self, field: str, pattern: str, boost: float = 1.0):
+        super().__init__(field, boost)
+        self.pattern = pattern
+        self._re = re.compile(pattern)
+
+    def __repr__(self):
+        return f"Regex({self.field!r}, {self.pattern!r})"
+
+    def term_predicate(self, term):
+        return bool(self._re.search(term))
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and (self.field, self.pattern, self.boost) == (other.field, other.pattern, other.boost)
+        )
+
+    def __hash__(self):
+        return hash((Regex, self.field, self.pattern, self.boost))
+
+
+class FuzzyTerm(MultiTerm):
+    """Terms within Damerau-ish edit distance (we use plain Levenshtein via
+    Spark's built-in, reference terms.py:420-485 uses a Levenshtein DFA —
+    unnecessary over a distinct-terms DataFrame)."""
+
+    def __init__(self, field: str, text: str, maxdist: int = 1, prefixlength: int = 1, boost: float = 1.0):
+        super().__init__(field, boost)
+        self.text = text
+        self.maxdist = maxdist
+        self.prefixlength = prefixlength
+
+    def __repr__(self):
+        return f"FuzzyTerm({self.field!r}, {self.text!r}, maxdist={self.maxdist})"
+
+    def term_predicate(self, term):
+        if not term.startswith(self.text[: self.prefixlength]):
+            return False
+        return _levenshtein(term, self.text) <= self.maxdist
+
+    def spark_term_filter(self):
+        from pyspark.sql import functions as F
+
+        cond = F.levenshtein(F.col("term"), F.lit(self.text)) <= self.maxdist
+        if self.prefixlength:
+            cond = cond & F.col("term").startswith(self.text[: self.prefixlength])
+        return cond
+
+    def __eq__(self, other):
+        return type(self) is type(other) and (
+            self.field, self.text, self.maxdist, self.prefixlength, self.boost,
+        ) == (other.field, other.text, other.maxdist, other.prefixlength, other.boost)
+
+    def __hash__(self):
+        return hash((FuzzyTerm, self.field, self.text, self.maxdist, self.prefixlength, self.boost))
+
+
+class TermRange(MultiTerm):
+    constantscore = True
+    def __init__(self, field: str, start: str | None, end: str | None,
+                 startexcl: bool = False, endexcl: bool = False, boost: float = 1.0):
+        super().__init__(field, boost)
+        self.start = start
+        self.end = end
+        self.startexcl = startexcl
+        self.endexcl = endexcl
+
+    def __repr__(self):
+        return f"TermRange({self.field!r}, {self.start!r}, {self.end!r})"
+
+    def term_predicate(self, term):
+        if self.start is not None:
+            if self.startexcl and term <= self.start:
+                return False
+            if not self.startexcl and term < self.start:
+                return False
+        if self.end is not None:
+            if self.endexcl and term >= self.end:
+                return False
+            if not self.endexcl and term > self.end:
+                return False
+        return True
+
+    def spark_term_filter(self):
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        if self.start is not None:
+            cond = cond & (F.col("term") > self.start if self.startexcl else F.col("term") >= self.start)
+        if self.end is not None:
+            cond = cond & (F.col("term") < self.end if self.endexcl else F.col("term") <= self.end)
+        return cond
+
+    def normalize(self):
+        # degenerate forms (reference ranges.py:164-175)
+        if self.start is None and self.end is None:
+            return Every(self.field, boost=self.boost)
+        if (
+            self.start is not None
+            and self.start == self.end
+            and not self.startexcl
+            and not self.endexcl
+        ):
+            return Term(self.field, self.start, boost=self.boost)
+        return self
+
+    def __eq__(self, other):
+        return type(self) is type(other) and (
+            self.field, self.start, self.end, self.startexcl, self.endexcl, self.boost,
+        ) == (other.field, other.start, other.end, other.startexcl, other.endexcl, other.boost)
+
+    def __hash__(self):
+        return hash((TermRange, self.field, self.start, self.end, self.startexcl, self.endexcl, self.boost))
+
+
+class Every(Query):
+    """All documents (or all docs with any term in ``field``) — reference
+    qcore.py:650-738. Score 1.0 * boost."""
+
+    def __init__(self, field: str | None = None, boost: float = 1.0):
+        self.field = field
+        self.boost = boost
+
+    def __repr__(self):
+        return f"Every({self.field!r})"
+
+    def __eq__(self, other):
+        return isinstance(other, Every) and (self.field, self.boost) == (other.field, other.boost)
+
+    def __hash__(self):
+        return hash((Every, self.field, self.boost))
+
+    def estimate_size(self, stats):
+        return stats.doc_count()
+
+
+class ConstantScore(Query):
+    """Fixed score for every match of the child (reference wrappers.py:152-183)."""
+
+    def __init__(self, child: Query, score: float = 1.0, boost: float = 1.0):
+        self.child = child
+        self.score = score
+        self.boost = boost
+
+    def __repr__(self):
+        return f"ConstantScore({self.child!r}, {self.score})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ConstantScore)
+            and (self.child, self.score, self.boost) == (other.child, other.score, other.boost)
+        )
+
+    def __hash__(self):
+        return hash((ConstantScore, hash(self.child), self.score, self.boost))
+
+    def children(self):
+        return [self.child]
+
+    def normalize(self):
+        c = self.child.normalize()
+        if c is NullQuery:
+            return NullQuery
+        return ConstantScore(c, self.score, boost=self.boost)
+
+    def estimate_size(self, stats):
+        return self.child.estimate_size(stats)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -95,6 +95,59 @@ class IndexSchema:
         return IndexSchema(dict(fields))
 
 
+def schema_to_dict(schema: IndexSchema) -> dict:
+    out = {}
+    for name, f in schema.fields.items():
+        ana = None
+        if f.analyzer is not None:
+            ana = {
+                "pattern": f.analyzer.pattern,
+                "lowercase": f.analyzer.lowercase,
+                "stopwords": sorted(f.analyzer.stopwords),
+                "minsize": f.analyzer.minsize,
+                "maxsize": f.analyzer.maxsize,
+                "use_stopfilter": f.analyzer.use_stopfilter,
+            }
+        out[name] = {
+            "analyzer": ana,
+            "indexed": f.indexed,
+            "stored": f.stored,
+            "unique": f.unique,
+            "scorable": f.scorable,
+            "phrase": f.phrase,
+            "field_boost": f.field_boost,
+            "kind": f.kind,
+        }
+    return out
+
+
+def schema_from_dict(d: dict) -> IndexSchema:
+    fields = {}
+    for name, fd in d.items():
+        ana = None
+        if fd.get("analyzer") is not None:
+            a = fd["analyzer"]
+            ana = Analyzer(
+                pattern=a["pattern"],
+                lowercase=a["lowercase"],
+                stopwords=frozenset(a["stopwords"]),
+                minsize=a["minsize"],
+                maxsize=a["maxsize"],
+                use_stopfilter=a["use_stopfilter"],
+            )
+        fields[name] = FieldType(
+            analyzer=ana,
+            indexed=fd["indexed"],
+            stored=fd["stored"],
+            unique=fd["unique"],
+            scorable=fd["scorable"],
+            phrase=fd["phrase"],
+            field_boost=fd["field_boost"],
+            kind=fd["kind"],
+        )
+    return IndexSchema(fields)
+
+
 def code_corpus_schema() -> IndexSchema:
     """The BASELINE.json input_hint schema: (repo, path, commit, lang, content)."""
     return IndexSchema.of(

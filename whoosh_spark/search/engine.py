@@ -1,0 +1,544 @@
+"""Physical planner: query tree -> DataFrame plan -> top-k.
+
+The reference evaluates queries with posting-iterator matcher trees
+(/root/reference/src/whoosh/matching/*); here every matcher becomes a
+DataFrame relation keyed by doc_id:
+
+  Term            term-pruned posting-block scan -> decode -> score expr
+  And             huffman-ordered inner-join chain, scores added in the
+                  reference's make_weighted_tree order (util/__init__.py:81-97)
+  Or              left-fold outer joins, scores added in original child order
+                  (the ArrayUnionMatcher accumulation order, combo.py:211-215)
+  DisjunctionMax  outer-join fold with greatest()
+  Not             complement (anti join vs docs), constant score 1.0
+  AndNot/Require/AndMaybe  anti / semi / left-outer joins
+  Phrase          positional inner join + SpanNear2 chain in a pandas UDF
+  top-k           orderBy(score desc, doc_id asc).limit(k)  — Whoosh
+                  tie-breaking (collectors.py:465-471)
+
+Score addition orders are replicated so BM25F results are bit-identical to
+the reference on its fixtures. ``exact_scores=False`` switches n-ary And/Or
+to single hash aggregations (groupBy(doc_id).sum) — the scalable path where
+float association order is allowed to differ by ~1 ulp.
+"""
+
+from __future__ import annotations
+
+from bisect import insort
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from whoosh_spark.index.catalog import Index
+from whoosh_spark.query import nodes as Q
+from whoosh_spark.search.scoring import BM25F, WeightingModel, byte_to_length_col
+
+NEG_INF = float("-inf")
+
+
+class _Stats:
+    """Combined term statistics view used by estimate_size ordering."""
+
+    def __init__(self, stats_by_field: dict, doc_count_all: int):
+        self._stats = stats_by_field  # {(field, term): row dict}
+        self._dc = doc_count_all
+
+    def df(self, field: str, term: str) -> int:
+        row = self._stats.get((field, term))
+        return int(row["df"]) if row else 0
+
+    def doc_count(self) -> int:
+        return self._dc
+
+
+class _Compiled:
+    """A compiled subquery: DataFrame(doc_id, score) (+ a negated marker for
+    Not nodes, carrying the *matched* docs to be anti-joined)."""
+
+    __slots__ = ("df", "negated")
+
+    def __init__(self, df: DataFrame, negated: bool = False):
+        self.df = df
+        self.negated = negated
+
+
+class Searcher:
+    def __init__(self, index: Index, weighting: WeightingModel | None = None,
+                 exact_scores: bool = True, cache_postings: bool = True):
+        self.index = index
+        self.schema = index.schema
+        self.weighting = weighting or BM25F()
+        self.exact_scores = exact_scores
+        self.cache_postings = cache_postings
+        self._persisted: list[DataFrame] = []
+
+    # ------------------------------------------------------------------ API
+
+    def search(self, q: Q.Query, limit: int | None = 10,
+               filter_q: Q.Query | None = None, mask_q: Q.Query | None = None) -> DataFrame:
+        """Top-k (score desc, doc_id asc) as a DataFrame(doc_id, score)."""
+        df = self.matches(q, filter_q=filter_q, mask_q=mask_q)
+        df = df.orderBy(F.desc("score"), F.asc("doc_id"))
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def search_with_stored(self, q: Q.Query, limit: int | None = 10, **kw) -> DataFrame:
+        top = self.search(q, limit=limit, **kw)
+        return top.join(self.index.docs(), on="doc_id", how="left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+    def matches(self, q: Q.Query, filter_q: Q.Query | None = None,
+                mask_q: Q.Query | None = None) -> DataFrame:
+        """All matches, unsorted: DataFrame(doc_id, score)."""
+        plan = _PlanContext(self)
+        out = plan.compile_root(q)
+        if filter_q is not None:
+            allow = plan.compile_root(filter_q).select("doc_id")
+            out = out.join(allow, on="doc_id", how="left_semi")
+        if mask_q is not None:
+            deny = plan.compile_root(mask_q).select("doc_id")
+            out = out.join(deny, on="doc_id", how="left_anti")
+        return out
+
+    def clear_cache(self):
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted = []
+
+    # ---------------------------------------------------------------- stats
+
+    def idf(self, doc_count_all: int, df: int) -> float:
+        return self.weighting.idf(doc_count_all, df)
+
+
+class _PlanContext:
+    """Per-query planning state: resolved multiterms, collected term stats,
+    the scored posting base, and the positional base for phrases."""
+
+    def __init__(self, searcher: Searcher):
+        self.s = searcher
+        self.ix = searcher.index
+        self.spark = self.ix.spark
+
+    # -------------------------------------------------------------- prepare
+
+    def compile_root(self, q: Q.Query) -> DataFrame:
+        q = q.normalize()
+        q = self._resolve_multiterms(q)
+        q = q.normalize() if not isinstance(q, Q._NullQuery) else q
+        if isinstance(q, Q._NullQuery):
+            return self._empty()
+
+        # collect leaf terms, split plain vs positional (phrase) usage
+        plain: set[tuple[str, str]] = set()
+        positional: set[tuple[str, str]] = set()
+        self._collect_terms(q, plain, positional)
+        all_terms = plain | positional
+
+        self.stats = {}
+        for field in {f for f, _ in all_terms}:
+            terms = [t for f, t in all_terms if f == field]
+            for t, row in self.ix.term_stats(field, terms).items():
+                self.stats[(field, t)] = row
+        self.stats_view = _Stats(self.stats, self.ix.doc_count_all())
+
+        self.base = self._scored_base(plain | positional, with_positions=False)
+        self.pos_base = (
+            self._scored_base(positional, with_positions=True) if positional else None
+        )
+        c = self._compile(q)
+        if c.negated:
+            # standalone Not: complement with constant score 1.0
+            return self._complement(c.df)
+        return c.df
+
+    def _resolve_multiterms(self, q: Q.Query) -> Q.Query:
+        """Expand Prefix/Wildcard/Regex/FuzzyTerm/TermRange against the
+        lexicon into Or-of-Terms (reference simplify(), terms.py:173-191)."""
+        if isinstance(q, Q.MultiTerm):
+            lex = self.ix.field_terms(q.field)
+            flt = q.spark_term_filter()
+            if flt is not None:
+                lex = lex.filter(flt)
+            terms = [r["term"] for r in lex.select("term").collect() if q.term_predicate(r["term"])]
+            terms.sort()  # lexicon order (reference iterates terms sorted)
+            if not terms:
+                return Q.NullQuery
+            if len(terms) == 1:
+                return Q.Term(q.field, terms[0], boost=q.boost)
+            expanded = Q.Or([Q.Term(q.field, t) for t in terms], boost=q.boost)
+            if q.constantscore:
+                # reference PatternQuery/TermRange default: every match
+                # scores exactly 1.0, boost ignored (verified empirically)
+                return Q.ConstantScore(expanded, 1.0)
+            return expanded
+        # recurse
+        if isinstance(q, Q.CompoundQuery):
+            return q._rebuild([self._resolve_multiterms(c) for c in q.subqueries])
+        if isinstance(q, Q.Not):
+            return Q.Not(self._resolve_multiterms(q.query), boost=q.boost)
+        if isinstance(q, Q.BinaryQuery):
+            return type(q)(
+                self._resolve_multiterms(q.a), self._resolve_multiterms(q.b), boost=q.boost
+            )
+        if isinstance(q, Q.ConstantScore):
+            return Q.ConstantScore(self._resolve_multiterms(q.child), q.score, boost=q.boost)
+        return q
+
+    def _collect_terms(self, q: Q.Query, plain: set, positional: set):
+        if isinstance(q, Q.Term):
+            plain.add((q.field, q.text))
+        elif isinstance(q, Q.Phrase):
+            for w in q.words:
+                positional.add((q.field, w))
+                plain.add((q.field, w))
+        else:
+            for c in q.children():
+                self._collect_terms(c, plain, positional)
+
+    # ---------------------------------------------------- scored base build
+
+    def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool) -> DataFrame | None:
+        """One decoded+scored DataFrame covering every query term:
+        (field, term, doc_id, score[, positions])."""
+        if not terms:
+            return None
+        w = self.s.weighting
+        dc = self.ix.doc_count_all()
+        meta_rows = []
+        by_field: dict[str, list[str]] = {}
+        for field, term in sorted(terms):
+            by_field.setdefault(field, []).append(term)
+            st = self.stats.get((field, term))
+            df_count = int(st["df"]) if st else 0
+            ftype = self.s.schema[field] if field in self.s.schema else None
+            scorable = bool(ftype and ftype.scorable)
+            fboost = float(ftype.field_boost) if ftype else 1.0
+            B = w.field_B(field) if isinstance(w, BM25F) else 0.0
+            meta_rows.append(
+                {
+                    "field": field,
+                    "term": term,
+                    "idf": w.idf(dc, df_count) if df_count else 0.0,
+                    "avgfl": self.ix.avg_field_length(field) or 1.0,
+                    "b": B,
+                    "one_minus_b": 1 - B,
+                    "fboost": fboost,
+                    "scorable": scorable,
+                }
+            )
+        meta_schema = T.StructType(
+            [
+                T.StructField("field", T.StringType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("idf", T.DoubleType()),
+                T.StructField("avgfl", T.DoubleType()),
+                T.StructField("b", T.DoubleType()),
+                T.StructField("one_minus_b", T.DoubleType()),
+                T.StructField("fboost", T.DoubleType()),
+                T.StructField("scorable", T.BooleanType()),
+            ]
+        )
+        meta = self.spark.createDataFrame(meta_rows, meta_schema)
+
+        parts = []
+        for field, ts in by_field.items():
+            parts.append(self.ix.postings_for(field, ts, with_positions=with_positions))
+        decoded = parts[0]
+        for p in parts[1:]:
+            decoded = decoded.unionByName(p)
+
+        joined = decoded.join(F.broadcast(meta), on=["field", "term"])
+        weight = F.col("tf").cast("double") * F.col("fboost")
+        fl = byte_to_length_col(F.col("len_byte"))
+        score = w.score_col(
+            weight, fl, F.col("idf"), F.col("avgfl"), F.col("b"),
+            F.col("one_minus_b"), F.col("scorable"),
+        )
+        cols = ["field", "term", "doc_id"]
+        if with_positions:
+            cols.append("positions")
+        out = joined.select(*cols, score.alias("score"))
+        if self.s.cache_postings:
+            out = out.persist()
+            self.s._persisted.append(out)
+        return out
+
+    # ------------------------------------------------------------- compile
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("score", T.DoubleType())])
+        )
+
+    def _all_docs(self) -> DataFrame:
+        return self.ix.docs().select("doc_id")
+
+    def _complement(self, matched: DataFrame) -> DataFrame:
+        return (
+            self._all_docs()
+            .join(matched.select("doc_id"), on="doc_id", how="left_anti")
+            .withColumn("score", F.lit(1.0))
+        )
+
+    def _boosted(self, df: DataFrame, boost: float) -> DataFrame:
+        if boost == 1.0:
+            return df
+        return df.withColumn("score", F.col("score") * F.lit(float(boost)))
+
+    def _compile(self, q: Q.Query) -> _Compiled:
+        if isinstance(q, Q._NullQuery):
+            return _Compiled(self._empty())
+        if isinstance(q, Q.Term):
+            return _Compiled(self._compile_term(q))
+        if isinstance(q, Q.And):
+            return _Compiled(self._compile_and(q))
+        if isinstance(q, Q.Or):
+            return _Compiled(self._compile_or(q))
+        if isinstance(q, Q.DisjunctionMax):
+            return _Compiled(self._compile_dismax(q))
+        if isinstance(q, Q.Not):
+            inner = self._compile(q.query)
+            df = self._complement(inner.df) if inner.negated else inner.df
+            return _Compiled(df, negated=True)
+        if isinstance(q, Q.AndNot):
+            a = self._realize(self._compile(q.a))
+            b = self._realize(self._compile(q.b))
+            return _Compiled(self._boosted(a.join(b.select("doc_id"), "doc_id", "left_anti"), q.boost))
+        if isinstance(q, Q.Require):
+            a = self._realize(self._compile(q.a))
+            b = self._realize(self._compile(q.b))
+            return _Compiled(self._boosted(a.join(b.select("doc_id"), "doc_id", "left_semi"), q.boost))
+        if isinstance(q, Q.AndMaybe):
+            return _Compiled(self._compile_andmaybe(q))
+        if isinstance(q, Q.Otherwise):
+            a = self._realize(self._compile(q.a))
+            if a.limit(1).count() > 0:
+                return _Compiled(self._boosted(a, q.boost))
+            return _Compiled(self._boosted(self._realize(self._compile(q.b)), q.boost))
+        if isinstance(q, Q.Phrase):
+            return _Compiled(self._compile_phrase(q))
+        if isinstance(q, Q.Every):
+            return _Compiled(self._compile_every(q))
+        if isinstance(q, Q.ConstantScore):
+            child = self._realize(self._compile(q.child))
+            df = child.select("doc_id").withColumn("score", F.lit(float(q.score)))
+            return _Compiled(self._boosted(df, q.boost))
+        raise TypeError(f"cannot compile query node {type(q).__name__}")
+
+    def _realize(self, c: _Compiled) -> DataFrame:
+        return self._complement(c.df) if c.negated else c.df
+
+    def _compile_term(self, q: Q.Term) -> DataFrame:
+        if (q.field, q.text) not in self.stats:
+            return self._empty()
+        df = self.base.filter((F.col("field") == q.field) & (F.col("term") == q.text)).select(
+            "doc_id", "score"
+        )
+        return self._boosted(df, q.boost)
+
+    # -- joins with exact score-order bookkeeping --
+
+    @staticmethod
+    def _join_add(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+        """Join two (doc_id, score) frames; score = a.score + b.score with
+        missing side contributing 0.0 for outer joins."""
+        l = a.select("doc_id", F.col("score").alias("_sl"))
+        r = b.select("doc_id", F.col("score").alias("_sr"))
+        j = l.join(r, on="doc_id", how=how)
+        sl = F.coalesce(F.col("_sl"), F.lit(0.0))
+        sr = F.coalesce(F.col("_sr"), F.lit(0.0))
+        return j.select("doc_id", (sl + sr).alias("score"))
+
+    def _compile_and(self, q: Q.And) -> DataFrame:
+        subs = q.subqueries
+        compiled = [self._compile(c) for c in subs]
+        ests = [c.estimate_size(self.stats_view) for c in subs]
+        if not self.s.exact_scores and all(not c.negated for c in compiled):
+            u = compiled[0].df
+            for c in compiled[1:]:
+                u = u.unionByName(c.df)
+            agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"), F.count("*").alias("_n"))
+            return self._boosted(agg.filter(F.col("_n") == len(subs)).select("doc_id", "score"), q.boost)
+
+        # reference order: make_weighted_tree with weight = -estimate_size
+        # (compound.py:262-269); items sorted ascending, two smallest merged
+        items: list[tuple[float, int, _Compiled]] = []
+        seq = 0
+        for est, c in zip(ests, compiled):
+            items.append((float(0 - est), seq, c))
+            seq += 1
+        items.sort(key=lambda t: (t[0], t[1]))
+        while len(items) > 1:
+            wa, _, ca = items.pop(0)
+            wb, _, cb = items.pop(0)
+            merged = self._intersect(ca, cb)
+            seq += 1
+            entry = (wa + wb, seq, merged)
+            lo = 0
+            while lo < len(items) and items[lo][0] <= entry[0]:
+                lo += 1
+            items.insert(lo, entry)
+        return self._boosted(self._realize(items[0][2]), q.boost)
+
+    def _intersect(self, a: _Compiled, b: _Compiled) -> _Compiled:
+        """IntersectionMatcher analog; Not children anti-join and contribute
+        the InverseMatcher's constant 1.0 (verified vs reference)."""
+        if a.negated and b.negated:
+            both = self._complement(a.df).join(
+                self._complement(b.df).select("doc_id"), "doc_id", "left_semi"
+            ).withColumn("score", F.lit(1.0) + F.lit(1.0))
+            return _Compiled(both)
+        if b.negated:
+            df = a.df.join(b.df.select("doc_id"), "doc_id", "left_anti")
+            return _Compiled(df.withColumn("score", F.col("score") + F.lit(1.0)))
+        if a.negated:
+            df = b.df.join(a.df.select("doc_id"), "doc_id", "left_anti")
+            return _Compiled(df.withColumn("score", F.lit(1.0) + F.col("score")))
+        return _Compiled(self._join_add(a.df, b.df, "inner"))
+
+    def _compile_or(self, q: Q.Or) -> DataFrame:
+        compiled = [self._compile(c) for c in q.subqueries]
+        dfs = [self._realize(c) for c in compiled]
+        if not self.s.exact_scores:
+            u = dfs[0]
+            for d in dfs[1:]:
+                u = u.unionByName(d)
+            out = u.groupBy("doc_id").agg(F.sum("score").alias("score"), F.count("*").alias("_n"))
+            if q.minmatch:
+                out = out.filter(F.col("_n") >= q.minmatch)
+            return self._boosted(out.select("doc_id", "score"), q.boost)
+        # ArrayUnionMatcher accumulation: original child order, left fold
+        # (combo.py:211-215); per-child boost multiplication happens at add
+        acc = dfs[0]
+        for d in dfs[1:]:
+            acc = self._join_add(acc, d, "full_outer")
+        return self._boosted(acc, q.boost)
+
+    def _compile_dismax(self, q: Q.DisjunctionMax) -> DataFrame:
+        dfs = [self._realize(self._compile(c)) for c in q.subqueries]
+        acc = dfs[0]
+        for d in dfs[1:]:
+            l = acc.select("doc_id", F.col("score").alias("_sl"))
+            r = d.select("doc_id", F.col("score").alias("_sr"))
+            j = l.join(r, on="doc_id", how="full_outer")
+            score = F.greatest(
+                F.coalesce(F.col("_sl"), F.lit(NEG_INF)), F.coalesce(F.col("_sr"), F.lit(NEG_INF))
+            )
+            acc = j.select("doc_id", score.alias("score"))
+        return self._boosted(acc, q.boost)
+
+    def _compile_andmaybe(self, q: Q.AndMaybe) -> DataFrame:
+        a = self._realize(self._compile(q.a))
+        b = self._realize(self._compile(q.b))
+        l = a.select("doc_id", F.col("score").alias("_sl"))
+        r = b.select("doc_id", F.col("score").alias("_sr"))
+        j = l.join(r, on="doc_id", how="left")
+        score = F.when(F.col("_sr").isNull(), F.col("_sl")).otherwise(F.col("_sl") + F.col("_sr"))
+        return self._boosted(j.select("doc_id", score.alias("score")), q.boost)
+
+    def _compile_every(self, q: Q.Every) -> DataFrame:
+        if q.field is None:
+            df = self._all_docs().withColumn("score", F.lit(1.0))
+        else:
+            df = (
+                self.ix.lengths()
+                .filter(F.col("field") == q.field)
+                .select("doc_id")
+                .distinct()
+                .withColumn("score", F.lit(1.0))
+            )
+        return self._boosted(df, q.boost)
+
+    # ------------------------------------------------------------- phrase
+
+    def _compile_phrase(self, q: Q.Phrase) -> DataFrame:
+        words = q.words
+        # missing word -> no matches (reference positional.py:236-239)
+        for w in words:
+            if (q.field, w) not in self.stats:
+                return self._empty()
+
+        # per-word positional frames, inner-joined in word order
+        joined = None
+        pos_cols = []
+        for i, w in enumerate(words):
+            pw = (
+                self.pos_base.filter((F.col("field") == q.field) & (F.col("term") == w))
+                .select("doc_id", F.col("positions").alias(f"_p{i}"))
+            )
+            pos_cols.append(f"_p{i}")
+            joined = pw if joined is None else joined.join(pw, on="doc_id", how="inner")
+
+        slop, ordered, mindist = q.slop, True, 1
+
+        @pandas_udf(T.BooleanType())
+        def span_chain(*cols: pd.Series) -> pd.Series:
+            out = []
+            n_rows = len(cols[0])
+            for ri in range(n_rows):
+                poslists = [list(c.iloc[ri]) for c in cols]
+                out.append(_span_near_chain(poslists, slop, ordered, mindist))
+            return pd.Series(out)
+
+        matched = joined.filter(span_chain(*[F.col(c) for c in pos_cols])).select("doc_id")
+
+        # score = sum of word term-scores over an order-preserving binary
+        # tree (SpanNear2Matcher wraps make_binary_tree(Intersection, ms))
+        def tree_score(lo: int, hi: int) -> DataFrame:  # [lo, hi)
+            if hi - lo == 1:
+                w = words[lo]
+                return self.base.filter(
+                    (F.col("field") == q.field) & (F.col("term") == w)
+                ).select("doc_id", "score")
+            half = (hi - lo) // 2
+            return self._join_add(tree_score(lo, lo + half), tree_score(lo + half, hi), "inner")
+
+        scored = tree_score(0, len(words))
+        out = scored.join(matched, on="doc_id", how="left_semi")
+        return self._boosted(out, q.boost)
+
+
+def _span_near_chain(poslists: list[list[int]], slop: int, ordered: bool, mindist: int) -> bool:
+    """SpanNear2's pairwise span combination (reference spans.py:599-644)."""
+    aspans = [(p, p) for p in poslists[0]]
+    i = 1
+    while i < len(poslists) and aspans:
+        bspans = [(p, p) for p in poslists[i]]
+        found = set()
+        for a_start, a_end in aspans:
+            start = a_start if ordered else max(0, a_start - slop)
+            # bisect to first bspan with start >= `start`
+            lo, hi = 0, len(bspans)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if bspans[mid][0] < start:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            j = lo
+            while j < len(bspans):
+                b_start, b_end = bspans[j]
+                j += 1
+                if b_end < a_start - slop or (ordered and a_start > b_start):
+                    continue
+                if b_start > a_end + slop:
+                    break
+                # Span.distance_to (spans.py:160-166)
+                if not (a_end < b_start or b_end < a_start):
+                    dist = 0
+                elif a_end < b_start:
+                    dist = b_start - a_end
+                else:
+                    dist = a_start - b_end
+                if mindist <= dist <= slop:
+                    found.add((min(a_start, b_start), max(a_end, b_end)))
+        aspans = sorted(found)
+        i += 1
+    return bool(aspans) if i == len(poslists) else False
