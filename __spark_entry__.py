@@ -1,38 +1,316 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship conjunctive BM25 top-10 over sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the same parquet
+views. Every BM25 query routes through the full engine: index build
+(analyzer UDF -> posting blocks -> term stats) + DataFrame query planner.
+
+Score columns are rounded to 6 decimals on BOTH sides and top-k cutoffs
+order by (rounded score desc, doc_id asc) so float-association noise can't
+flip the compared row sets.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import whoosh_spark.query as Q
+from whoosh_spark.analysis.tokenize import DEFAULT_PATTERN, STOP_WORDS
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.index.quantize import sql_quantize_cases
+from whoosh_spark.index.segment import index_exists, read_manifest
+from whoosh_spark.schema import IndexSchema, ID, TEXT
+from whoosh_spark.search import Searcher
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_ROOT = os.path.join(_REPO, ".index_cache")
+
+_B = 0.75
+_K1 = 1.2
+
+
+# --------------------------------------------------------------- index mgmt
+
+def _docs_schema() -> IndexSchema:
+    return IndexSchema.of(lang=ID(stored=True), source=ID(stored=True), text=TEXT())
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> Index:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = os.path.join(_CACHE_ROOT, f"entry_{name}_{n}")
+    rebuild = True
+    if index_exists(idx_dir):
+        try:
+            rebuild = read_manifest(idx_dir).doc_count_all() != n
+        except Exception:
+            rebuild = True
+    if rebuild:
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(spark, docs, _docs_schema(), idx_dir, sha_col="text")
+    return Index(spark, idx_dir)
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    # exact_scores=False -> scalable aggregation paths (hash aggregate
+    # instead of join fan-out); oracle comparison rounds to 6dp
+    return Searcher(_index_for(spark, sf_dir), exact_scores=False, cache_postings=False)
+
+
+def _topk(s: Searcher, q: Q.Query, k: int = 20) -> DataFrame:
+    df = s.matches(q)
+    return (
+        df.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive 2-term BM25 top-10 over sf0.001 (full pipeline)."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    q = Q.And([Q.Term("text", "scan"), Q.Term("text", "merge")])
+    return _topk(s, q, 10)
 
+
+# ---------------------------------------------------------------- oracles
+
+def _sql_prelude(with_positions: bool = False) -> str:
+    stops = ",".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    pat = DEFAULT_PATTERN
+    base = f"""
+lenq(lo, hi, q) AS (VALUES {sql_quantize_cases()}),
+all_tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{pat}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{pat}'), 1) - 1 AS orig_pos
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, term, orig_pos{", min(orig_pos) OVER (PARTITION BY doc_id) + CAST(row_number() OVER (PARTITION BY doc_id ORDER BY orig_pos) AS BIGINT) - 1 AS pos" if with_positions else ""}
+  FROM all_tok
+  WHERE length(term) >= 2 AND term NOT IN ({stops})
+),
+doclen AS (SELECT doc_id, count(*) AS fl FROM tok GROUP BY doc_id),
+nstats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  (SELECT coalesce(sum(fl), 0) FROM doclen) AS total_len)
+"""
+    return base.strip()
+
+
+def _score_cte(term: str, alias: str) -> str:
+    """Per-term tf + BM25 score CTEs (idf = ln(N/(df+1))+1, quantized fl)."""
+    k1p1 = repr(_K1 + 1)
+    k1 = repr(_K1)
+    omb = repr(1 - _B)
+    b = repr(_B)
+    return f"""
+tf_{alias} AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id
+),
+sc_{alias} AS (
+  SELECT f.doc_id,
+    (ln((SELECT CAST(n AS DOUBLE) FROM nstats) / CAST((SELECT count(*) FROM tf_{alias}) + 1 AS DOUBLE)) + 1)
+    * (f.tf * {k1p1}) / (f.tf + {k1} * ({omb} + {b} * CAST(l.q AS DOUBLE)
+        / ((SELECT CAST(total_len AS DOUBLE) FROM nstats) / (SELECT CAST(n AS DOUBLE) FROM nstats)))) AS score
+  FROM tf_{alias} f
+  JOIN doclen d USING (doc_id)
+  JOIN lenq l ON d.fl BETWEEN l.lo AND l.hi
+)""".strip()
+
+
+def _sql_topk(body: str, k: int = 20, score_col: str = "score") -> str:
+    return (
+        f"SELECT doc_id, round({score_col}, 6) AS score FROM ({body}) "
+        f"ORDER BY round({score_col}, 6) DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def bm25_term(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Term("text", "scan"))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bm25_and2(spark, sf):
+        return _topk(_searcher(spark, sf), Q.And([Q.Term("text", "scan"), Q.Term("text", "merge")]))
+
+    def bm25_or3(spark, sf):
+        return _topk(
+            _searcher(spark, sf),
+            Q.Or([Q.Term("text", "scan"), Q.Term("text", "join"), Q.Term("text", "window")]),
+        )
+
+    def bm25_andnot(spark, sf):
+        return _topk(_searcher(spark, sf), Q.AndNot(Q.Term("text", "scan"), Q.Term("text", "join")))
+
+    def bm25_andmaybe(spark, sf):
+        return _topk(_searcher(spark, sf), Q.AndMaybe(Q.Term("text", "scan"), Q.Term("text", "merge")))
+
+    def bm25_require(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Require(Q.Term("text", "scan"), Q.Term("text", "merge")))
+
+    def bm25_dismax(spark, sf):
+        return _topk(_searcher(spark, sf), Q.DisjunctionMax([Q.Term("text", "scan"), Q.Term("text", "join")]))
+
+    def bm25_not_child(spark, sf):
+        return _topk(_searcher(spark, sf), Q.And([Q.Term("text", "scan"), Q.Not(Q.Term("text", "join"))]))
+
+    def bm25_boost(spark, sf):
+        return _topk(
+            _searcher(spark, sf),
+            Q.Or([Q.Term("text", "scan", boost=2.0), Q.Term("text", "merge")]),
+        )
+
+    def bm25_prefix(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Prefix("text", "s"), k=50)
+
+    def bm25_phrase2(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Phrase("text", ["order", "sort"]))
+
+    def term_id_field(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Term("lang", "zh"), k=500)
+
+    def term_stats_top(spark, sf):
+        ix = _index_for(spark, sf)
+        ts = (
+            ix.termstats()
+            .filter(F.col("field") == "text")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("total_tf").alias("total_tf"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(50)
+        )
+        return ts
+
+    def doc_lengths(spark, sf):
+        ix = _index_for(spark, sf)
+        from whoosh_spark.search.scoring import byte_to_length_col
+
+        return ix.lengths().filter(F.col("field") == "text").select(
+            "doc_id",
+            F.col("length").cast("long").alias("length"),
+            byte_to_length_col(F.col("len_byte")).cast("long").alias("len_quantized"),
+        )
+
+    def lexicon_range(spark, sf):
+        ix = _index_for(spark, sf)
+        return (
+            ix.field_terms("text")
+            .filter((F.col("term") >= "s") & (F.col("term") < "u"))
+            .select("term", F.col("df").cast("long").alias("df"))
+        )
+
+    def sha256_audit(spark, sf):
+        ix = _index_for(spark, sf)
+        return ix.docs().select("doc_id", F.col("content_sha256").alias("sha"))
+
+    return {
+        "bm25_term": bm25_term,
+        "bm25_and2": bm25_and2,
+        "bm25_or3": bm25_or3,
+        "bm25_andnot": bm25_andnot,
+        "bm25_andmaybe": bm25_andmaybe,
+        "bm25_require": bm25_require,
+        "bm25_dismax": bm25_dismax,
+        "bm25_not_child": bm25_not_child,
+        "bm25_boost": bm25_boost,
+        "bm25_prefix": bm25_prefix,
+        "bm25_phrase2": bm25_phrase2,
+        "term_id_field": term_id_field,
+        "term_stats_top": term_stats_top,
+        "doc_lengths": doc_lengths,
+        "lexicon_range": lexicon_range,
+        "sha256_audit": sha256_audit,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = _sql_prelude()
+    pre_pos = _sql_prelude(with_positions=True)
+
+    def with_scores(terms: list[str], body: str, k: int = 20, positions: bool = False) -> str:
+        ctes = ",\n".join(_score_cte(t, t) for t in terms)
+        return f"WITH {pre_pos if positions else pre},\n{ctes}\n{_sql_topk(body, k)}"
+
+    sql = {}
+    sql["bm25_term"] = with_scores(["scan"], "SELECT doc_id, score FROM sc_scan")
+    sql["bm25_and2"] = with_scores(
+        ["scan", "merge"],
+        "SELECT a.doc_id, a.score + b.score AS score FROM sc_scan a JOIN sc_merge b USING (doc_id)",
+    )
+    sql["bm25_or3"] = with_scores(
+        ["scan", "join", "window"],
+        "SELECT doc_id, sum(score) AS score FROM (SELECT * FROM sc_scan UNION ALL "
+        "SELECT * FROM sc_join UNION ALL SELECT * FROM sc_window) GROUP BY doc_id",
+    )
+    sql["bm25_andnot"] = with_scores(
+        ["scan", "join"],
+        "SELECT doc_id, score FROM sc_scan WHERE doc_id NOT IN (SELECT doc_id FROM sc_join)",
+    )
+    sql["bm25_andmaybe"] = with_scores(
+        ["scan", "merge"],
+        "SELECT a.doc_id, a.score + coalesce(b.score, 0.0) AS score "
+        "FROM sc_scan a LEFT JOIN sc_merge b USING (doc_id)",
+    )
+    sql["bm25_require"] = with_scores(
+        ["scan", "merge"],
+        "SELECT doc_id, score FROM sc_scan WHERE doc_id IN (SELECT doc_id FROM sc_merge)",
+    )
+    sql["bm25_dismax"] = with_scores(
+        ["scan", "join"],
+        "SELECT doc_id, max(score) AS score FROM (SELECT * FROM sc_scan UNION ALL "
+        "SELECT * FROM sc_join) GROUP BY doc_id",
+    )
+    sql["bm25_not_child"] = with_scores(
+        ["scan", "join"],
+        "SELECT doc_id, score + 1.0 AS score FROM sc_scan "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM sc_join)",
+    )
+    sql["bm25_boost"] = with_scores(
+        ["scan", "merge"],
+        "SELECT doc_id, sum(score) AS score FROM ("
+        "SELECT doc_id, score * 2.0 AS score FROM sc_scan UNION ALL "
+        "SELECT doc_id, score FROM sc_merge) GROUP BY doc_id",
+    )
+    sql["bm25_prefix"] = (
+        f"WITH {pre} SELECT doc_id, 1.0 AS score FROM tok WHERE term LIKE 's%' "
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 50"
+    )
+    sql["bm25_phrase2"] = with_scores(
+        ["order", "sort"],
+        "SELECT s.doc_id, s.score + t.score AS score "
+        "FROM sc_order s JOIN sc_sort t USING (doc_id) "
+        "WHERE s.doc_id IN (SELECT a.doc_id FROM tok a JOIN tok b USING (doc_id) "
+        "WHERE a.term = 'order' AND b.term = 'sort' AND b.pos = a.pos + 1)",
+        positions=True,
+    )
+    sql["term_id_field"] = (
+        "SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'zh' "
+        "ORDER BY doc_id LIMIT 500"
+    )
+    sql["term_stats_top"] = (
+        f"WITH {pre}, per_doc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term) "
+        "SELECT term, count(*) AS df, sum(tf) AS total_tf FROM per_doc "
+        "GROUP BY term ORDER BY df DESC, term ASC LIMIT 50"
+    )
+    sql["doc_lengths"] = (
+        f"WITH {pre} SELECT d.doc_id, d.fl AS length, CAST(l.q AS BIGINT) AS len_quantized "
+        "FROM doclen d JOIN lenq l ON d.fl BETWEEN l.lo AND l.hi"
+    )
+    sql["lexicon_range"] = (
+        f"WITH {pre}, per_doc AS (SELECT DISTINCT doc_id, term FROM tok) "
+        "SELECT term, count(*) AS df FROM per_doc "
+        "WHERE term >= 's' AND term < 'u' GROUP BY term"
+    )
+    sql["sha256_audit"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+    return sql

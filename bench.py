@@ -1,0 +1,111 @@
+"""Benchmark harness: index build + headline BM25 queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total query sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>, "build_sec": ..., "build_docs_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_SYNTH_DOCS    additionally index a synthetic code corpus of N docs
+                      for build-throughput measurement (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(sf_dir: str, cpus: int, synth_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    import whoosh_spark.query as Q
+    from whoosh_spark.corpus import synth_code_corpus
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.schema import IndexSchema, ID, TEXT, code_corpus_schema
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    # ---- index build (documents table) ----
+    idx_dir = os.path.join(repo, ".index_cache", f"bench_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    schema = IndexSchema.of(lang=ID(stored=True), source=ID(stored=True), text=TEXT())
+    t0 = time.time()
+    build_index(spark, docs, schema, idx_dir, sha_col="text")
+    build_sec = time.time() - t0
+
+    # ---- synthetic code-corpus build (the input_hint shape, bigger volume) ----
+    synth_build_sec = synth_dps = None
+    if synth_docs:
+        sdir = os.path.join(repo, ".index_cache", "bench_synth")
+        shutil.rmtree(sdir, ignore_errors=True)
+        corpus = synth_code_corpus(spark, synth_docs).persist()
+        corpus.count()  # materialize inputs outside the timed window
+        t0 = time.time()
+        build_index(spark, corpus, code_corpus_schema(), sdir, sha_col="content")
+        synth_build_sec = time.time() - t0
+        synth_dps = synth_docs / synth_build_sec
+        corpus.unpersist()
+
+    # ---- headline queries ----
+    ix = Index(spark, idx_dir)
+    s = Searcher(ix, exact_scores=False, cache_postings=False)
+    cases = {
+        "q_term": Q.Term("text", "scan"),
+        "q_and2": Q.And([Q.Term("text", "scan"), Q.Term("text", "merge")]),
+        "q_and3": Q.And([Q.Term("text", "scan"), Q.Term("text", "merge"), Q.Term("text", "join")]),
+        "q_or3": Q.Or([Q.Term("text", "scan"), Q.Term("text", "join"), Q.Term("text", "window")]),
+        "q_or5": Q.Or([Q.Term("text", t) for t in ["scan", "join", "window", "sort", "batch"]]),
+        "q_andnot": Q.AndNot(Q.Term("text", "scan"), Q.Term("text", "join")),
+        "q_phrase2": Q.Phrase("text", ["order", "sort"]),
+        "q_prefix": Q.Prefix("text", "s"),
+        "q_dismax": Q.DisjunctionMax([Q.Term("text", "scan"), Q.Term("text", "join")]),
+    }
+    # warm the JVM + parquet footers once
+    s.search(Q.Term("text", "scan"), limit=10).collect()
+
+    times = {}
+    for name, q in cases.items():
+        t0 = time.time()
+        s.search(q, limit=10).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "bm25_headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 3),
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_qps": round(len(times) / total, 3) if total else None,
+        "cpus": cpus,
+    }
+    if synth_build_sec is not None:
+        out["synth_docs"] = synth_docs
+        out["synth_build_sec"] = round(synth_build_sec, 3)
+        out["synth_build_docs_per_sec"] = round(synth_dps, 1)
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth = int(os.environ.get("BENCH_SYNTH_DOCS", "20000"))
+    print(json.dumps(run(sf_dir, cpus, synth)))
