@@ -4,29 +4,37 @@ The Spark-first re-expression of the reference write path
 (/root/reference/src/whoosh/writing.py:725-797 add_document,
 externalsort.py:85-226 posting pool, codec/whoosh3.py:650-869 block writer):
 
-    docs ──(Arrow analyzer UDF)──▶ per-doc (terms, length)
-         ──explode──▶ postings (field, term, doc_id, tf, positions, len_byte)
-         ──groupBy(field, term, doc-bucket) + applyInPandas──▶ posting blocks
-         ──groupBy(field, term) agg──▶ term stats
-         └─▶ lengths table, docs (stored-fields) table, stats
+    docs ──(one Arrow mapInPandas pass over ALL indexed fields)──▶
+         postings (field, term, doc_id, tf, positions, len_byte)
+         ──repartitionByRange(field, term, doc-bucket) + partition encode──▶
+         posting-block Parquet (term-sorted files -> scan pruning)
+         ──groupBy over the block table──▶ term stats
+    docs ──(light count-only pass)──▶ lengths table
 
-Skew design: posting blocks are grouped by ``(field, term, bucket)`` where
-``bucket = doc_id // bucket_width`` — a hot term like ``def`` that appears
-in 10^11 docs never concentrates on one reducer: its postings split across
-doc-id ranges, each group bounded by ``bucket_width`` rows. Blocks stay
-globally doc-id-ordered per term (bucket asc, block asc), so queries and
-merges never need a global per-term sort. This replaces the reference's
+Skew design: posting blocks shuffle on ``(field, term, bucket)`` where
+``bucket = doc_id // bucket_width`` — a hot term like ``def`` appearing in
+10^11 docs never lands on one reducer; its postings split across doc-id
+ranges, each group bounded by ``bucket_width``. Blocks stay globally
+doc-id-ordered per term (bucket asc, block asc) so queries and merges
+never need a global per-term sort. This replaces the reference's
 single-process external merge sort with one bounded shuffle.
 
+Materialization: the exploded postings are deliberately NOT persisted —
+Spark's in-memory columnar cache is pathologically slow on array columns
+(measured 94s vs 7s recompute at 20k docs); term stats instead derive from
+the written block table (sum of per-block partials), and lengths get their
+own cheap pass, so tokenize runs at most 3x and nothing large is cached.
+
 Per-posting ``len_byte`` (the quantized field length BM25 needs) is
-denormalized into the block payload, so *query-time scoring requires no
-join against the lengths table* — at 100 TB that removes the biggest
+denormalized into the block payload, so query-time scoring requires no
+join against the lengths table — at 100 TB that removes the biggest
 shuffle from the hot path.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -56,6 +64,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("count", T.IntegerType()),
         T.StructField("min_id", T.LongType()),
         T.StructField("max_id", T.LongType()),
+        T.StructField("sum_tf", T.LongType()),
         T.StructField("max_tf", T.DoubleType()),
         T.StructField("min_len_byte", T.IntegerType()),
         T.StructField("max_len_byte", T.IntegerType()),
@@ -66,87 +75,233 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+EXPLODED_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("len_byte", T.IntegerType()),
+    ]
+)
 
-def _make_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (field, term, bucket) group -> block rows."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    field = pdf["field"].iloc[0]
-    term = pdf["term"].iloc[0]
-    bucket = int(pdf["bucket"].iloc[0])
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    lbs = pdf["len_byte"].to_numpy(dtype=np.int64)
-    has_pos = "positions" in pdf.columns
-    pos_lists = list(pdf["positions"]) if has_pos else None
-    n = len(pdf)
-    rows = []
+LENGTHS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("len_byte", T.IntegerType()),
+    ]
+)
+
+
+def _field_configs(schema: IndexSchema) -> list[tuple]:
+    """Picklable per-field analyzer configs for UDF closures."""
+    out = []
+    for fieldname in schema.indexed_fields():
+        f = schema[fieldname]
+        a = f.analyzer
+        out.append((fieldname, a.pattern, a.lowercase, a.stopwords if a.use_stopfilter else None,
+                    a.minsize, a.maxsize, bool(f.phrase)))
+    return out
+
+
+def _tokenize_agg(pat, lower, stops, minsize, maxsize, text):
+    """(term -> positions, kept_count) with Whoosh renumbering."""
+    toks = [m.group(0) for m in pat.finditer(text)]
+    if lower:
+        toks = [t.lower() for t in toks]
+    agg: dict = {}
+    if stops is None:
+        for pos, t in enumerate(toks):
+            agg.setdefault(t, []).append(pos)
+        return agg, len(toks)
+    first = None
+    k = 0
+    for pos, t in enumerate(toks):
+        if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
+            if first is None:
+                first = pos
+            agg.setdefault(t, []).append(first + k)
+            k += 1
+    return agg, k
+
+
+def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
+    """docs -> long postings DF: one Arrow pass tokenizes ALL indexed fields
+    (reference emits per-field postings per doc, writing.py:737-767)."""
+    cfgs = _field_configs(schema)
+    cols = [F.col(doc_id_col).alias("doc_id")] + [
+        F.col(name).cast("string").alias(name) for name, *_ in cfgs
+    ]
+
+    def kernel(batches):
+        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, phrase)
+                    for name, pat, lower, stops, mins, maxs, phrase in cfgs]
+        for pdf in batches:
+            f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
+            for name, pat, lower, stops, mins, maxs, phrase in compiled:
+                texts = pdf[name]
+                dids = pdf["doc_id"]
+                for did, text in zip(dids, texts):
+                    if text is None:
+                        continue
+                    agg, k = _tokenize_agg(pat, lower, stops, mins, maxs, text)
+                    for t, ps in agg.items():
+                        f_out.append(name)
+                        t_out.append(t)
+                        d_out.append(did)
+                        tf_out.append(len(ps))
+                        p_out.append(ps if phrase else None)
+                        l_out.append(k)
+            lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "field": f_out,
+                    "term": t_out,
+                    "doc_id": d_out,
+                    "tf": tf_out,
+                    "positions": p_out,
+                    "length": l_out,
+                    "len_byte": length_to_byte_np(lens).astype(np.int32),
+                }
+            )
+
+    return docs.select(*cols).mapInPandas(kernel, EXPLODED_SCHEMA)
+
+
+def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, field) token counts — a dedicated light pass (no per-term
+    aggregation, no positions)."""
+    cfgs = _field_configs(schema)
+    cols = [F.col(doc_id_col).alias("doc_id")] + [
+        F.col(name).cast("string").alias(name) for name, *_ in cfgs
+    ]
+
+    def kernel(batches):
+        compiled = [(name, re.compile(pat), lower, stops, mins, maxs)
+                    for name, pat, lower, stops, mins, maxs, _ in cfgs]
+        for pdf in batches:
+            d_out, f_out, l_out = [], [], []
+            for name, pat, lower, stops, mins, maxs in compiled:
+                for did, text in zip(pdf["doc_id"], pdf[name]):
+                    if text is None:
+                        continue
+                    if stops is None:
+                        k = sum(1 for _ in pat.finditer(text))
+                    else:
+                        k = 0
+                        for m in pat.finditer(text):
+                            t = m.group(0)
+                            if lower:
+                                t = t.lower()
+                            if len(t) >= mins and (maxs is None or len(t) <= maxs) and t not in stops:
+                                k += 1
+                    d_out.append(did)
+                    f_out.append(name)
+                    l_out.append(k)
+            lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": d_out,
+                    "field": f_out,
+                    "length": l_out,
+                    "len_byte": length_to_byte_np(lens).astype(np.int32),
+                }
+            )
+
+    return docs.select(*cols).mapInPandas(kernel, LENGTHS_SCHEMA)
+
+
+# ------------------------------------------------------------ block encode
+
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+
+
+def _encode_group(rows: list, field: str, term: str, bucket: int,
+                  ids: np.ndarray, tfs: np.ndarray, lbs: np.ndarray,
+                  pos_lists) -> None:
+    """Append ≤128-posting block rows for one (field, term, bucket) group.
+    Inputs are doc_id-sorted numpy slices — no per-group DataFrames."""
+    n = ids.size
     for start in range(0, n, BLOCK_SIZE):
         end = min(start + BLOCK_SIZE, n)
         bids = ids[start:end]
         btfs = tfs[start:end]
         blbs = lbs[start:end]
-        if has_pos:
-            plists = [np.asarray(p if p is not None else [], dtype=np.int64) for p in pos_lists[start:end]]
+        if pos_lists is not None and pos_lists[start] is not None:
+            plists = [
+                np.asarray(p if p is not None else [], dtype=np.int64)
+                for p in pos_lists[start:end]
+            ]
             pos_bin = codec.encode_position_lists(plists)
         else:
             pos_bin = None
         rows.append(
-            {
-                "field": field,
-                "term": term,
-                "bucket": bucket,
-                "block_no": start // BLOCK_SIZE,
-                "count": end - start,
-                "min_id": int(bids[0]),
-                "max_id": int(bids[-1]),
-                "max_tf": float(btfs.max()),
-                "min_len_byte": int(blbs.min()),
-                "max_len_byte": int(blbs.max()),
-                "ids": codec.delta_encode(bids),
-                "tfs": codec.varint_encode(btfs.astype(np.uint64)),
-                "len_bytes": blbs.astype(np.uint8).tobytes(),
-                "positions": pos_bin,
-            }
+            (
+                field, term, bucket, start // BLOCK_SIZE, end - start,
+                int(bids[0]), int(bids[-1]), int(btfs.sum()), float(btfs.max()),
+                int(blbs.min()), int(blbs.max()),
+                codec.delta_encode(bids),
+                codec.varint_encode(btfs.astype(np.uint64)),
+                blbs.astype(np.uint8).tobytes(),
+                pos_bin,
+            )
         )
-    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
 
-def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
-    """docs -> long postings DF (field, term, doc_id, tf, positions, length, len_byte).
-
-    One analyzer UDF pass per indexed field; unions the per-field posting
-    streams (the reference emits per-field postings per doc,
-    writing.py:737-767).
-    """
-    parts = []
-    for fieldname in schema.indexed_fields():
-        ftype = schema[fieldname]
-        ana = ftype.analyzer
-        analyzed = docs.select(
-            F.col(doc_id_col).alias("doc_id"),
-            ana.tokens_udf()(F.col(fieldname).cast("string")).alias("_a"),
+def _encode_partition(batches):
+    """mapInPandas kernel over partitions pre-sorted by
+    (field, term, bucket, doc_id). Emits posting-block rows; group work is
+    numpy slicing, and groups straddling Arrow batch boundaries are carried
+    over to the next batch."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        fields = pdf["field"].to_numpy()
+        terms = pdf["term"].to_numpy()
+        buckets = pdf["bucket"].to_numpy()
+        chg = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1]) | (fields[1:] != fields[:-1])
         )
-        exploded = analyzed.select(
-            F.lit(fieldname).alias("field"),
-            F.col("doc_id"),
-            F.col("_a.length").alias("length"),
-            F.explode("_a.terms").alias("_t"),
-        ).select(
-            "field",
-            F.col("_t.term").alias("term"),
-            "doc_id",
-            F.col("_t.tf").alias("tf"),
-            F.col("_t.positions").alias("positions"),
-            "length",
-        )
-        parts.append(exploded)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # quantized per-doc field length, denormalized onto every posting
-    lb_udf = F.pandas_udf(lambda s: pd.Series(length_to_byte_np(s.to_numpy(dtype=np.int64))).astype("int32"), "int")
-    return out.withColumn("len_byte", lb_udf(F.col("length")))
+        starts = np.concatenate(([0], chg + 1))
+        # hold back the final (possibly incomplete) group for the next batch
+        last_start = int(starts[-1])
+        carry = pdf.iloc[last_start:]
+        pdf_done = pdf.iloc[:last_start]
+        if len(pdf_done):
+            yield _encode_rows(pdf_done, starts[:-1], last_start)
+    if carry is not None and len(carry):
+        yield _encode_rows(carry.reset_index(drop=True), np.array([0]), len(carry))
 
+
+def _encode_rows(pdf: pd.DataFrame, starts: np.ndarray, total: int) -> pd.DataFrame:
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    buckets = pdf["bucket"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    lbs = pdf["len_byte"].to_numpy(dtype=np.int64)
+    has_pos = "positions" in pdf.columns
+    pos_all = pdf["positions"].to_list() if has_pos else None
+    bounds = np.concatenate((starts[1:], [total])).astype(np.int64)
+    rows: list = []
+    for s, e in zip(starts.astype(np.int64), bounds):
+        _encode_group(
+            rows, fields[s], terms[s], int(buckets[s]),
+            ids[s:e], tfs[s:e], lbs[s:e],
+            pos_all[s:e] if has_pos else None,
+        )
+    return pd.DataFrame(rows, columns=_POSTINGS_COLS)
+
+
+# ------------------------------------------------------------------ build
 
 def build_segment(
     spark: SparkSession,
@@ -168,61 +323,56 @@ def build_segment(
     os.makedirs(seg_dir, exist_ok=True)
 
     # ---- docs (stored fields) + ingest-fidelity sha256 ----
-    stored_cols = [doc_id_col] + [c for c in schema.stored_fields() if c in docs.columns]
-    docs_out = docs.select(*dict.fromkeys(stored_cols))
+    stored_cols = [F.col(doc_id_col).alias("doc_id")] + [
+        F.col(c) for c in schema.stored_fields() if c in docs.columns and c != doc_id_col
+    ]
     if sha_col and sha_col in docs.columns:
-        docs_out = docs_out.join(
-            docs.select(F.col(doc_id_col), F.sha2(F.col(sha_col).cast("string"), 256).alias("content_sha256")),
-            on=doc_id_col,
-        )
-    docs_out = docs_out.withColumnRenamed(doc_id_col, "doc_id")
+        stored_cols.append(F.sha2(F.col(sha_col).cast("string"), 256).alias("content_sha256"))
+    docs_out = docs.select(*stored_cols)
     docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs.parquet"))
 
-    # ---- postings (one analyzer pass) ----
+    # ---- posting blocks: one tokenize -> one bounded shuffle -> encode ----
     postings = extract_postings(docs, schema, doc_id_col)
     needs_positions = any(schema[f].phrase for f in schema.indexed_fields())
-    if not needs_positions:
-        postings = postings.drop("positions")
-    postings = postings.persist()
-
-    # lengths table (field length per doc; also the per-field totals)
-    lengths = postings.groupBy("doc_id", "field").agg(
-        F.first("length").alias("length"), F.first("len_byte").alias("len_byte")
+    with_bucket = postings.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
+    in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte"] + (
+        ["positions"] if needs_positions else []
     )
-    lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))
-
-    # term stats (drives idf + WAND bounds; reference W3TermInfo whoosh3.py:1130-1249)
-    termstats = postings.groupBy("field", "term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("total_tf"),
-        F.max("tf").alias("max_tf"),
-        F.min("len_byte").alias("min_len_byte"),
-        F.max("len_byte").alias("max_len_byte"),
-        F.min("doc_id").alias("min_id"),
-        F.max("doc_id").alias("max_id"),
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    blocks = (
+        with_bucket.select(*in_cols)
+        .repartitionByRange(nparts, "field", "term", "bucket")
+        .sortWithinPartitions("field", "term", "bucket", "doc_id")
+        .mapInPandas(_encode_partition, POSTINGS_SCHEMA)
     )
-    termstats.repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 2), "field", "term").sortWithinPartitions(
+    blocks.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
+
+    # ---- term stats derived from block partials (no extra tokenize) ----
+    blocks_tbl = spark.read.parquet(os.path.join(seg_dir, "postings.parquet"))
+    termstats = blocks_tbl.groupBy("field", "term").agg(
+        F.sum("count").alias("df"),
+        F.sum("sum_tf").alias("total_tf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_len_byte").alias("min_len_byte"),
+        F.max("max_len_byte").alias("max_len_byte"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
+    )
+    termstats.repartitionByRange(max(1, nparts // 2), "field", "term").sortWithinPartitions(
         "field", "term"
     ).write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
 
-    # posting blocks: skew-proof (field, term, doc-bucket) grouping
-    with_bucket = postings.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
-    group_cols = ["field", "term", "bucket"]
-    in_cols = group_cols + ["doc_id", "tf", "len_byte"] + (["positions"] if needs_positions else [])
-    blocks = with_bucket.select(*in_cols).groupBy(*group_cols).applyInPandas(_make_blocks, POSTINGS_SCHEMA)
-    # range-partition + sort by term so Parquet row-group min/max stats prune
-    # term lookups to a handful of files (the sorted-terms-file analog)
-    blocks.repartitionByRange(max(1, spark.sparkContext.defaultParallelism), "field", "term", "bucket").sortWithinPartitions(
-        "field", "term", "bucket", "block_no"
-    ).write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
+    # ---- lengths (dedicated light pass) ----
+    lengths = lengths_table(docs, schema, doc_id_col)
+    lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))
 
     # ---- per-segment scalar stats ----
-    field_lengths_rows = lengths.groupBy("field").agg(F.sum("length").alias("total")).collect()
+    lengths_tbl = spark.read.parquet(os.path.join(seg_dir, "lengths.parquet"))
+    field_lengths_rows = lengths_tbl.groupBy("field").agg(F.sum("length").alias("total")).collect()
     field_lengths = {r["field"]: int(r["total"]) for r in field_lengths_rows}
     id_stats = docs.agg(
         F.count("*").alias("n"), F.min(doc_id_col).alias("lo"), F.max(doc_id_col).alias("hi")
     ).collect()[0]
-    postings.unpersist()
 
     info = SegmentInfo(
         name=name,

@@ -50,6 +50,8 @@ class Index:
     def reload(self) -> None:
         self.manifest: Manifest = read_manifest(self.index_dir)
         self.schema: IndexSchema = schema_from_dict(self.manifest.schema)
+        self._df_cache: dict = {}
+        self._term_stats_cache: dict = {}
 
     # ---- segment table access ----
 
@@ -60,10 +62,12 @@ class Index:
         ]
 
     def _read(self, table: str) -> DataFrame:
-        paths = self._seg_paths(table)
-        if not paths:
-            raise ValueError("index has no segments")
-        return self.spark.read.parquet(*paths)
+        if table not in self._df_cache:
+            paths = self._seg_paths(table)
+            if not paths:
+                raise ValueError("index has no segments")
+            self._df_cache[table] = self.spark.read.parquet(*paths)
+        return self._df_cache[table]
 
     def postings_blocks(self) -> DataFrame:
         return self._read("postings.parquet")
@@ -119,6 +123,14 @@ class Index:
         """
         if not terms:
             return {}
+        missing = [t for t in terms if (field, t) not in self._term_stats_cache]
+        if not missing:
+            out = {}
+            for t in terms:
+                row = self._term_stats_cache[(field, t)]
+                if row is not None:
+                    out[t] = row
+            return out
         ts = (
             self.termstats()
             .filter((F.col("field") == field) & F.col("term").isin(terms))
@@ -133,7 +145,10 @@ class Index:
                 F.max("max_id").alias("max_id"),
             )
         )
-        return {r["term"]: r.asDict() for r in ts.collect()}
+        found = {r["term"]: r.asDict() for r in ts.collect()}
+        for t in terms:
+            self._term_stats_cache[(field, t)] = found.get(t)
+        return found
 
     def field_terms(self, field: str) -> DataFrame:
         """Distinct terms of a field with combined df (the lexicon scan)."""
