@@ -1,0 +1,124 @@
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+import whoosh_spark.query as Q
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.index.merge import (
+    apply_merge_policy,
+    delete_by_term,
+    delete_docs,
+    fib,
+    pick_merge_small,
+    update_documents,
+)
+from whoosh_spark.index.segment import SegmentInfo, read_manifest
+from whoosh_spark.schema import IndexSchema, ID, TEXT
+from whoosh_spark.search import Searcher
+
+
+def seg(name, n):
+    return SegmentInfo(name=name, doc_count=n, field_lengths={}, min_doc_id=0, max_doc_id=n - 1)
+
+
+def test_fib():
+    assert [fib(i) for i in range(10)] == [0, 1, 1, 2, 3, 5, 8, 13, 21, 34]
+
+
+def test_pick_merge_small_reference_heuristic():
+    # 5 tiny segments: at i=4 (>3), total=5 < fib(9)=34 -> merge all 5
+    segs = [seg(f"s{i}", 1) for i in range(5)]
+    to_merge, unchanged = pick_merge_small(segs)
+    assert len(to_merge) == 5 and unchanged == []
+    # big segments never meet total < fib(i+5) -> no merge
+    segs = [seg(f"s{i}", 10_000) for i in range(5)]
+    to_merge, unchanged = pick_merge_small(segs)
+    assert to_merge == [] and len(unchanged) == 5
+
+
+@pytest.fixture()
+def multi_ix(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    rows = [Row(doc_id=i, key=str(i), value=f"alfa bravo w{i % 7} shared") for i in range(30)]
+    df = spark.createDataFrame(rows)
+    build_index(spark, df, schema, d, num_chunks=5, sha_col="value")
+    return d
+
+
+def test_multisegment_search_equals_singleseg(spark, multi_ix, tmp_path):
+    # same docs in one segment
+    d1 = str(tmp_path / "idx1")
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    rows = [Row(doc_id=i, key=str(i), value=f"alfa bravo w{i % 7} shared") for i in range(30)]
+    build_index(spark, spark.createDataFrame(rows), schema, d1, sha_col="value")
+
+    q = Q.And([Q.Term("value", "alfa"), Q.Term("value", "w3")])
+    multi = [(r["doc_id"], r["score"]) for r in Searcher(Index(spark, multi_ix)).search(q, limit=30).collect()]
+    single = [(r["doc_id"], r["score"]) for r in Searcher(Index(spark, d1)).search(q, limit=30).collect()]
+    assert multi == single
+
+
+def test_merge_small_policy_e2e(spark, multi_ix):
+    m0 = read_manifest(multi_ix)
+    assert len(m0.segments) == 5
+    merged = apply_merge_policy(spark, multi_ix, "MERGE_SMALL")
+    assert len(merged) == 5  # 5 tiny segments all merge
+    m1 = read_manifest(multi_ix)
+    assert len(m1.segments) == 1
+    assert m1.doc_count_all() == 30
+    ix = Index(spark, multi_ix)
+    assert ix.postings_for("value", ["alfa"]).count() == 30
+    # old segment dirs removed
+    live = {s.name for s in m1.segments}
+    on_disk = set(os.listdir(os.path.join(multi_ix, "segments")))
+    assert on_disk == live
+
+
+def test_optimize_policy(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    schema = IndexSchema.of(value=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, value="alfa bravo") for i in range(10)])
+    build_index(spark, df, schema, d, num_chunks=2, sha_col=None)
+    assert len(read_manifest(d).segments) == 2
+    apply_merge_policy(spark, d, "OPTIMIZE")
+    assert len(read_manifest(d).segments) == 1
+    assert Index(spark, d).doc_count_all() == 10
+
+
+def test_deletes_and_query(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, key=str(i), value="alfa target" if i % 2 else "alfa other") for i in range(10)])
+    build_index(spark, df, schema, d, sha_col=None)
+    n = delete_by_term(spark, d, "value", "target")
+    assert n == 5
+    ix = Index(spark, d)
+    assert ix.doc_count() == 5
+    got = Searcher(ix).search(Q.Term("value", "alfa"), limit=20).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 2, 4, 6, 8]
+    # merge drops tombstoned docs permanently
+    df2 = spark.createDataFrame([Row(doc_id=100 + i, key=str(100 + i), value="alfa new") for i in range(3)])
+    from whoosh_spark.index.build import build_segment
+
+    build_segment(spark, df2, schema, d, sha_col=None)
+    apply_merge_policy(spark, d, "OPTIMIZE")
+    m = read_manifest(d)
+    assert m.doc_count_all() == 8  # 5 survivors + 3 new
+    assert not any(s.has_deletes for s in m.segments)
+
+
+def test_update_by_unique_key(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    schema = IndexSchema.of(key=ID(stored=True, unique=True), value=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, key=f"k{i}", value="alfa old") for i in range(5)])
+    build_index(spark, df, schema, d, sha_col=None)
+    upd = spark.createDataFrame([Row(doc_id=10, key="k2", value="alfa fresh")])
+    update_documents(spark, upd, d, unique_field="key", sha_col=None)
+    ix = Index(spark, d)
+    got = Searcher(ix).search(Q.Term("value", "alfa"), limit=20).collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [0, 1, 3, 4, 10]  # old doc 2 replaced by doc 10
+    fresh = Searcher(ix).search(Q.Term("value", "fresh"), limit=5).collect()
+    assert [r["doc_id"] for r in fresh] == [10]

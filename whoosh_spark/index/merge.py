@@ -1,0 +1,248 @@
+"""Log-structured segment merging + deletes + updates.
+
+Policies replicate the reference's tiered heuristic
+(/root/reference/src/whoosh/writing.py:65-125):
+
+  NO_MERGE      leave segments alone
+  MERGE_SMALL   sort segments by doc count ascending; walk with cumulative
+                doc total; at the first i > 3 where total < fib(i+5) merge
+                every segment up to that point (if more than one)
+  OPTIMIZE      merge all segments into one
+  CLEAR         drop all existing segments
+
+A merge here is a Spark job: decode the victim segments' posting blocks,
+union, re-bucket, re-encode one new segment. Global doc_ids are stable
+(no renumbering — unlike the reference's docnum compaction,
+writing.py:658-705 — deletes are dropped during merge instead).
+
+Deletes are per-segment tombstone doc_id parquet (the reference's
+in-TOC deleted sets, writing.py:298-338); update_by_unique_key =
+delete-by-term + add (writing.py:420-489).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from whoosh_spark.index.build import (
+    DEFAULT_BUCKET_WIDTH,
+    POSTINGS_SCHEMA,
+    _encode_partition,
+    build_segment,
+)
+from whoosh_spark.index.catalog import Index, decode_blocks
+from whoosh_spark.index.segment import (
+    SegmentInfo,
+    next_segment_name,
+    read_manifest,
+    write_manifest,
+)
+
+_FIB_CACHE = {0: 0, 1: 1}
+
+
+def fib(n: int) -> int:
+    if n not in _FIB_CACHE:
+        _FIB_CACHE[n] = fib(n - 1) + fib(n - 2)
+    return _FIB_CACHE[n]
+
+
+def pick_merge_small(segments: list[SegmentInfo]) -> tuple[list[SegmentInfo], list[SegmentInfo]]:
+    """(to_merge, unchanged) per the reference fibonacci heuristic."""
+    unchanged: list[SegmentInfo] = []
+    to_merge: list[tuple[SegmentInfo, int]] = []
+    total = 0
+    found = False
+    for i, seg in enumerate(sorted(segments, key=lambda s: s.doc_count_all)):
+        count = seg.doc_count_all
+        if count > 0:
+            total += count
+        if found:
+            unchanged.append(seg)
+        else:
+            to_merge.append((seg, i))
+            if i > 3 and total < fib(i + 5):
+                found = True
+    if found and len(to_merge) > 1:
+        return [s for s, _ in to_merge], unchanged
+    return [], segments
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    victim_names: list[str],
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> SegmentInfo:
+    """Merge the named segments into one new segment and commit a new
+    manifest generation. Deleted docs are dropped permanently."""
+    manifest = read_manifest(index_dir)
+    victims = [s for s in manifest.segments if s.name in set(victim_names)]
+    if len(victims) < 2:
+        raise ValueError("need at least two segments to merge")
+    ix = Index(spark, index_dir)
+
+    name = next_segment_name(manifest)
+    seg_dir = os.path.join(index_dir, "segments", name)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    vpaths = lambda table: [os.path.join(s.path(index_dir), table) for s in victims]
+    deletes = [
+        os.path.join(s.path(index_dir), "deletes.parquet") for s in victims if s.has_deletes
+    ]
+    deleted_df = spark.read.parquet(*deletes).select("doc_id").distinct() if deletes else None
+
+    def drop_deleted(df: DataFrame) -> DataFrame:
+        if deleted_df is None:
+            return df
+        return df.join(F.broadcast(deleted_df), on="doc_id", how="left_anti")
+
+    # docs + lengths: plain filtered unions
+    docs = drop_deleted(spark.read.parquet(*vpaths("docs.parquet")))
+    docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs.parquet"))
+    lengths = drop_deleted(spark.read.parquet(*vpaths("lengths.parquet")))
+    lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))
+
+    # postings: decode victim blocks -> re-bucket -> re-encode.
+    # doc_ids are globally stable so this is a pure concatenation + regroup;
+    # most (field,term,bucket) groups pass through partition-local.
+    blocks = spark.read.parquet(*vpaths("postings.parquet"))
+    has_positions = any(
+        f.phrase for f in ix.schema.fields.values() if f.indexed
+    )
+    decoded = decode_blocks(blocks, with_positions=has_positions)
+    decoded = drop_deleted(decoded)
+    with_bucket = decoded.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
+    in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte"] + (
+        ["positions"] if has_positions else []
+    )
+    # decoded postings lack len_byte? decode provides len_byte; tf long -> ok
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    merged = (
+        with_bucket.select(*in_cols)
+        .repartitionByRange(nparts, "field", "term", "bucket")
+        .sortWithinPartitions("field", "term", "bucket", "doc_id")
+        .mapInPandas(_encode_partition, POSTINGS_SCHEMA)
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
+
+    blocks_tbl = spark.read.parquet(os.path.join(seg_dir, "postings.parquet"))
+    termstats = blocks_tbl.groupBy("field", "term").agg(
+        F.sum("count").alias("df"),
+        F.sum("sum_tf").alias("total_tf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_len_byte").alias("min_len_byte"),
+        F.max("max_len_byte").alias("max_len_byte"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
+    )
+    termstats.write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
+
+    lengths_tbl = spark.read.parquet(os.path.join(seg_dir, "lengths.parquet"))
+    fl = {
+        r["field"]: int(r["total"])
+        for r in lengths_tbl.groupBy("field").agg(F.sum("length").alias("total")).collect()
+    }
+    id_stats = docs.agg(F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+
+    info = SegmentInfo(
+        name=name,
+        doc_count=int(id_stats["n"]),
+        field_lengths=fl,
+        min_doc_id=int(id_stats["lo"]) if id_stats["lo"] is not None else 0,
+        max_doc_id=int(id_stats["hi"]) if id_stats["hi"] is not None else -1,
+        lineage={"merged_from": sorted(victim_names)},
+    )
+
+    manifest = read_manifest(index_dir)
+    manifest.generation += 1
+    manifest.segments = [s for s in manifest.segments if s.name not in set(victim_names)] + [info]
+    write_manifest(index_dir, manifest)
+    for s in victims:
+        shutil.rmtree(s.path(index_dir), ignore_errors=True)
+    return info
+
+
+def apply_merge_policy(spark: SparkSession, index_dir: str, policy: str = "MERGE_SMALL") -> list[str]:
+    """Run a merge policy over the index; returns the merged segment names."""
+    manifest = read_manifest(index_dir)
+    if policy == "NO_MERGE" or len(manifest.segments) < 2:
+        return []
+    if policy == "OPTIMIZE":
+        victims = list(manifest.segments)
+    elif policy == "MERGE_SMALL":
+        victims, _ = pick_merge_small(manifest.segments)
+        if not victims:
+            return []
+    else:
+        raise ValueError(f"unknown merge policy {policy!r}")
+    names = [s.name for s in victims]
+    merge_segments(spark, index_dir, names)
+    return names
+
+
+# ------------------------------------------------------------------ deletes
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int]) -> int:
+    """Tombstone the given doc_ids (per-segment deletes.parquet)."""
+    manifest = read_manifest(index_dir)
+    if isinstance(doc_ids, list):
+        doc_ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    doc_ids = doc_ids.select("doc_id").distinct().persist()
+    total = 0
+    for seg in manifest.segments:
+        seg_dir = seg.path(index_dir)
+        in_seg = doc_ids.filter(
+            (F.col("doc_id") >= seg.min_doc_id) & (F.col("doc_id") <= seg.max_doc_id)
+        )
+        # only tombstone ids actually present in the segment
+        seg_docs = spark.read.parquet(os.path.join(seg_dir, "docs.parquet")).select("doc_id")
+        hits = in_seg.join(seg_docs, on="doc_id", how="left_semi")
+        dpath = os.path.join(seg_dir, "deletes.parquet")
+        if seg.has_deletes:
+            hits = hits.unionByName(spark.read.parquet(dpath).select("doc_id")).distinct()
+        n = hits.count()
+        if n:
+            hits.write.mode("overwrite").parquet(dpath + ".new")
+            shutil.rmtree(dpath, ignore_errors=True)
+            os.replace(dpath + ".new", dpath)
+            seg.has_deletes = True
+            seg.deleted_count = n
+            total += n
+    doc_ids.unpersist()
+    manifest.generation += 1
+    write_manifest(index_dir, manifest)
+    return total
+
+
+def delete_by_term(spark: SparkSession, index_dir: str, field: str, text: str) -> int:
+    ix = Index(spark, index_dir)
+    matches = ix.postings_for(field, [text]).select("doc_id").distinct()
+    return delete_docs(spark, index_dir, matches)
+
+
+def update_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    unique_field: str,
+    doc_id_col: str = "doc_id",
+    sha_col: str | None = "content",
+) -> SegmentInfo:
+    """Delete-then-add by unique key (reference update_document semantics,
+    writing.py:420-489): tombstone existing docs whose unique field matches
+    an incoming row, then add the new rows as a fresh segment."""
+    ix = Index(spark, index_dir)
+    existing = ix.docs().select("doc_id", unique_field)
+    stale = existing.join(
+        docs.select(F.col(unique_field).alias(unique_field)).distinct(), on=unique_field
+    ).select("doc_id")
+    if stale.limit(1).count():
+        delete_docs(spark, index_dir, stale)
+    return build_segment(
+        spark, docs, ix.schema, index_dir, doc_id_col=doc_id_col,
+        lineage={"update_by": unique_field}, sha_col=sha_col,
+    )
