@@ -76,12 +76,34 @@ class Searcher:
     # ------------------------------------------------------------------ API
 
     def search(self, q: Q.Query, limit: int | None = 10,
-               filter_q: Q.Query | None = None, mask_q: Q.Query | None = None) -> DataFrame:
-        """Top-k (score desc, doc_id asc) as a DataFrame(doc_id, score)."""
+               filter_q: Q.Query | None = None, mask_q: Q.Query | None = None,
+               use_wand: bool = False) -> DataFrame:
+        """Top-k (score desc, doc_id asc) as a DataFrame(doc_id, score).
+
+        ``use_wand=True`` routes eligible disjunctions of scored terms
+        through block-max pruning (search/wand.py); results are the same
+        top-k (scores may differ in the last ulp from aggregation order)."""
+        if use_wand and limit is not None and filter_q is None and mask_q is None:
+            wand = self.wand_search(q, limit)
+            if wand is not None:
+                return wand
         df = self.matches(q, filter_q=filter_q, mask_q=mask_q)
         df = df.orderBy(F.desc("score"), F.asc("doc_id"))
         if limit is not None:
             df = df.limit(limit)
+        return df
+
+    def wand_search(self, q: Q.Query, limit: int) -> DataFrame | None:
+        """Block-max WAND path for Term / flat Or-of-Terms; None if the
+        query shape is not eligible."""
+        from whoosh_spark.search.wand import wand_topk
+
+        plan = _PlanContext(self)
+        qn = plan.prepare(q)
+        terms = _wand_terms(qn)
+        if terms is None:
+            return None
+        df, _ = wand_topk(plan, terms, limit)
         return df
 
     def search_with_stored(self, q: Q.Query, limit: int | None = 10, **kw) -> DataFrame:
@@ -117,6 +139,20 @@ class Searcher:
         return self.weighting.idf(doc_count_all, df)
 
 
+def _wand_terms(q: Q.Query) -> list[tuple[str, str, float]] | None:
+    """[(field, term, boost)] when q is a scored term disjunction."""
+    if isinstance(q, Q.Term):
+        return [(q.field, q.text, q.boost)]
+    if isinstance(q, Q.Or) and q.minmatch == 0 and q.scale is None:
+        out = []
+        for c in q.subqueries:
+            if not isinstance(c, Q.Term):
+                return None
+            out.append((c.field, c.text, c.boost * q.boost))
+        return out
+    return None
+
+
 class _PlanContext:
     """Per-query planning state: resolved multiterms, collected term stats,
     the scored posting base, and the positional base for phrases."""
@@ -128,12 +164,16 @@ class _PlanContext:
 
     # -------------------------------------------------------------- prepare
 
-    def compile_root(self, q: Q.Query) -> DataFrame:
+    def prepare(self, q: Q.Query) -> Q.Query:
+        """Normalize, expand multiterms, collect stats, build scored bases."""
         q = q.normalize()
         q = self._resolve_multiterms(q)
         q = q.normalize() if not isinstance(q, Q._NullQuery) else q
         if isinstance(q, Q._NullQuery):
-            return self._empty()
+            self.stats = {}
+            self.stats_view = _Stats({}, self.ix.doc_count_all())
+            self.base = self.pos_base = None
+            return q
 
         # collect leaf terms, split plain vs positional (phrase) usage
         plain: set[tuple[str, str]] = set()
@@ -152,6 +192,12 @@ class _PlanContext:
         self.pos_base = (
             self._scored_base(positional, with_positions=True) if positional else None
         )
+        return q
+
+    def compile_root(self, q: Q.Query) -> DataFrame:
+        q = self.prepare(q)
+        if isinstance(q, Q._NullQuery):
+            return self._empty()
         c = self._compile(q)
         if c.negated:
             # standalone Not: complement with constant score 1.0
@@ -204,17 +250,15 @@ class _PlanContext:
 
     # ---------------------------------------------------- scored base build
 
-    def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool) -> DataFrame | None:
-        """One decoded+scored DataFrame covering every query term:
-        (field, term, doc_id, score[, positions])."""
-        if not terms:
-            return None
+    def attach_scores(self, decoded: DataFrame, terms: list[tuple[str, str]],
+                      keep_positions: bool = False) -> DataFrame:
+        """Join decoded postings with a broadcast per-term stats frame and
+        evaluate the scoring expression (driver-computed idf/avgfl literals,
+        reference op order)."""
         w = self.s.weighting
         dc = self.ix.doc_count_all()
         meta_rows = []
-        by_field: dict[str, list[str]] = {}
-        for field, term in sorted(terms):
-            by_field.setdefault(field, []).append(term)
+        for field, term in sorted(set(terms)):
             st = self.stats.get((field, term))
             df_count = int(st["df"]) if st else 0
             ftype = self.s.schema[field] if field in self.s.schema else None
@@ -246,14 +290,6 @@ class _PlanContext:
             ]
         )
         meta = self.spark.createDataFrame(meta_rows, meta_schema)
-
-        parts = []
-        for field, ts in by_field.items():
-            parts.append(self.ix.postings_for(field, ts, with_positions=with_positions))
-        decoded = parts[0]
-        for p in parts[1:]:
-            decoded = decoded.unionByName(p)
-
         joined = decoded.join(F.broadcast(meta), on=["field", "term"])
         weight = F.col("tf").cast("double") * F.col("fboost")
         fl = byte_to_length_col(F.col("len_byte"))
@@ -262,9 +298,25 @@ class _PlanContext:
             F.col("one_minus_b"), F.col("scorable"),
         )
         cols = ["field", "term", "doc_id"]
-        if with_positions:
+        if keep_positions:
             cols.append("positions")
-        out = joined.select(*cols, score.alias("score"))
+        return joined.select(*cols, score.alias("score"))
+
+    def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool) -> DataFrame | None:
+        """One decoded+scored DataFrame covering every query term:
+        (field, term, doc_id, score[, positions])."""
+        if not terms:
+            return None
+        by_field: dict[str, list[str]] = {}
+        for field, term in sorted(terms):
+            by_field.setdefault(field, []).append(term)
+        parts = []
+        for field, ts in by_field.items():
+            parts.append(self.ix.postings_for(field, ts, with_positions=with_positions))
+        decoded = parts[0]
+        for p in parts[1:]:
+            decoded = decoded.unionByName(p)
+        out = self.attach_scores(decoded, sorted(terms), keep_positions=with_positions)
         if self.s.cache_postings:
             out = out.persist()
             self.s._persisted.append(out)
