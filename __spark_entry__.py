@@ -214,6 +214,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ix = _index_for(spark, sf)
         return ix.docs().select("doc_id", F.col("content_sha256").alias("sha"))
 
+    # ---- training-data pipeline operators (whoosh_spark.functions) ----
+
+    def _docs(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def _emb(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    def exact_dedup(spark, sf):
+        from whoosh_spark.functions.dedup import exact_dedup as op
+
+        return op(_docs(spark, sf))
+
+    def minhash_pairs(spark, sf):
+        from whoosh_spark.functions.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_docs(spark, sf), threshold=0.2)
+
+    def simhash(spark, sf):
+        from whoosh_spark.functions.dedup import simhash_signatures
+
+        return simhash_signatures(_docs(spark, sf))
+
+    def token_count(spark, sf):
+        from whoosh_spark.functions.textstats import token_count as op
+
+        return op(_docs(spark, sf))
+
+    def quality_score(spark, sf):
+        from whoosh_spark.functions.textstats import quality_score as op
+
+        return op(_docs(spark, sf))
+
+    def lang_id(spark, sf):
+        from whoosh_spark.functions.textstats import lang_id_heuristic
+
+        return lang_id_heuristic(_docs(spark, sf))
+
+    def doc_fingerprint(spark, sf):
+        from whoosh_spark.functions.textstats import doc_fingerprint as op
+
+        return op(_docs(spark, sf))
+
+    def ann_brute_topk(spark, sf):
+        from whoosh_spark.functions.similarity import brute_cosine_topk
+
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return brute_cosine_topk(emb, queries, k=5)
+
+    def ann_lsh_topk(spark, sf):
+        from whoosh_spark.functions.similarity import lsh_cosine_topk
+
+        emb = _emb(spark, sf)
+        dim = len(emb.first()["embedding"])
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return lsh_cosine_topk(emb, queries, dim=dim, k=5)
+
+    def embedding_neardup(spark, sf):
+        from whoosh_spark.functions.dedup import embedding_neardup as op
+
+        return op(_emb(spark, sf), tau=0.4)
+
+    def media_features(spark, sf):
+        from whoosh_spark.functions.multimodal import extract_features, synth_media
+
+        return extract_features(synth_media(spark, 100), decoder="fake").select(
+            "media_id", "kind", "payload_sha256", "n_bytes"
+        )
+
     return {
         "bm25_term": bm25_term,
         "bm25_and2": bm25_and2,
@@ -231,6 +305,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": doc_lengths,
         "lexicon_range": lexicon_range,
         "sha256_audit": sha256_audit,
+        "exact_dedup": exact_dedup,
+        "minhash_pairs": minhash_pairs,
+        "simhash": simhash,
+        "token_count": token_count,
+        "quality_score": quality_score,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_neardup": embedding_neardup,
+        "media_features": media_features,
     }
 
 
@@ -313,4 +398,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE term >= 's' AND term < 'u' GROUP BY term"
     )
     sql["sha256_audit"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+    from whoosh_spark.functions.dedup import exact_dedup_sql, minhash_pairs_sql, simhash_sql
+    from whoosh_spark.functions.similarity import brute_cosine_topk_sql, embedding_neardup_sql
+    from whoosh_spark.functions.textstats import (
+        doc_fingerprint_sql,
+        lang_id_sql,
+        quality_score_sql,
+        token_count_sql,
+    )
+
+    sql["exact_dedup"] = exact_dedup_sql()
+    sql["minhash_pairs"] = minhash_pairs_sql(threshold=0.2)
+    sql["simhash"] = simhash_sql()
+    sql["token_count"] = token_count_sql()
+    sql["quality_score"] = quality_score_sql()
+    sql["lang_id"] = lang_id_sql()
+    sql["doc_fingerprint"] = doc_fingerprint_sql()
+    sql["ann_brute_topk"] = brute_cosine_topk_sql(n_queries=3, k=5)
+    sql["embedding_neardup"] = embedding_neardup_sql(tau=0.4)
+    # ann_lsh_topk and media_features are rows-only (ANN recall is verified
+    # against the brute-force baseline in tests/test_functions.py; media
+    # decode is stubbed pending codec libraries)
     return sql

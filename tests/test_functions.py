@@ -1,0 +1,163 @@
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from whoosh_spark.functions.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_table,
+    simhash_signatures,
+)
+from whoosh_spark.functions.multimodal import extract_features, frame_sample_plan, synth_media
+from whoosh_spark.functions.similarity import brute_cosine_topk, lsh_cosine_topk
+from whoosh_spark.functions.textstats import (
+    doc_fingerprint,
+    lang_id_heuristic,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog once more today"),  # near dup of 0
+    (3, "completely different content about spark distributed engines"),
+    (4, "der hund ist nicht auf der couch und das ist gut"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_dedup(spark, docs_df):
+    got = {r["keep_doc_id"]: r["dup_count"] for r in exact_dedup(docs_df).collect()}
+    assert got[0] == 2  # docs 0 and 1 identical
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_shingles_and_minhash_pairs(spark, docs_df):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in minhash_lsh_pairs(docs_df, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical docs
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+    # jaccard oracle in python for (0, 2)
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    a, b = shingles(DOCS[0][1]), shingles(DOCS[2][1])
+    want = round(len(a & b) / len(a | b), 6)
+    assert pairs[(0, 2)] == want
+
+
+def test_minhash_signature_deterministic(spark, docs_df):
+    s1 = minhash_signatures(docs_df).orderBy("doc_id").collect()
+    s2 = minhash_signatures(docs_df).orderBy("doc_id").collect()
+    assert s1 == s2
+    assert s1[0]["h0"] == s1[1]["h0"]  # identical docs -> identical signatures
+
+
+def test_simhash(spark, docs_df):
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs_df).collect()}
+    assert len(rows[0]) == 64 and set(rows[0]) <= {"0", "1"}
+    assert rows[0] == rows[1]  # identical docs
+    ham_near = sum(c1 != c2 for c1, c2 in zip(rows[0], rows[2]))
+    ham_far = sum(c1 != c2 for c1, c2 in zip(rows[0], rows[3]))
+    assert ham_near < ham_far
+
+
+def test_textstats(spark, docs_df):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs_df).collect()}
+    assert tc[0] == 12
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs_df).collect()}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+    assert q[0] > 0.5  # clean english sentence
+    lang = {r["doc_id"]: r["pred_lang"] for r in lang_id_heuristic(docs_df).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "de"
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs_df).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+    # python oracle of the rolling hash
+    h = 0
+    for tok in DOCS[0][1].split():
+        th = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        h = (h * 31 + th) % 2147483647
+    assert fp[0] == h
+
+
+def test_brute_cosine_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    # numpy oracle
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    for qid in (0, 1):
+        qv = mat[ids.index(qid)]
+        cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(zip(ids, cos), key=lambda t: (-round(t[1], 6), t[0]))[:5]
+        want = [(i, round(c, 6)) for i, c in order]
+        assert by_q[qid] == want
+    # self-match is rank 1 with cosine 1.0
+    assert by_q[0][0] == (0, 1.0)
+
+
+def test_lsh_recall_on_planted_neighbors(spark):
+    # the testdata embeddings are near-random (max off-diag cosine ~0.48),
+    # so "top-5 recall" is meaningless there; the LSH path is for near-dup
+    # retrieval — plant perturbed copies and require they are found
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    rows = emb.filter(F.col("vec_id") < 20).collect()
+    rng = np.random.RandomState(7)
+    qrows = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v + rng.normal(0, 0.02 * np.abs(v).mean(), size=v.shape)  # cos ~ 0.999
+        qrows.append((r["vec_id"], [float(x) for x in v]))
+    queries = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+    ann = lsh_cosine_topk(emb, queries, dim=dim, k=3).collect()
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    hits = sum(1 for qid, vids in by_q.items() if qid in vids)
+    assert hits / len(qrows) >= 0.9, f"planted-neighbor recall {hits}/{len(qrows)}"
+
+
+def test_embedding_neardup_self(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label").limit(5)
+    both = emb.unionByName(dup)
+    pairs = embedding_neardup(both, tau=0.999999).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert all((i, i + 10000) in found for i in range(5))
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 30)
+    assert media.count() == 30
+    feats = extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic features from payload
+    r0 = [r for r in rows if r["media_id"] == 0][0]
+    payload = hashlib.sha256(b"42:0").digest() * 4
+    assert r0["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.count() > 0
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decoder="pillow").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

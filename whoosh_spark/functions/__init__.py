@@ -1,0 +1,3 @@
+from whoosh_spark.functions import dedup, multimodal, similarity, textstats
+
+__all__ = ["dedup", "similarity", "textstats", "multimodal"]

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns.
+
+  brute_cosine_topk   exact top-k by cosine for a set of query vectors —
+                      the correctness baseline (and DuckDB-verifiable)
+  lsh_buckets         random-hyperplane signs -> bucket key (deterministic
+                      pseudo-hyperplanes derived from md5, no stored model)
+  lsh_cosine_topk     ANN: candidates restricted to multi-probe LSH bucket
+                      collisions, exact cosine re-rank — the 100 TB path
+                      (bucket join instead of an all-pairs product)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+N_PLANES = 16
+N_TABLES = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _pseudo_plane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic unit-less hyperplane: component j from md5 bits."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{table}:{plane}:{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / float(1 << 31)) - 1.0)  # [-1, 1)
+    return out
+
+
+def brute_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector: (query_id, vec_id, cosine).
+
+    queries: DataFrame with (query_id, embedding). The query side is
+    broadcast — at 100 TB the corpus stays distributed and each partition
+    scores locally; ties break by vec_id ascending."""
+    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    qs = queries.select(
+        F.col("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    joined = base.crossJoin(F.broadcast(qs))
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def brute_cosine_topk_sql(n_queries: int = 3, k: int = 5) -> str:
+    """DuckDB oracle for brute_cosine_topk with queries = vec_id < n."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM base b CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+""".strip()
+
+
+def embedding_neardup_sql(tau: float) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {tau}
+""".strip()
+
+
+def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_tables: int = N_TABLES,
+                n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, table, bucket) — sign pattern of deterministic hyperplanes."""
+    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    parts = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(c) for c in _pseudo_plane(t, p, dim)])
+            bits.append(F.when(_dot(F.col("v"), plane) >= 0, "1").otherwise("0"))
+        parts.append(
+            base.select("vec_id", F.lit(t).alias("table"), F.concat(*bits).alias("bucket"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing any LSH bucket with the
+    query in any table; exact cosine re-rank of candidates only."""
+    cand_buckets = lsh_buckets(emb, dim, id_col, vec_col)
+    q_buckets = lsh_buckets(
+        queries.withColumnRenamed("query_id", id_col), dim, id_col, vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        q_buckets.join(cand_buckets, on=["table", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    qs = queries.select("query_id", _as_double(F.col(vec_col)).alias("qv"))
+    qs = qs.withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    scored = (
+        cand.join(base, on="vec_id")
+        .join(F.broadcast(qs), on="query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
