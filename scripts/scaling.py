@@ -1,0 +1,242 @@
+"""Scaling-efficiency evidence (north_rule: throughput at N and 4N
+parallelism on the same input, efficiency >= 0.8).
+
+No real cluster exists in this sandbox, so parallelism levels are
+local[8] vs local[32] in separate JVM subprocesses over identical parquet
+input, per the driver's instructions. Also produces the reference
+(single-process Whoosh) baseline on the same corpus.
+
+Usage:
+  python scripts/scaling.py                 # full run -> BENCH/BASELINE.md
+  python scripts/scaling.py --child N       # one parallelism level (JSON)
+  python scripts/scaling.py --whoosh        # reference baseline (JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS_DIR = os.path.join(REPO, ".index_cache", "scaling_corpus")
+N_DOCS = int(os.environ.get("SCALING_DOCS", "100000"))
+N_QUERIES = int(os.environ.get("SCALING_QUERIES", "500"))
+WHOOSH_DOCS = int(os.environ.get("SCALING_WHOOSH_DOCS", "20000"))
+
+
+def query_workload(n: int = N_QUERIES) -> list[tuple[str, str, list[str]]]:
+    from whoosh_spark.corpus import VOCAB
+
+    rng = random.Random(1234)
+    out = []
+    for i in range(n):
+        nt = rng.choice([1, 1, 2, 2, 3])
+        terms = rng.sample(VOCAB[: len(VOCAB) // 2], nt)
+        out.append((f"q{i}", "content", terms))
+    return out
+
+
+def ensure_corpus():
+    if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        return
+    from whoosh_spark.corpus import synth_code_corpus
+    from whoosh_spark.session import get_spark
+
+    spark = get_spark("scaling_gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_code_corpus(spark, N_DOCS, partitions=64).write.mode("overwrite").parquet(CORPUS_DIR)
+    spark.stop()
+
+
+def child(cpus: int) -> dict:
+    import shutil
+
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.schema import code_corpus_schema
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.search.batch import batch_term_search
+    from whoosh_spark.session import get_spark
+
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(CORPUS_DIR)
+    n_docs = docs.count()
+
+    idx_dir = os.path.join(REPO, ".index_cache", f"scaling_idx_{cpus}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, docs, code_corpus_schema(), idx_dir, sha_col="content")
+    build_sec = time.time() - t0
+
+    ix = Index(spark, idx_dir)
+    s = Searcher(ix, exact_scores=False, cache_postings=False)
+    qs = query_workload()
+    # warm: parquet footers + stats
+    batch_term_search(s, qs[:2], k=10).collect()
+    t0 = time.time()
+    n_hits = batch_term_search(s, qs, k=10).count()
+    batch_sec = time.time() - t0
+
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 2),
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "n_queries": len(qs),
+        "batch_sec": round(batch_sec, 2),
+        "queries_per_sec": round(len(qs) / batch_sec, 2),
+        "n_hits": n_hits,
+    }
+
+
+def whoosh_baseline() -> dict:
+    sys.path.insert(0, os.path.join(REPO, "tests", "_shim"))
+    sys.path.insert(0, "/root/reference/src")
+    os.makedirs(os.path.join(REPO, "tests", "_shim"), exist_ok=True)
+    shim = os.path.join(REPO, "tests", "_shim", "cached_property.py")
+    if not os.path.exists(shim):
+        with open(shim, "w") as f:
+            f.write("from functools import cached_property as cached_property\n")
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT repo, path, [commit] AS c, lang, content FROM read_parquet('{CORPUS_DIR}/*.parquet') "
+        f"ORDER BY doc_id LIMIT {WHOOSH_DOCS}"
+    ).fetchall()
+
+    from whoosh import fields
+    from whoosh.filedb.filestore import RamStorage
+
+    schema = fields.Schema(
+        repo=fields.ID(stored=True), path=fields.ID(stored=True, unique=True),
+        commit=fields.ID(stored=True), lang=fields.ID(stored=True), content=fields.TEXT(),
+    )
+    ix = RamStorage().create_index(schema)
+    w = ix.writer(limitmb=512)
+    t0 = time.time()
+    for repo, path, c, lang, content in rows:
+        w.add_document(repo=repo, path=path, commit=c, lang=lang, content=content)
+    w.commit()
+    build_sec = time.time() - t0
+
+    from whoosh.query import Or, Term
+
+    qs = query_workload()
+    t0 = time.time()
+    total = 0
+    with ix.searcher() as s:
+        for qid, field, terms in qs:
+            q = Term(field, terms[0]) if len(terms) == 1 else Or([Term(field, t) for t in terms])
+            total += len(s.search(q, limit=10))
+    query_sec = time.time() - t0
+    return {
+        "engine": "whoosh-reference",
+        "n_docs": len(rows),
+        "build_sec": round(build_sec, 2),
+        "build_docs_per_sec": round(len(rows) / build_sec, 1),
+        "n_queries": len(qs),
+        "query_sec": round(query_sec, 2),
+        "queries_per_sec": round(len(qs) / query_sec, 2),
+    }
+
+
+def main():
+    if "--child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--child") + 1])
+        ensure_corpus()
+        print(json.dumps(child(cpus)))
+        return
+    if "--whoosh" in sys.argv:
+        ensure_corpus()
+        print(json.dumps(whoosh_baseline()))
+        return
+
+    ensure_corpus()
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--child", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(json.dumps(results[cpus]))
+    wout = subprocess.run(
+        [sys.executable, __file__, "--whoosh"], capture_output=True, text=True, check=True
+    )
+    whoosh = json.loads(wout.stdout.strip().splitlines()[-1])
+    print(json.dumps(whoosh))
+
+    r8, r32 = results[8], results[32]
+    build_eff = (r32["build_docs_per_sec"] / r8["build_docs_per_sec"]) / 4
+    query_eff = (r32["queries_per_sec"] / r8["queries_per_sec"]) / 4
+    summary = {
+        "build_efficiency_8_to_32": round(build_eff, 3),
+        "query_efficiency_8_to_32": round(query_eff, 3),
+        "local8": r8,
+        "local32": r32,
+        "whoosh_reference": whoosh,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    _write_md(summary)
+    print(json.dumps({"build_eff": summary["build_efficiency_8_to_32"],
+                      "query_eff": summary["query_efficiency_8_to_32"]}))
+
+
+def _write_md(s: dict) -> None:
+    r8, r32, wref = s["local8"], s["local32"], s["whoosh_reference"]
+    md = f"""# BENCH/BASELINE — measured numbers (this engine vs reference Whoosh)
+
+Method (per BASELINE.md / north_rule): the same jobs run at two
+parallelism levels — `local[8]` and `local[32]` (N and 4N cores, separate
+JVMs) — over identical parquet input ({r8['n_docs']:,} synthetic source-code
+docs, seeded, input_hint schema). Reference Whoosh runs single-process on
+the same corpus (first {wref['n_docs']:,} docs; docs/s is size-independent).
+
+## Index build (tokenize -> shuffle -> posting blocks + stats)
+
+| engine | parallelism | docs | build sec | docs/sec |
+|---|---|---|---|---|
+| whoosh_spark | local[8]  | {r8['n_docs']:,} | {r8['build_sec']} | {r8['build_docs_per_sec']:,} |
+| whoosh_spark | local[32] | {r32['n_docs']:,} | {r32['build_sec']} | {r32['build_docs_per_sec']:,} |
+| reference Whoosh (1 proc) | 1 | {wref['n_docs']:,} | {wref['build_sec']} | {wref['build_docs_per_sec']:,} |
+
+**Build scaling efficiency (8 -> 32 cores): {s['build_efficiency_8_to_32']}**
+(throughput ratio {r32['build_docs_per_sec']}/{r8['build_docs_per_sec']} over 4x cores)
+
+## Query serving ({r8['n_queries']} BM25 term/disjunction queries, top-10)
+
+Batch-mode serving (one job per query batch — the cluster pattern):
+
+| engine | parallelism | queries | sec | queries/sec |
+|---|---|---|---|---|
+| whoosh_spark (batch) | local[8]  | {r8['n_queries']} | {r8['batch_sec']} | {r8['queries_per_sec']} |
+| whoosh_spark (batch) | local[32] | {r32['n_queries']} | {r32['batch_sec']} | {r32['queries_per_sec']} |
+| reference Whoosh (1 proc) | 1 | {wref['n_queries']} | {wref['query_sec']} | {wref['queries_per_sec']} |
+
+**Query scaling efficiency (8 -> 32 cores): {s['query_efficiency_8_to_32']}**
+
+Notes
+- Whoosh's corpus here is {wref['n_docs']:,} docs vs ours {r8['n_docs']:,}
+  (same generator); per-doc indexing cost is size-independent for both.
+- Interactive single-query latency on Spark is job-overhead bound (~1-2 s
+  at this scale); the batch path is the throughput-relevant serving mode
+  and the one that scales with executors.
+- See BENCH/SCALING.json for the raw numbers; bench.py reports the
+  per-round headline metrics the driver records.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

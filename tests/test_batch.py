@@ -1,0 +1,51 @@
+import pytest
+from pyspark.sql import Row
+
+import whoosh_spark.query as Q
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.schema import IndexSchema, TEXT
+from whoosh_spark.search import Searcher
+from whoosh_spark.search.batch import batch_term_search
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch_idx"))
+    import random
+
+    rng = random.Random(42)
+    vocab = "alfa bravo charlie delta echo foxtrot".split()
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(rng.randint(10, 20))))
+        for i in range(100)
+    ]
+    build_index(spark, spark.createDataFrame(rows), IndexSchema.of(text=TEXT()), d, sha_col=None)
+    return Index(spark, d)
+
+
+def test_batch_matches_per_query_engine(ix):
+    s = Searcher(ix, exact_scores=False, cache_postings=False)
+    batch = [
+        ("q1", "text", ["alfa"]),
+        ("q2", "text", ["alfa", "echo"]),
+        ("q3", "text", ["bravo", "charlie", "delta"]),
+    ]
+    out = batch_term_search(s, batch, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, field, terms in batch:
+        want_df = s.search(Q.Or([Q.Term(field, t) for t in terms]), limit=10)
+        want = [(i + 1, r["doc_id"]) for i, r in enumerate(want_df.collect())]
+        got = [(rk, d) for rk, d, _ in sorted(by_q[qid])]
+        assert got == want, qid
+
+
+def test_batch_conjunctive(ix):
+    s = Searcher(ix, exact_scores=False, cache_postings=False)
+    out = batch_term_search(s, [("q", "text", ["alfa", "echo"])], k=100, conjunctive=True).collect()
+    want = s.search(Q.And([Q.Term("text", "alfa"), Q.Term("text", "echo")]), limit=100).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in want)
+    got_scores = {r["doc_id"]: r["score"] for r in out}
+    for r in want:
+        assert got_scores[r["doc_id"]] == pytest.approx(r["score"], rel=1e-12)
