@@ -332,6 +332,14 @@ def build_segment(
     docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs.parquet"))
 
     # ---- posting blocks: one tokenize -> one bounded shuffle -> encode ----
+    # The HEAVY stream (exploded postings with position arrays) shuffles by
+    # HASH of (field, term, bucket): bucket splits hot terms across
+    # reducers, and hash avoids repartitionByRange's sampling job, which
+    # recomputes the whole tokenize pass (measured 5x slower at 32 cores).
+    # The COMPACT encoded blocks (128x fewer rows, binary payloads) then
+    # take a cheap range shuffle so the written Parquet files are
+    # term-sorted for file- and row-group-level scan pruning (the
+    # sorted-terms-file analog).
     postings = extract_postings(docs, schema, doc_id_col)
     needs_positions = any(schema[f].phrase for f in schema.indexed_fields())
     with_bucket = postings.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
@@ -341,11 +349,13 @@ def build_segment(
     nparts = max(1, spark.sparkContext.defaultParallelism)
     blocks = (
         with_bucket.select(*in_cols)
-        .repartitionByRange(nparts, "field", "term", "bucket")
+        .repartition(nparts, "field", "term", "bucket")
         .sortWithinPartitions("field", "term", "bucket", "doc_id")
         .mapInPandas(_encode_partition, POSTINGS_SCHEMA)
     )
-    blocks.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
+    blocks.repartitionByRange(nparts, "field", "term", "bucket").sortWithinPartitions(
+        "field", "term", "bucket", "block_no"
+    ).write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
 
     # ---- term stats derived from block partials (no extra tokenize) ----
     blocks_tbl = spark.read.parquet(os.path.join(seg_dir, "postings.parquet"))

@@ -123,11 +123,13 @@ def merge_segments(
     nparts = max(1, spark.sparkContext.defaultParallelism)
     merged = (
         with_bucket.select(*in_cols)
-        .repartitionByRange(nparts, "field", "term", "bucket")
+        .repartition(nparts, "field", "term", "bucket")
         .sortWithinPartitions("field", "term", "bucket", "doc_id")
         .mapInPandas(_encode_partition, POSTINGS_SCHEMA)
     )
-    merged.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
+    merged.repartitionByRange(nparts, "field", "term", "bucket").sortWithinPartitions(
+        "field", "term", "bucket", "block_no"
+    ).write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
 
     blocks_tbl = spark.read.parquet(os.path.join(seg_dir, "postings.parquet"))
     termstats = blocks_tbl.groupBy("field", "term").agg(
