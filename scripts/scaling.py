@@ -168,10 +168,17 @@ def main():
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         print(json.dumps(results[cpus]))
-    wout = subprocess.run(
-        [sys.executable, __file__, "--whoosh"], capture_output=True, text=True, check=True
-    )
-    whoosh = json.loads(wout.stdout.strip().splitlines()[-1])
+    cached = os.path.join(REPO, "BENCH", "whoosh_baseline.json")
+    if os.path.exists(cached):
+        with open(cached) as f:
+            whoosh = json.load(f)
+    else:
+        wout = subprocess.run(
+            [sys.executable, __file__, "--whoosh"], capture_output=True, text=True, check=True
+        )
+        whoosh = json.loads(wout.stdout.strip().splitlines()[-1])
+        with open(cached, "w") as f:
+            json.dump(whoosh, f)
     print(json.dumps(whoosh))
 
     r8, r32 = results[8], results[32]

@@ -41,6 +41,25 @@ def test_batch_matches_per_query_engine(ix):
         assert got == want, qid
 
 
+def test_batch_wand_equals_exact(ix):
+    s = Searcher(ix, exact_scores=False, cache_postings=False)
+    batch = [
+        ("q1", "text", ["alfa"]),
+        ("q2", "text", ["alfa", "echo"]),
+        ("q3", "text", ["bravo", "charlie", "delta"]),
+    ]
+    exact = batch_term_search(s, batch, k=10, use_wand=False).collect()
+    wand = batch_term_search(s, batch, k=10, use_wand=True).collect()
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append((round(r["score"], 9), r["doc_id"]))
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    assert norm(exact) == norm(wand)
+
+
 def test_batch_conjunctive(ix):
     s = Searcher(ix, exact_scores=False, cache_postings=False)
     out = batch_term_search(s, [("q", "text", ["alfa", "echo"])], k=100, conjunctive=True).collect()

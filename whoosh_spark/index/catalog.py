@@ -34,6 +34,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("tf", T.LongType()),
         T.StructField("len_byte", T.IntegerType()),
+        # dequantized field length, looked up in the decode kernel (a JVM-side
+        # 256-element array-literal lookup would be rebuilt per row)
+        T.StructField("fl", T.LongType()),
     ]
 )
 DECODED_POS_SCHEMA = T.StructType(
@@ -172,15 +175,27 @@ class Index:
         return self._mask_deleted(decoded)
 
 
-def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+def decode_blocks(blocks: DataFrame, with_positions: bool = False,
+                  with_block_id: bool = False) -> DataFrame:
+    """Decode block rows to posting rows. ``with_block_id`` carries
+    (bucket, block_no) onto every posting so callers can apply per-block
+    decisions (batch WAND) after decode."""
     out_schema = DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
+    if with_block_id:
+        out_schema = T.StructType(
+            out_schema.fields
+            + [T.StructField("bucket", T.LongType()), T.StructField("block_no", T.IntegerType())]
+        )
     cols = ["field", "term", "count", "ids", "tfs", "len_bytes"] + (
         ["positions"] if with_positions else []
-    )
+    ) + (["bucket", "block_no"] if with_block_id else [])
+
+    from whoosh_spark.index.quantize import BYTE_TO_LENGTH
 
     def decode_iter(batches):
         for pdf in batches:
             fields, terms, doc_ids, tfs, lbs, poss = [], [], [], [], [], []
+            buckets, blocknos = [], []
             for row in pdf.itertuples(index=False):
                 n = int(row.count)
                 ids = codec.delta_decode(row.ids, n)
@@ -193,19 +208,27 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
                 lbs.append(lb)
                 if with_positions:
                     poss.extend(codec.decode_position_lists(row.positions, n))
+                if with_block_id:
+                    buckets.append(np.full(n, row.bucket, dtype=np.int64))
+                    blocknos.append(np.full(n, row.block_no, dtype=np.int32))
             if not doc_ids:
                 continue
+            lb_all = np.concatenate(lbs)
             out = pd.DataFrame(
                 {
                     "field": np.concatenate(fields),
                     "term": np.concatenate(terms),
                     "doc_id": np.concatenate(doc_ids),
                     "tf": np.concatenate(tfs),
-                    "len_byte": np.concatenate(lbs),
+                    "len_byte": lb_all,
+                    "fl": BYTE_TO_LENGTH[lb_all],
                 }
             )
             if with_positions:
                 out["positions"] = [list(map(int, p)) for p in poss]
+            if with_block_id:
+                out["bucket"] = np.concatenate(buckets)
+                out["block_no"] = np.concatenate(blocknos)
             yield out
 
     return blocks.select(*cols).mapInPandas(decode_iter, out_schema)

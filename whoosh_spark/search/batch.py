@@ -24,35 +24,49 @@ from whoosh_spark.index.catalog import Index, decode_blocks
 from whoosh_spark.search.engine import Searcher, _PlanContext
 
 
+def _prepare(searcher: Searcher, queries: list[tuple[str, str, list[str]]]):
+    ix = searcher.index
+    qrows = []
+    for qid, field, terms in queries:
+        for t in terms:
+            qrows.append((qid, field, t))
+    qdf = ix.spark.createDataFrame(qrows, "query_id string, field string, term string")
+    all_terms: dict[str, set] = {}
+    for _, field, terms in queries:
+        all_terms.setdefault(field, set()).update(terms)
+    plan = _PlanContext(searcher)
+    plan.stats = {}
+    for field, ts in all_terms.items():
+        for t, row in ix.term_stats(field, list(ts)).items():
+            plan.stats[(field, t)] = row
+    return qdf, all_terms, plan
+
+
+def _topk_window(agg: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("score"), "rank")
+    )
+
+
 def batch_term_search(
     searcher: Searcher,
     queries: list[tuple[str, str, list[str]]],
     k: int = 10,
     conjunctive: bool = False,
+    use_wand: bool = False,
 ) -> DataFrame:
     """queries: [(query_id, field, [terms...])] -> top-k per query.
 
-    Returns DataFrame(query_id, doc_id, score, rank)."""
+    Returns DataFrame(query_id, doc_id, score, rank). ``use_wand=True``
+    applies per-query block-max pruning (see batch_wand_search)."""
+    if use_wand and not conjunctive:
+        return batch_wand_search(searcher, queries, k)
     ix = searcher.index
-    spark = ix.spark
-
-    qrows = []
-    for qid, field, terms in queries:
-        for t in terms:
-            qrows.append((qid, field, t))
-    qdf = spark.createDataFrame(qrows, "query_id string, field string, term string")
-
-    all_terms: dict[str, set] = {}
-    for _, field, terms in queries:
-        all_terms.setdefault(field, set()).update(terms)
-
-    # one decoded+scored pass over the union of all query terms
-    plan = _PlanContext(searcher)
+    qdf, all_terms, plan = _prepare(searcher, queries)
     term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
-    plan.stats = {}
-    for field, ts in all_terms.items():
-        for t, row in ix.term_stats(field, list(ts)).items():
-            plan.stats[(field, t)] = row
     parts = []
     for field, ts in all_terms.items():
         parts.append(ix.postings_for(field, list(ts)))
@@ -70,9 +84,121 @@ def batch_term_search(
         agg = agg.join(F.broadcast(n_terms), on="query_id").filter(
             F.col("_n") == F.col("_need")
         )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", F.col("score"), "rank")
+    return _topk_window(agg.select("query_id", "doc_id", "score"), k)
+
+
+def batch_wand_search(
+    searcher: Searcher,
+    queries: list[tuple[str, str, list[str]]],
+    k: int = 10,
+) -> DataFrame:
+    """Block-max WAND for a whole query batch (disjunctive scoring).
+
+    Phase 1: for each query, decode just enough of its strongest term's
+    best-bounded blocks to cover k postings; the k-th exact partial is a
+    valid per-query threshold theta (any k exact partials lower-bound the
+    true k-th best total).
+    Phase 2: a (query, term) block survives iff
+    block_quality + sum(max_quality of the query's other terms) >= theta.
+    Surviving blocks are decoded once (deduped) and mapped back to queries
+    by (field, term, bucket, block_no); every document whose true total can
+    reach theta keeps ALL its blocks, so returned top-k lists are exact
+    (same invariant as search/wand.py)."""
+    from whoosh_spark.search.wand import EPS, _max_quality, _term_constants
+
+    ix = searcher.index
+    spark = ix.spark
+    qdf, all_terms, plan = _prepare(searcher, queries)
+
+    # driver-side per-(field,term) constants + bounds
+    consts: dict = {}
+    mq: dict = {}
+    for field, ts in all_terms.items():
+        for t in ts:
+            c = _term_constants(searcher, plan.stats, field, t)
+            if c is not None:
+                c["boost"] = 1.0
+                consts[(field, t)] = c
+                mq[(field, t)] = _max_quality(searcher, c)
+    if not consts:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double, rank int")
+
+    # per-query strongest term + per-(query,term) rest bound
+    qstar_rows = []
+    qterm_rows = []
+    for qid, field, terms in queries:
+        live = [(field, t) for t in terms if (field, t) in consts]
+        if not live:
+            continue
+        total = sum(mq[ft] for ft in live)
+        star = max(live, key=lambda ft: mq[ft])
+        qstar_rows.append((qid, star[0], star[1]))
+        for ft in live:
+            rest = (total - mq[ft]) * (1 + EPS) + EPS
+            qterm_rows.append((qid, ft[0], ft[1], rest))
+    qstar = spark.createDataFrame(qstar_rows, "query_id string, field string, term string")
+    qterms = spark.createDataFrame(
+        qterm_rows, "query_id string, field string, term string, rest double"
     )
+
+    # block metadata with per-term quality bound (JVM-side expression)
+    meta_rows = [
+        {
+            "field": f, "term": t, "idf": c["idf"], "avgfl": c["avgfl"],
+            "b": c["B"], "one_minus_b": 1 - c["B"], "fboost": c["fboost"],
+            "scorable": c["scorable"],
+        }
+        for (f, t), c in consts.items()
+    ]
+    meta = spark.createDataFrame(meta_rows)
+    blocks = ix.postings_blocks().filter(
+        F.col("term").isin([t for _, t in consts]) & F.col("field").isin(list(all_terms))
+    )
+    from whoosh_spark.search.scoring import byte_to_length_col
+
+    bmeta = blocks.join(F.broadcast(meta), on=["field", "term"])
+    w_col = F.col("max_tf") * F.col("fboost")
+    fl_col = byte_to_length_col(F.col("min_len_byte"))
+    bq = searcher.weighting.score_col(
+        w_col, fl_col, F.col("idf"), F.col("avgfl"), F.col("b"),
+        F.col("one_minus_b"), F.col("scorable"),
+    )
+    bmeta = bmeta.select("field", "term", "bucket", "block_no", "count", bq.alias("bq"))
+
+    # ---- phase 1: theta per query from the strongest term's best blocks
+    seed_meta = bmeta.join(F.broadcast(qstar), on=["field", "term"])
+    wq = Window.partitionBy("query_id").orderBy(F.desc("bq"), F.asc("bucket"), F.asc("block_no"))
+    seed_sel = (
+        seed_meta.withColumn("_cum", F.sum("count").over(wq))
+        .filter(F.col("_cum") - F.col("count") < k)
+        .select("query_id", "field", "term", "bucket", "block_no")
+    )
+    seed_blocks = blocks.join(
+        seed_sel.select("field", "term", "bucket", "block_no").distinct(),
+        on=["field", "term", "bucket", "block_no"],
+    )
+    seed_decoded = ix._mask_deleted(decode_blocks(seed_blocks))
+    seed_scored = plan.attach_scores(seed_decoded, sorted(consts)).join(
+        F.broadcast(qstar), on=["field", "term"]
+    )
+    wq2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    theta = (
+        seed_scored.withColumn("_rn", F.row_number().over(wq2))
+        .filter(F.col("_rn") == k)
+        .select("query_id", F.col("score").alias("theta"))
+    )
+
+    # ---- phase 2: per-(query, block) pruning, dedup decode, exact scoring
+    allowed = (
+        bmeta.join(F.broadcast(qterms), on=["field", "term"])
+        .join(F.broadcast(theta), on="query_id", how="left")
+        .filter(F.col("theta").isNull() | (F.col("bq") + F.col("rest") >= F.col("theta")))
+        .select("query_id", "field", "term", "bucket", "block_no")
+    )
+    survivors = allowed.select("field", "term", "bucket", "block_no").distinct()
+    surv_blocks = blocks.join(survivors, on=["field", "term", "bucket", "block_no"])
+    decoded = ix._mask_deleted(decode_blocks(surv_blocks, with_block_id=True))
+    scored = plan.attach_scores(decoded, sorted(consts), extra_cols=["bucket", "block_no"])
+    per_query = scored.join(allowed, on=["field", "term", "bucket", "block_no"])
+    agg = per_query.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
+    return _topk_window(agg, k)

@@ -251,7 +251,7 @@ class _PlanContext:
     # ---------------------------------------------------- scored base build
 
     def attach_scores(self, decoded: DataFrame, terms: list[tuple[str, str]],
-                      keep_positions: bool = False) -> DataFrame:
+                      keep_positions: bool = False, extra_cols: list[str] | None = None) -> DataFrame:
         """Join decoded postings with a broadcast per-term stats frame and
         evaluate the scoring expression (driver-computed idf/avgfl literals,
         reference op order)."""
@@ -292,7 +292,7 @@ class _PlanContext:
         meta = self.spark.createDataFrame(meta_rows, meta_schema)
         joined = decoded.join(F.broadcast(meta), on=["field", "term"])
         weight = F.col("tf").cast("double") * F.col("fboost")
-        fl = byte_to_length_col(F.col("len_byte"))
+        fl = F.col("fl").cast("double")  # dequantized in the decode kernel
         score = w.score_col(
             weight, fl, F.col("idf"), F.col("avgfl"), F.col("b"),
             F.col("one_minus_b"), F.col("scorable"),
@@ -300,6 +300,8 @@ class _PlanContext:
         cols = ["field", "term", "doc_id"]
         if keep_positions:
             cols.append("positions")
+        if extra_cols:
+            cols.extend(extra_cols)
         return joined.select(*cols, score.alias("score"))
 
     def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool) -> DataFrame | None:
