@@ -1,0 +1,202 @@
+"""Hit highlighting — replicates the reference pipeline
+(/root/reference/src/whoosh/highlight.py): retokenize with char offsets,
+mark matched terms, ContextFragmenter (maxchars/surround/charlimit state
+machine, highlight.py:418-505), BasicFragmentScorer (score = matched boosts
+x 100 x distinct terms, :598-607), top_fragments (:880-885), HtmlFormatter
+(tagname="b", between="...", class "match termN", :750-820).
+
+Driver-side ``highlight_text`` for single hits; ``add_highlights`` runs the
+same code as an Arrow-batched UDF over a top-k DataFrame (post-top-k work
+on k rows — never on the corpus).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html import escape as htmlescape
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from whoosh_spark.analysis import Analyzer, standard_analyzer
+
+DEFAULT_CHARLIMIT = 2 ** 15
+
+
+@dataclass
+class _Tok:
+    text: str
+    startchar: int
+    endchar: int
+    matched: bool
+
+
+@dataclass
+class _Fragment:
+    text: str
+    matches: list
+    startchar: int
+    endchar: int
+
+    @property
+    def matched_terms(self):
+        return {t.text for t in self.matches}
+
+    def __len__(self):
+        return self.endchar - self.startchar
+
+
+def _char_tokens(text: str, analyzer: Analyzer, termset: frozenset):
+    """Token stream with char offsets; stopped tokens kept (the reference
+    highlights with removestops=False)."""
+    pat = re.compile(analyzer.pattern)
+    for m in pat.finditer(text):
+        t = m.group(0)
+        if analyzer.lowercase:
+            t = t.lower()
+        yield _Tok(t, m.start(), m.end(), t in termset)
+
+
+def context_fragments(text: str, tokens, maxchars: int = 200, surround: int = 20,
+                      charlimit: int = DEFAULT_CHARLIMIT):
+    """Exact ContextFragmenter state machine (highlight.py:435-505)."""
+    from collections import deque
+
+    first = None
+    firsts = deque()
+    countdown = -1
+    tks: list = []
+    endchar = None
+    currentlen = 0
+
+    for t in tokens:
+        startchar = t.startchar
+        endchar = t.endchar
+        tlength = endchar - startchar
+        if charlimit and endchar > charlimit:
+            break
+
+        if countdown < 0 and not t.matched:
+            firsts.append(startchar)
+            while firsts and endchar - firsts[0] > surround:
+                firsts.popleft()
+        elif currentlen + tlength > maxchars:
+            countdown = 0
+        elif t.matched:
+            countdown = surround
+            if first is None:
+                if firsts:
+                    first = firsts[0]
+                else:
+                    first = startchar
+                    countdown += surround
+            tks.append(t)
+
+        if countdown >= 0:
+            currentlen += tlength
+            countdown -= tlength
+            if countdown <= 0:
+                yield _mkfrag(text, tks, first, endchar)
+                tks = []
+                firsts = deque()
+                first = None
+                currentlen = 0
+
+    if tks:
+        yield _mkfrag(text, tks, first, endchar)
+
+
+def whole_fragment(text: str, tokens, charlimit: int = DEFAULT_CHARLIMIT):
+    matches = [t for t in tokens if t.matched and (not charlimit or t.endchar <= charlimit)]
+    yield _Fragment(text, matches, 0, len(text))
+
+
+def _mkfrag(text, tokens, startchar, endchar):
+    if startchar is None:
+        startchar = tokens[0].startchar if tokens else 0
+    if endchar is None:
+        endchar = tokens[-1].endchar if tokens else len(text)
+    return _Fragment(text, list(tokens), startchar, endchar)
+
+
+def _basic_score(f: _Fragment) -> float:
+    score = float(len(f.matches))  # boosts default 1.0
+    score *= (len(f.matched_terms) * 100) or 1
+    return score
+
+
+class HtmlFormatter:
+    template = '<%(tag)s class=%(q)s%(cls)s%(tn)s%(q)s>%(t)s</%(tag)s>'
+
+    def __init__(self, tagname="b", between="...", classname="match",
+                 termclass="term", maxclasses=5, attrquote='"'):
+        self.tagname = tagname
+        self.between = between
+        self.maxclasses = maxclasses
+        self.attrquote = attrquote
+        self.htmlclass = " ".join((classname, termclass))
+        self.seen: dict = {}
+
+    def format_token(self, text, token):
+        ttext = htmlescape(text[token.startchar:token.endchar], quote=False)
+        if ttext in self.seen:
+            termnum = self.seen[ttext]
+        else:
+            termnum = len(self.seen) % self.maxclasses
+            self.seen[ttext] = termnum
+        return self.template % {
+            "tag": self.tagname, "q": self.attrquote, "cls": self.htmlclass,
+            "t": ttext, "tn": termnum,
+        }
+
+    def format_fragment(self, fragment: _Fragment) -> str:
+        output = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in fragment.matches:
+            if t.startchar < index:
+                continue
+            if t.startchar > index:
+                output.append(htmlescape(text[index:t.startchar], quote=False))
+            output.append(self.format_token(text, t))
+            index = t.endchar
+        output.append(htmlescape(text[index:fragment.endchar], quote=False))
+        return "".join(output)
+
+    def format(self, fragments) -> str:
+        return self.between.join(self.format_fragment(f) for f in fragments)
+
+
+def highlight_text(text: str, terms, analyzer: Analyzer | None = None, top: int = 3,
+                   maxchars: int = 200, surround: int = 20, minscore: float = 1,
+                   fragmenter: str = "context", formatter: HtmlFormatter | None = None) -> str:
+    analyzer = analyzer or standard_analyzer()
+    termset = frozenset(terms)
+    tokens = _char_tokens(text or "", analyzer, termset)
+    if fragmenter == "context":
+        frags = list(context_fragments(text or "", tokens, maxchars, surround))
+    else:
+        frags = list(whole_fragment(text or "", tokens))
+    # reference top_fragments uses nlargest on (score, fragment) tuples and
+    # Fragment orders by startchar — score ties keep the LATEST fragments
+    scored = sorted(((_basic_score(f), f.startchar, f) for f in frags),
+                    key=lambda x: (-x[0], -x[1]))[:top]
+    best = [f for s, _, f in scored if s >= minscore]
+    best.sort(key=lambda f: f.startchar)  # FIRST order
+    fmt = formatter or HtmlFormatter()
+    return fmt.format(best)
+
+
+def add_highlights(df: DataFrame, text_col: str, terms, analyzer: Analyzer | None = None,
+                   out_col: str = "highlights", **kw) -> DataFrame:
+    """Append a highlights column to a (top-k) DataFrame with stored text."""
+    terms = list(terms)
+    ana = analyzer or standard_analyzer()
+
+    @pandas_udf("string")
+    def hl(texts: pd.Series) -> pd.Series:
+        return pd.Series([highlight_text(t, terms, ana, **kw) for t in texts])
+
+    return df.withColumn(out_col, hl(F.col(text_col)))
