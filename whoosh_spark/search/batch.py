@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from whoosh_spark.index.catalog import Index, decode_blocks
+from whoosh_spark.index.catalog import decode_blocks
 from whoosh_spark.search.engine import Searcher, _PlanContext
 
 

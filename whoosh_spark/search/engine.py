@@ -24,15 +24,13 @@ float association order is allowed to differ by ~1 ulp.
 
 from __future__ import annotations
 
-from bisect import insort
-
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from whoosh_spark.index.catalog import Index
 from whoosh_spark.query import nodes as Q
-from whoosh_spark.search.scoring import BM25F, WeightingModel, byte_to_length_col
+from whoosh_spark.search.scoring import BM25F, WeightingModel
 
 NEG_INF = float("-inf")
 

@@ -25,8 +25,6 @@ the running top-k floor.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 
 from whoosh_spark.search.scoring import BM25F, byte_to_length_col
