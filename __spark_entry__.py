@@ -214,6 +214,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ix = _index_for(spark, sf)
         return ix.docs().select("doc_id", F.col("content_sha256").alias("sha"))
 
+    # ---- collectors: facet / collapse / sort / numeric range ----
+
+    def facet_lang_count(spark, sf):
+        s = _searcher(spark, sf)
+        m = s.matches(Q.Term("text", "scan"))
+        docs = s.index.docs()
+        return (
+            m.join(docs, on="doc_id")
+            .groupBy(F.col("lang").alias("value"))
+            .agg(F.count("*").alias("count"))
+        )
+
+    def collapse_top_per_lang(spark, sf):
+        from pyspark.sql import Window
+
+        s = _searcher(spark, sf)
+        m = s.matches(Q.Term("text", "scan")).select(
+            "doc_id", F.round(F.col("score"), 6).alias("score")
+        )
+        j = m.join(s.index.docs(), on="doc_id")
+        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("lang").alias("value"), "doc_id", "score")
+        )
+
+    def numeric_range_filter(spark, sf):
+        # NumericRange -> native predicate on a docs column (SURVEY §2.4)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return docs.filter((F.col("n_chars") >= 500) & (F.col("n_chars") <= 1500)).select(
+            "doc_id", "n_chars"
+        )
+
+    def sorted_by_field(spark, sf):
+        s = _searcher(spark, sf)
+        m = s.matches(Q.Term("text", "scan"))
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return (
+            m.join(docs.select("doc_id", "n_chars"), on="doc_id")
+            .orderBy(F.asc("n_chars"), F.asc("doc_id"))
+            .select("doc_id", "n_chars")
+            .limit(20)
+        )
+
     # ---- training-data pipeline operators (whoosh_spark.functions) ----
 
     def _docs(spark, sf):
@@ -305,6 +350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": doc_lengths,
         "lexicon_range": lexicon_range,
         "sha256_audit": sha256_audit,
+        "facet_lang_count": facet_lang_count,
+        "collapse_top_per_lang": collapse_top_per_lang,
+        "numeric_range_filter": numeric_range_filter,
+        "sorted_by_field": sorted_by_field,
         "exact_dedup": exact_dedup,
         "minhash_pairs": minhash_pairs,
         "simhash": simhash,
@@ -398,6 +447,28 @@ def oracle_sql() -> dict[str, str]:
         "WHERE term >= 's' AND term < 'u' GROUP BY term"
     )
     sql["sha256_audit"] = "SELECT doc_id, sha256(text) AS sha FROM documents"
+    sql["facet_lang_count"] = (
+        f"WITH {pre} SELECT d.lang AS value, count(*) AS count "
+        "FROM (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan') m "
+        "JOIN documents d USING (doc_id) GROUP BY d.lang"
+    )
+    sql["collapse_top_per_lang"] = (
+        "WITH " + pre + ",\n" + _score_cte("scan", "scan") + "\n"
+        "SELECT value, doc_id, score FROM ("
+        "  SELECT d.lang AS value, s.doc_id, round(s.score, 6) AS score,"
+        "         row_number() OVER (PARTITION BY d.lang"
+        "                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS rn"
+        "  FROM sc_scan s JOIN documents d USING (doc_id)"
+        ") WHERE rn = 1"
+    )
+    sql["numeric_range_filter"] = (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 500 AND 1500"
+    )
+    sql["sorted_by_field"] = (
+        f"WITH {pre} SELECT m.doc_id, d.n_chars "
+        "FROM (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan') m "
+        "JOIN documents d USING (doc_id) ORDER BY d.n_chars, m.doc_id LIMIT 20"
+    )
 
     from whoosh_spark.functions.dedup import exact_dedup_sql, minhash_pairs_sql, simhash_sql
     from whoosh_spark.functions.similarity import brute_cosine_topk_sql, embedding_neardup_sql

@@ -160,8 +160,9 @@ def main():
         return
 
     ensure_corpus()
+    levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")]
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         out = subprocess.run(
             [sys.executable, __file__, "--child", str(cpus)],
             capture_output=True, text=True, check=True,
@@ -181,10 +182,13 @@ def main():
             json.dump(whoosh, f)
     print(json.dumps(whoosh))
 
-    r8, r32 = results[8], results[32]
-    build_eff = (r32["build_docs_per_sec"] / r8["build_docs_per_sec"]) / 4
-    query_eff = (r32["queries_per_sec"] / r8["queries_per_sec"]) / 4
+    lo, hi = levels[0], levels[-1]
+    factor = hi / lo
+    r8, r32 = results[lo], results[hi]
+    build_eff = (r32["build_docs_per_sec"] / r8["build_docs_per_sec"]) / factor
+    query_eff = (r32["queries_per_sec"] / r8["queries_per_sec"]) / factor
     summary = {
+        "levels": [lo, hi],
         "build_efficiency_8_to_32": round(build_eff, 3),
         "query_efficiency_8_to_32": round(query_eff, 3),
         "local8": r8,
@@ -204,7 +208,7 @@ def _write_md(s: dict) -> None:
     md = f"""# BENCH/BASELINE — measured numbers (this engine vs reference Whoosh)
 
 Method (per BASELINE.md / north_rule): the same jobs run at two
-parallelism levels — `local[8]` and `local[32]` (N and 4N cores, separate
+parallelism levels — `local[{s['levels'][0]}]` and `local[{s['levels'][1]}]` (N and 4N cores, separate
 JVMs) — over identical parquet input ({r8['n_docs']:,} synthetic source-code
 docs, seeded, input_hint schema). Reference Whoosh runs single-process on
 the same corpus (first {wref['n_docs']:,} docs; docs/s is size-independent).
@@ -213,11 +217,11 @@ the same corpus (first {wref['n_docs']:,} docs; docs/s is size-independent).
 
 | engine | parallelism | docs | build sec | docs/sec |
 |---|---|---|---|---|
-| whoosh_spark | local[8]  | {r8['n_docs']:,} | {r8['build_sec']} | {r8['build_docs_per_sec']:,} |
-| whoosh_spark | local[32] | {r32['n_docs']:,} | {r32['build_sec']} | {r32['build_docs_per_sec']:,} |
+| whoosh_spark | local[{r8['cpus']}]  | {r8['n_docs']:,} | {r8['build_sec']} | {r8['build_docs_per_sec']:,} |
+| whoosh_spark | local[{r32['cpus']}] | {r32['n_docs']:,} | {r32['build_sec']} | {r32['build_docs_per_sec']:,} |
 | reference Whoosh (1 proc) | 1 | {wref['n_docs']:,} | {wref['build_sec']} | {wref['build_docs_per_sec']:,} |
 
-**Build scaling efficiency (8 -> 32 cores): {s['build_efficiency_8_to_32']}**
+**Build scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['build_efficiency_8_to_32']}**
 (throughput ratio {r32['build_docs_per_sec']}/{r8['build_docs_per_sec']} over 4x cores)
 
 ## Query serving ({r8['n_queries']} BM25 term/disjunction queries, top-10)
@@ -226,11 +230,11 @@ Batch-mode serving (one job per query batch — the cluster pattern):
 
 | engine | parallelism | queries | sec | queries/sec |
 |---|---|---|---|---|
-| whoosh_spark (batch) | local[8]  | {r8['n_queries']} | {r8['batch_sec']} | {r8['queries_per_sec']} |
-| whoosh_spark (batch) | local[32] | {r32['n_queries']} | {r32['batch_sec']} | {r32['queries_per_sec']} |
+| whoosh_spark (batch) | local[{r8['cpus']}]  | {r8['n_queries']} | {r8['batch_sec']} | {r8['queries_per_sec']} |
+| whoosh_spark (batch) | local[{r32['cpus']}] | {r32['n_queries']} | {r32['batch_sec']} | {r32['queries_per_sec']} |
 | reference Whoosh (1 proc) | 1 | {wref['n_queries']} | {wref['query_sec']} | {wref['queries_per_sec']} |
 
-**Query scaling efficiency (8 -> 32 cores): {s['query_efficiency_8_to_32']}**
+**Query scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['query_efficiency_8_to_32']}**
 
 Notes
 - Whoosh's corpus here is {wref['n_docs']:,} docs vs ours {r8['n_docs']:,}
