@@ -168,9 +168,25 @@ def merge_segments(
     return info
 
 
+def clear_index(index_dir: str) -> list[str]:
+    """CLEAR policy (reference writing.py:119-125): drop every existing
+    segment; the next build starts from an empty index."""
+    manifest = read_manifest(index_dir)
+    names = [s.name for s in manifest.segments]
+    for s in manifest.segments:
+        shutil.rmtree(s.path(index_dir), ignore_errors=True)
+    manifest.generation += 1
+    manifest.segments = []
+    manifest.completed_chunks = []
+    write_manifest(index_dir, manifest)
+    return names
+
+
 def apply_merge_policy(spark: SparkSession, index_dir: str, policy: str = "MERGE_SMALL") -> list[str]:
     """Run a merge policy over the index; returns the merged segment names."""
     manifest = read_manifest(index_dir)
+    if policy == "CLEAR":
+        return clear_index(index_dir)
     if policy == "NO_MERGE" or len(manifest.segments) < 2:
         return []
     if policy == "OPTIMIZE":
