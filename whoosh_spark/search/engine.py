@@ -147,6 +147,11 @@ def _wand_terms(q: Q.Query) -> list[tuple[str, str, float]] | None:
             if not isinstance(c, Q.Term):
                 return None
             out.append((c.field, c.text, c.boost * q.boost))
+        # duplicate (field, term) children must each contribute (the
+        # reference does not dedupe at match time) — WAND groups by term,
+        # so fall back to the generic plan for those
+        if len({(f, t) for f, t, _ in out}) != len(out):
+            return None
         return out
     return None
 
@@ -163,10 +168,15 @@ class _PlanContext:
     # -------------------------------------------------------------- prepare
 
     def prepare(self, q: Q.Query) -> Q.Query:
-        """Normalize, expand multiterms, collect stats, build scored bases."""
-        q = q.normalize()
+        """Expand multiterms, collect stats, build scored bases.
+
+        NOTE: deliberately does NOT call q.normalize() — the reference
+        searcher evaluates the query tree as given (searching.py:731-787
+        goes straight to q.matcher()), so duplicate subqueries score
+        multiple times and nesting shapes the float addition order.
+        normalize() remains available to users and is applied by the query
+        parser, exactly like the reference."""
         q = self._resolve_multiterms(q)
-        q = q.normalize() if not isinstance(q, Q._NullQuery) else q
         if isinstance(q, Q._NullQuery):
             self.stats = {}
             self.stats_view = _Stats({}, self.ix.doc_count_all())
@@ -410,6 +420,8 @@ class _PlanContext:
 
     def _compile_and(self, q: Q.And) -> DataFrame:
         subs = q.subqueries
+        if not subs:
+            return self._empty()
         compiled = [self._compile(c) for c in subs]
         ests = [c.estimate_size(self.stats_view) for c in subs]
         if not self.s.exact_scores and all(not c.negated for c in compiled):
@@ -456,6 +468,8 @@ class _PlanContext:
         return _Compiled(self._join_add(a.df, b.df, "inner"))
 
     def _compile_or(self, q: Q.Or) -> DataFrame:
+        if not q.subqueries:
+            return self._empty()
         compiled = [self._compile(c) for c in q.subqueries]
         dfs = [self._realize(c) for c in compiled]
         if not self.s.exact_scores:
@@ -474,6 +488,8 @@ class _PlanContext:
         return self._boosted(acc, q.boost)
 
     def _compile_dismax(self, q: Q.DisjunctionMax) -> DataFrame:
+        if not q.subqueries:
+            return self._empty()
         dfs = [self._realize(self._compile(c)) for c in q.subqueries]
         acc = dfs[0]
         for d in dfs[1:]:
