@@ -1,0 +1,102 @@
+"""Structured Streaming incremental indexing (BufferedWriter analog)."""
+
+import json
+import os
+
+import pytest
+
+import whoosh_spark.query as Q
+from whoosh_spark.index import Index
+from whoosh_spark.index.segment import read_manifest
+from whoosh_spark.schema import IndexSchema, ID, TEXT
+from whoosh_spark.search import Searcher
+from whoosh_spark.streaming import index_stream
+
+
+def test_stream_indexing(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # three json files -> three micro-batches (maxFilesPerTrigger=1)
+    for b in range(3):
+        with open(src / f"batch{b}.json", "w") as f:
+            for i in range(5):
+                doc_id = b * 100 + i
+                f.write(json.dumps({"doc_id": doc_id, "key": str(doc_id),
+                                    "content": f"alfa bravo word{b}"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, key string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    schema = IndexSchema.of(key=ID(stored=True), content=TEXT())
+    q = index_stream(
+        stream, schema, idx, sha_col="content",
+        merge_every=0, checkpoint_dir=ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    m = read_manifest(idx)
+    assert m.doc_count_all() == 15
+    assert len(m.segments) == 3
+    chunks = set(m.completed_chunks)
+    assert {"stream-0", "stream-1", "stream-2"} <= chunks
+
+    ix = Index(spark, idx)
+    s = Searcher(ix)
+    got = s.search(Q.Term("content", "alfa"), limit=20).collect()
+    assert len(got) == 15
+    w1 = s.search(Q.Term("content", "word1"), limit=20).collect()
+    assert sorted(r["doc_id"] for r in w1) == [100, 101, 102, 103, 104]
+
+    # restart with one more file: replayed batches are skipped via lineage,
+    # the new file becomes one new segment
+    with open(src / "batch3.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"doc_id": 300 + i, "key": str(300 + i),
+                                "content": "alfa charlie word3"}) + "\n")
+    q2 = index_stream(
+        stream, schema, idx, sha_col="content",
+        merge_every=0, checkpoint_dir=ckpt,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(300)
+    m2 = read_manifest(idx)
+    assert m2.doc_count_all() == 20
+    got = Searcher(Index(spark, idx)).search(Q.Term("content", "word3"), limit=20).collect()
+    assert sorted(r["doc_id"] for r in got) == [300, 301, 302, 303, 304]
+
+
+def test_stream_with_merge(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    for b in range(6):
+        with open(src / f"b{b}.json", "w") as f:
+            for i in range(3):
+                f.write(json.dumps({"doc_id": b * 10 + i, "key": str(b * 10 + i),
+                                    "content": "alfa tiny"}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, key string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    schema = IndexSchema.of(key=ID(stored=True), content=TEXT())
+    q = index_stream(
+        stream, schema, idx, sha_col="content",
+        merge_policy="MERGE_SMALL", merge_every=6,
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    m = read_manifest(idx)
+    assert m.doc_count_all() == 18
+    # the fibonacci heuristic needs >4 segments; at 6 it merges the first 5
+    # (reference writing.py:85-95: merge point at i>3 while total < fib(i+5))
+    assert len(m.segments) == 2
+    got = Searcher(Index(spark, idx)).search(Q.Term("content", "alfa"), limit=20).collect()
+    assert len(got) == 18
