@@ -50,6 +50,21 @@ def test_expanded_terms_matches_whoosh(pair, whoosh_ref):
         assert w1 == pytest.approx(w2, rel=1e-12), t1
 
 
+def test_expanded_terms_other_models(pair, whoosh_ref):
+    ix, wix = pair
+    from whoosh.classify import Bo2Model as WBo2, KLModel as WKL, Expander
+
+    for ours_name, wmodel in [("bo2", WBo2), ("kl", WKL)]:
+        with wix.searcher() as s:
+            exp = Expander(s.reader(), "content", model=wmodel)
+            exp.add_text(DOCS[0])
+            want = exp.expanded_terms(5)
+        got = expanded_terms(ix, "content", [DOCS[0]], numterms=5, model=ours_name)
+        assert [t for t, _ in got] == [t for t, _ in want], ours_name
+        for (t1, w1), (t2, w2) in zip(got, want):
+            assert w1 == pytest.approx(w2, rel=1e-12), (ours_name, t1)
+
+
 def test_more_like_matches_whoosh(pair, whoosh_ref):
     ix, wix = pair
     with wix.searcher() as s:

@@ -290,6 +290,17 @@ def test_w100_compound(w100, whoosh_ref):
         assert_identical(got, want, repr(oq))
 
 
+def test_or_scale_coord_matches_whoosh(w100, whoosh_ref):
+    ix, wix = w100
+    from whoosh import query as wq
+
+    oq = Q.Or([Q.Term("text", "alfa"), Q.Term("text", "echo"), Q.Term("text", "bravo")], scale=0.5)
+    wq2 = wq.Or([wq.Term("text", "alfa"), wq.Term("text", "echo"), wq.Term("text", "bravo")], scale=0.5)
+    got = ours(ix, oq, limit=15)
+    want = theirs(wix, wq2, limit=15)
+    assert_identical(got, want, "or_scale")
+
+
 def test_w100_other_weightings(w100, whoosh_ref):
     from whoosh import scoring as wscoring
 

@@ -49,7 +49,27 @@ class Bo2Model:
         return weight_in_top * math.log((1.0 + f) / f, 2) + math.log(1.0 + f, 2)
 
 
-MODELS = {"bo1": Bo1Model, "bo2": Bo2Model}
+class KLModel:
+    """Kullback-Leibler divergence expansion (reference classify.py:83-98)."""
+
+    def __init__(self, doc_count: int, field_length: int):
+        self.N = doc_count
+        self.collection_total = field_length
+
+    def normalizer(self, maxweight, top_total):
+        if not self.collection_total:
+            return maxweight
+        return (maxweight * math.log(self.collection_total / top_total) / math.log(2.0)) * top_total
+
+    def score(self, weight_in_top, weight_in_collection, top_total):
+        wit_over_tt = weight_in_top / top_total
+        wic_over_ct = weight_in_collection / self.collection_total
+        if wit_over_tt < wic_over_ct:
+            return 0
+        return wit_over_tt * math.log(wit_over_tt / (weight_in_top / self.collection_total), 2)
+
+
+MODELS = {"bo1": Bo1Model, "bo2": Bo2Model, "kl": KLModel}
 
 
 def expanded_terms(ix: Index, field: str, texts: list[str], numterms: int = 5,

@@ -479,13 +479,66 @@ class _PlanContext:
             out = u.groupBy("doc_id").agg(F.sum("score").alias("score"), F.count("*").alias("_n"))
             if q.minmatch:
                 out = out.filter(F.col("_n") >= q.minmatch)
-            return self._boosted(out.select("doc_id", "score"), q.boost)
+            out = self._boosted(out.select("doc_id", "score"), q.boost)
+            if q.scale:
+                out = self._coord_scale(out, q)
+            return out
+        if q.scale:
+            # scale forces the reference's DefaultOr: a weighted huffman
+            # tree of UnionMatchers ordered by +estimate_size
+            # (compound.py:374-385) — replicate its addition order
+            items = []
+            for seq, (c, d) in enumerate(zip(q.subqueries, dfs)):
+                items.append((float(c.estimate_size(self.stats_view)), seq, d))
+            items.sort(key=lambda t: (t[0], t[1]))
+            seq = len(items)
+            while len(items) > 1:
+                wa, _, da = items.pop(0)
+                wb, _, db = items.pop(0)
+                merged = self._join_add(da, db, "full_outer")
+                seq += 1
+                entry = (wa + wb, seq, merged)
+                lo = 0
+                while lo < len(items) and items[lo][0] <= entry[0]:
+                    lo += 1
+                items.insert(lo, entry)
+            out = self._boosted(items[0][2], q.boost)
+            return self._coord_scale(out, q)
         # ArrayUnionMatcher accumulation: original child order, left fold
         # (combo.py:211-215); per-child boost multiplication happens at add
         acc = dfs[0]
         for d in dfs[1:]:
             acc = self._join_add(acc, d, "full_outer")
         return self._boosted(acc, q.boost)
+
+    def _coord_scale(self, df: DataFrame, q: Q.Or) -> DataFrame:
+        """Or(scale=s) coordination bonus — the reference CoordMatcher SQR
+        function (matching/wrappers.py:541-558):
+        sqr = (score + (matching-1)/(termcount-scale)**2) * ((termcount-1)/termcount)
+        with matching = number of the tree's term matchers hitting the doc."""
+        leaves = q.leaf_terms()  # duplicates count separately, like matchers
+        termcount = len(leaves)
+        if termcount == 0 or termcount == q.scale:
+            return df.withColumn("score", F.lit(0.0))
+        from collections import Counter
+
+        counts = Counter(leaves)
+        matched = None
+        for (field, term), mult in counts.items():
+            part = (
+                self.base.filter((F.col("field") == field) & (F.col("term") == term))
+                .select("doc_id")
+                .withColumn("_m", F.lit(mult))
+            )
+            matched = part if matched is None else matched.unionByName(part)
+        mdf = matched.groupBy("doc_id").agg(F.sum("_m").alias("_matching"))
+        j = df.join(mdf, on="doc_id", how="left")
+        matching = F.coalesce(F.col("_matching"), F.lit(0)).cast("double")
+        scale = float(q.scale)
+        sqr = (F.col("score") + (matching - 1) / F.lit(float((termcount - scale) ** 2))) * F.lit(
+            (termcount - 1) / termcount
+        )
+        return j.select("doc_id", sqr.alias("score"))
 
     def _compile_dismax(self, q: Q.DisjunctionMax) -> DataFrame:
         if not q.subqueries:
