@@ -39,7 +39,13 @@ def _docs_schema() -> IndexSchema:
     return IndexSchema.of(lang=ID(stored=True), source=ID(stored=True), text=TEXT())
 
 
+_INDEX_CACHE: dict = {}
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> Index:
+    cached = _INDEX_CACHE.get(sf_dir)
+    if cached is not None and cached.spark is spark:
+        return cached
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n = docs.count()
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -55,7 +61,9 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Index:
 
         shutil.rmtree(idx_dir, ignore_errors=True)
         build_index(spark, docs, _docs_schema(), idx_dir, sha_col="text")
-    return Index(spark, idx_dir)
+    ix = Index(spark, idx_dir)
+    _INDEX_CACHE[sf_dir] = ix
+    return ix
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:

@@ -117,12 +117,12 @@ def ours(spark_ix, q, limit=10, **searcher_kw):
     return [(r["doc_id"], r["score"]) for r in rows]
 
 
-def theirs(wix, wq, limit=10, weighting=None):
+def theirs(wix, wq, limit=10, weighting=None, optimize=True):
     kw = {}
     if weighting is not None:
         kw["weighting"] = weighting
     with wix.searcher(**kw) as s:
-        r = s.search(wq, limit=limit)
+        r = s.search(wq, limit=limit, optimize=optimize)
         return [(h.docnum, h.score) for h in r]
 
 
@@ -308,7 +308,55 @@ def test_w100_other_weightings(w100, whoosh_ref):
 
     ix, wix = w100
     w = _wq(whoosh_ref)
-    for ow, ww in [(TF_IDF(), wscoring.TF_IDF()), (Frequency(), wscoring.Frequency())]:
+    from whoosh_spark.search.scoring import PL2
+
+    # DFree is excluded: the reference's own DFreeScorer crashes at runtime
+    # (scoring.py:374 calls Searcher.weight(), which does not exist) — see
+    # test_dfree_matches_formula for its formula-level verification
+    # PL2 runs with optimize=False: its score is non-monotone in weight/
+    # length so the reference's quality pruning is unsound for it and DROPS
+    # documents (reference top-k at optimize=True omits docs its own
+    # unoptimized scoring ranks higher); values are bit-identical either way
+    for ow, ww, opt in [(TF_IDF(), wscoring.TF_IDF(), True),
+                        (Frequency(), wscoring.Frequency(), True),
+                        (PL2(), wscoring.PL2(), False)]:
         got = ours(ix, Q.Term("text", "charlie"), limit=15, weighting=ow)
-        want = theirs(wix, w.Term("text", "charlie"), limit=15, weighting=ww)
+        want = theirs(wix, w.Term("text", "charlie"), limit=15, weighting=ww, optimize=opt)
         assert_identical(got, want, type(ow).__name__)
+
+
+def test_dfree_matches_formula(w100, whoosh_ref):
+    """DFree vs the reference formula evaluated directly (scoring.py:337-352;
+    the reference's scorer wrapper itself crashes on a missing method)."""
+    import math
+
+    from whoosh_spark.index.quantize import quantize_length
+    from whoosh_spark.search.scoring import DFree
+
+    ix, _ = w100
+    docs = _weighting100_docs()
+    toks = [d.split() for d in docs]
+    lens = [len(t) for t in toks]
+    fl_total = sum(lens)
+
+    def dfree(tf, cf, dl):
+        prior = tf / dl
+        post = (tf + 1.0) / (dl + 1.0)
+        invpriorcol = fl_total / cf
+        norm = tf * math.log(post / prior)
+        return norm * (tf * math.log(prior * invpriorcol)
+                       + (tf + 1.0) * math.log(post * invpriorcol)
+                       + 0.5 * math.log(post / prior))
+
+    term = "charlie"
+    cf = sum(t.count(term) for t in toks)
+    want = []
+    for i, t in enumerate(toks):
+        tf = t.count(term)
+        if tf:
+            want.append((i, dfree(tf, cf, quantize_length(lens[i]))))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = ours(ix, Q.Term("text", term), limit=len(want), weighting=DFree())
+    assert [d for d, _ in got] == [d for d, _ in want[: len(got)]]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12), d1

@@ -142,3 +142,20 @@ def test_facet_best(b4):
     got = {r["value"]: r["best_doc_id"] for r in facet_best(Searcher(ix), Q.Every("ev"), "tag").collect()}
     # Every scores all 1.0 -> best = lowest doc_id per tag
     assert got == {"one": 0, "three": 1, "two": 2}
+
+
+def test_matched_terms(b4, whoosh_ref):
+    from whoosh_spark.search.sorting import matched_terms
+
+    ix, wix = b4
+    # reference comparison: terms=True search records matched terms per hit
+    from whoosh.query import Or, Term
+
+    with wix.searcher() as s:
+        r = s.search(Or([Term("tag", "one"), Term("tag", "two")]), terms=True, limit=None)
+        want = {h.docnum: sorted(t[1].decode() for t in h.matched_terms()) for h in r}
+    got_df = matched_terms(
+        Searcher(ix), Q.Or([Q.Term("tag", "one"), Q.Term("tag", "two")]), limit=None
+    )
+    got = {r["doc_id"]: list(r["matched_terms"]) for r in got_df.collect()}
+    assert got == want

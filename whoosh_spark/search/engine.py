@@ -283,6 +283,11 @@ class _PlanContext:
                     "one_minus_b": 1 - B,
                     "fboost": fboost,
                     "scorable": scorable,
+                    # DFR-model statistics (cf: collection term frequency,
+                    # fl_total: total field length, dc: doc_count_all)
+                    "cf": float(st["total_tf"]) if st else 0.0,
+                    "fl_total": float(self.ix.manifest.field_length(field)),
+                    "dc": float(dc),
                 }
             )
         meta_schema = T.StructType(
@@ -295,6 +300,9 @@ class _PlanContext:
                 T.StructField("one_minus_b", T.DoubleType()),
                 T.StructField("fboost", T.DoubleType()),
                 T.StructField("scorable", T.BooleanType()),
+                T.StructField("cf", T.DoubleType()),
+                T.StructField("fl_total", T.DoubleType()),
+                T.StructField("dc", T.DoubleType()),
             ]
         )
         meta = self.spark.createDataFrame(meta_rows, meta_schema)
@@ -304,6 +312,7 @@ class _PlanContext:
         score = w.score_col(
             weight, fl, F.col("idf"), F.col("avgfl"), F.col("b"),
             F.col("one_minus_b"), F.col("scorable"),
+            cf_col=F.col("cf"), fl_total_col=F.col("fl_total"), dc_col=F.col("dc"),
         )
         cols = ["field", "term", "doc_id"]
         if keep_positions:

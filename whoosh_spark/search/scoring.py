@@ -37,8 +37,13 @@ class WeightingModel:
     def idf(self, doc_count_all: int, df: int) -> float:
         return math.log(doc_count_all / (df + 1)) + 1
 
+    #: extra per-term meta columns a model needs beyond idf/avgfl/b
+    #: (cf = collection term frequency, fl_total = total field length,
+    #: dc = doc_count_all) — populated for every model, cheap constants
     def score_col(self, w: Column, fl: Column, idf_col: Column, avgfl_col: Column,
-                  b_col: Column, one_minus_b_col: Column, scorable: Column) -> Column:
+                  b_col: Column, one_minus_b_col: Column, scorable: Column,
+                  cf_col: Column | None = None, fl_total_col: Column | None = None,
+                  dc_col: Column | None = None) -> Column:
         raise NotImplementedError
 
     def max_quality(self, idf: float, max_w: float, min_fl: float, avgfl: float, B: float, K1: float) -> float:
@@ -55,7 +60,8 @@ class BM25F(WeightingModel):
     def field_B(self, fieldname: str) -> float:
         return self._field_B.get(fieldname, self.B)
 
-    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable):
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
         K1 = self.K1
         # exact op order of reference bm25():
         #   idf * ((tf*(K1+1)) / (tf + K1*((1-B) + B*fl/avgfl)))
@@ -72,7 +78,8 @@ class BM25F(WeightingModel):
 
 
 class TF_IDF(WeightingModel):
-    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable):
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
         return F.when(scorable, w * idf_col).otherwise(w)
 
     def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
@@ -80,8 +87,55 @@ class TF_IDF(WeightingModel):
 
 
 class Frequency(WeightingModel):
-    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable):
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
         return w
 
     def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
         return max_w
+
+
+class DFree(WeightingModel):
+    """DFR DFree model (reference scoring.py:337-383), exact op order.
+    cf = collection term frequency, fl_total = total field length."""
+
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
+        prior = w / fl
+        post = (w + F.lit(1.0)) / (fl + F.lit(1.0))
+        invpriorcol = fl_total_col / cf_col
+        norm = w * F.log(post / prior)
+        score = norm * (
+            w * F.log(prior * invpriorcol)
+            + (w + F.lit(1.0)) * F.log(post * invpriorcol)
+            + F.lit(0.5) * F.log(post / prior)
+        )
+        return F.when(scorable, score).otherwise(w)
+
+    def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
+        return float("inf")  # bounds unused; WAND not offered for DFree
+
+
+class PL2(WeightingModel):
+    """DFR PL2 model (reference scoring.py:389-438), exact op order."""
+
+    REC_LOG2_E = 1.0 / math.log(2)
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
+        TF = w * F.log(F.lit(1.0) + (F.lit(self.c) * avgfl_col) / fl)
+        norm = F.lit(1.0) / (TF + F.lit(1.0))
+        f = cf_col / dc_col
+        score = norm * (
+            TF * F.log(F.lit(1.0) / f)
+            + f * F.lit(self.REC_LOG2_E)
+            + F.lit(0.5) * F.log(F.lit(2 * math.pi) * TF)
+            + TF * (F.log(TF) - F.lit(self.REC_LOG2_E))
+        )
+        return F.when(scorable, score).otherwise(w)
+
+    def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
+        return float("inf")

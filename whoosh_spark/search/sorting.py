@@ -95,6 +95,30 @@ def query_facet_col(searcher, queries: dict[str, Q.Query], df: DataFrame, alias:
     return df.withColumn(alias, label).drop(*[c for c in df.columns if c.startswith("_in_")])
 
 
+def matched_terms(searcher, q: Q.Query, limit: int | None = 10) -> DataFrame:
+    """TermsCollector analog (reference collectors.py:1103-1165): for each
+    hit, the sorted set of query leaf terms it contains."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.search.engine import _PlanContext
+
+    plan = _PlanContext(searcher)
+    qn = plan.prepare(q)
+    top = searcher.search(q, limit=limit)
+    leaves = sorted({(f, t) for f, t in qn.leaf_terms()})
+    if not leaves or plan.base is None:
+        return top.withColumn("matched_terms", F.array())
+    base = plan.base
+    cond = None
+    for f, t in leaves:
+        c = (F.col("field") == f) & (F.col("term") == t)
+        cond = c if cond is None else (cond | c)
+    tm = base.filter(cond).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("term")).alias("matched_terms")
+    )
+    return top.join(tm, on="doc_id", how="left").orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def collapse(
     searcher,
     q: Q.Query,
