@@ -85,3 +85,41 @@ def test_parse_and_run_matches_reference(pair, whoosh_ref, qs):
     assert [d for d, _ in got] == [d for d, _ in want], f"{qs!r}: ours={oq!r} theirs={wq!r}\n{got} != {want}"
     for (d1, s1), (d2, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, rel=1e-12), f"{qs!r} score mismatch at doc {d1}"
+
+
+PLUGIN_CASES = [
+    # (parser kwargs, whoosh plugin factory names, query string)
+    (dict(gtlt=True), ["GtLtPlugin"], "value:>green"),
+    (dict(gtlt=True), ["GtLtPlugin"], "value:>=green value:<red"),
+    (dict(gtlt=True), ["GtLtPlugin"], "red value:<=town"),
+    (dict(plusminus=True), ["PlusMinusPlugin"], "+red green -blue"),
+    (dict(plusminus=True), ["PlusMinusPlugin"], "+red +town"),
+    (dict(plusminus=True), ["PlusMinusPlugin"], "red green -town"),
+    (dict(fuzzy=True), ["FuzzyTermPlugin"], "rendar~"),
+    (dict(fuzzy=True), ["FuzzyTermPlugin"], "bender~2"),
+    (dict(fuzzy=True), ["FuzzyTermPlugin"], "sender~2/2 red"),
+    (dict(regex=True), ["RegexPlugin"], 'value:r"ren.*"'),
+    (dict(regex=True), ["RegexPlugin"], 'r"t.wn" red'),
+]
+
+
+@pytest.mark.parametrize("kwargs,wplugins,qs", PLUGIN_CASES,
+                         ids=[c[2] for c in PLUGIN_CASES])
+def test_plugin_syntax_matches_reference(pair, whoosh_ref, kwargs, wplugins, qs):
+    from whoosh import qparser as wqp
+
+    ix, wix = pair
+    wp = wqp.QueryParser("value", wix.schema)
+    for name in wplugins:
+        wp.add_plugin(getattr(wqp, name)())
+    wq = wp.parse(qs)
+    with wix.searcher() as s:
+        want = [(h.docnum, h.score) for h in s.search(wq, limit=10)]
+
+    oq = QueryParser("value", ix.schema, **kwargs).parse(qs)
+    srch = Searcher(ix)
+    got = [(r["doc_id"], r["score"]) for r in srch.search(oq, limit=10).collect()]
+    srch.clear_cache()
+    assert [d for d, _ in got] == [d for d, _ in want], f"{qs!r}: ours={oq!r} theirs={wq!r}\n{got}\n{want}"
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12), f"{qs!r} at doc {d1}"

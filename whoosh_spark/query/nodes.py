@@ -132,28 +132,62 @@ class CompoundQuery(Query):
     def _rebuild(self, subs):
         return type(self)(subs, boost=self.boost)
 
+    #: And/Require-like compounds intersect overlapping ranges; Or-like union
+    intersect_merge = True
+
     def normalize(self):
-        # reference compound.py:119-188: normalize children, flatten same-class
-        # nesting (merging boosts), drop NullQuery, dedupe, collapse singletons
+        # full reference algorithm (compound.py:119-188): normalize children,
+        # flatten same-class nesting distributing boosts, unfielded Every
+        # absorbs, merge overlapping ranges, Every(field) removes same-field
+        # siblings, dedupe, drop Null, collapse singletons
         subs = []
         for q in self.subqueries:
             q = q.normalize()
-            if q is NullQuery:
-                continue
-            if type(q) is type(self) and q.boost == 1.0:
-                subs.extend(q.subqueries)
+            if type(q) is type(self):
+                subs.extend(ss.with_boost(ss.boost * q.boost) for ss in q.subqueries)
             else:
                 subs.append(q)
+
+        if all(q is NullQuery for q in subs):
+            return NullQuery
+        if any(isinstance(q, Every) and q.field is None for q in subs):
+            return Every()
+
+        everyfields = set()
+        i = 0
+        while i < len(subs):
+            q = subs[i]
+            qf = getattr(q, "field", None)
+            if isinstance(qf, str) and qf in everyfields:
+                subs.pop(i)
+                continue
+            if isinstance(q, TermRange):
+                j = i + 1
+                while j < len(subs):
+                    if q.overlaps(subs[j]):
+                        qq = subs.pop(j)
+                        q = q.merge(qq, intersect=self.intersect_merge)
+                    else:
+                        j += 1
+                q = subs[i] = q.normalize()
+            if isinstance(q, Every):
+                everyfields.add(q.field)
+            i += 1
+
         seen = []
         for q in subs:
-            if q not in seen:
-                seen.append(q)
+            qf = getattr(q, "field", None)
+            if not isinstance(q, Every) and isinstance(qf, str) and qf in everyfields:
+                continue
+            if q is NullQuery or q in seen:
+                continue
+            seen.append(q)
         subs = seen
         if not subs:
             return NullQuery
         if len(subs) == 1:
             s = subs[0]
-            if self.boost != 1.0:
+            if not (self.boost == 1.0 and s.boost == 1.0):
                 s = s.with_boost(s.boost * self.boost)
             return s
         return self._rebuild(subs)
@@ -168,6 +202,7 @@ class And(CompoundQuery):
 
 class Or(CompoundQuery):
     JOINT = " OR "
+    intersect_merge = False
 
     def __init__(self, subqueries, boost: float = 1.0, minmatch: int = 0, scale=None):
         super().__init__(subqueries, boost)
@@ -521,6 +556,50 @@ class TermRange(MultiTerm):
         ):
             return Term(self.field, self.start, boost=self.boost)
         return self
+
+    # comparable (rank, value, excl) keys shared between starts and ends so
+    # cross-comparisons work (reference ranges.py:60-82 Lowest/Highest)
+    def _cmp_start(self):
+        if self.start is None:
+            return (0, "", 0)
+        return (1, self.start, 1 if self.startexcl else 0)
+
+    def _cmp_end(self):
+        if self.end is None:
+            return (2, "", 0)
+        return (1, self.end, -1 if self.endexcl else 0)
+
+    def overlaps(self, other) -> bool:
+        """reference ranges.py:84-98"""
+        if not isinstance(other, TermRange) or self.field != other.field:
+            return False
+        s1, s2 = self._cmp_start(), other._cmp_start()
+        e1, e2 = self._cmp_end(), other._cmp_end()
+        return (
+            (s2 <= s1 <= e2) or (s2 <= e1 <= e2) or (s1 <= s2 <= e1) or (s1 <= e2 <= e1)
+        )
+
+    def merge(self, other: "TermRange", intersect: bool = True) -> "TermRange":
+        """reference ranges.py:100-131 (note: a range fully containing the
+        other yields the CONTAINING range even in intersect mode — replicated)"""
+        assert self.field == other.field
+        s1, s2 = self._cmp_start(), other._cmp_start()
+        e1, e2 = self._cmp_end(), other._cmp_end()
+        if s1 >= s2 and e1 <= e2:
+            start, end = s2, e2
+        elif s2 >= s1 and e2 <= e1:
+            start, end = s1, e1
+        elif intersect:
+            start, end = max(s1, s2), min(e1, e2)
+        else:
+            start, end = min(s1, s2), max(e1, e2)
+        startval = None if start[0] == 0 else start[1]
+        endval = None if end[0] == 2 else end[1]
+        return TermRange(
+            self.field, startval, endval,
+            startexcl=start[2] == 1, endexcl=end[2] == -1,
+            boost=max(self.boost, other.boost),
+        )
 
     def __eq__(self, other):
         return type(self) is type(other) and (

@@ -31,6 +31,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\() |
     (?P<rparen>\)(?:\^(?P<gboost>\d+(?:\.\d+)?))?) |
+    (?P<rgx>r"(?P<rgxpat>[^"]*)"(?:\^(?P<rgxboost>\d+(?:\.\d+)?))?) |
     (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<phboost>\d+(?:\.\d+)?))?) |
     (?P<range>(?P<lb>[\[{])\s*(?P<rstart>[^\s\]}]*)\s+TO\s+(?P<rend>[^\s\]}]*)\s*(?P<rb>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
     (?P<field>[\w*]+): |
@@ -61,7 +62,10 @@ def _lex(text: str) -> list[_Tok]:
         kind = m.lastgroup
         if kind == "ws":
             continue
-        if kind == "lparen":
+        if kind == "rgx":
+            toks.append(_Tok("rgx", m.group("rgxpat"),
+                             {"boost": float(m.group("rgxboost")) if m.group("rgxboost") else 1.0}))
+        elif kind == "lparen":
             toks.append(_Tok("(", "("))
         elif kind == "rparen":
             toks.append(_Tok(")", ")", {"boost": float(m.group("gboost")) if m.group("gboost") else None}))
@@ -93,9 +97,18 @@ def _lex(text: str) -> list[_Tok]:
 
 
 class QueryParser:
-    def __init__(self, default_field: str, schema: IndexSchema):
+    def __init__(self, default_field: str, schema: IndexSchema,
+                 gtlt: bool = False, plusminus: bool = False,
+                 fuzzy: bool = False, regex: bool = False):
+        """Optional syntaxes mirror the reference's opt-in plugins:
+        gtlt (field:>x, qparser/plugins.py:1064), plusminus (+a -b, :1001),
+        fuzzy (word~2/p, :449), regex (r"pat", :202)."""
         self.default_field = default_field
         self.schema = schema
+        self.gtlt = gtlt
+        self.plusminus = plusminus
+        self.fuzzy = fuzzy
+        self.regex = regex
 
     # --------------------------------------------------------------- parse
 
@@ -117,6 +130,8 @@ class QueryParser:
 
     def _parse_group(self, field: str, stop_at_rparen: bool = False) -> Q.Query:
         """Parse a sequence of units with infix operators; adjacency = And."""
+        if self.plusminus and not stop_at_rparen:
+            return self._parse_plusminus(field)
         items: list = []  # mix of Query and operator strings
         while True:
             t = self._peek()
@@ -140,6 +155,34 @@ class QueryParser:
             if sub is not None:
                 items.append(sub)
         return self._structure(items)
+
+    def _parse_plusminus(self, field: str) -> Q.Query:
+        """PlusMinus grouping (reference qparser/plugins.py:1001-1062 +
+        BooleanQuery composition compound.py:655-657):
+        +x required, -x prohibited, plain optional ->
+        AndNot(AndMaybe(And(required), Or(optional)), Or(prohibited))."""
+        required, optional, prohibited = [], [], []
+        while True:
+            t = self._peek()
+            if t is None:
+                break
+            bucket = optional
+            if t.kind == "word" and t.value.startswith("+"):
+                t.value = t.value[1:]
+                bucket = required
+            elif t.kind == "word" and t.value.startswith("-"):
+                t.value = t.value[1:]
+                bucket = prohibited
+            sub = self._parse_unit(field)
+            if sub is not None:
+                bucket.append(sub)
+        if required:
+            core = Q.AndMaybe(Q.And(required), Q.Or(optional)) if optional else Q.And(required)
+        else:
+            core = Q.Or(optional) if optional else Q.NullQuery
+        if prohibited:
+            core = Q.AndNot(core, Q.Or(prohibited))
+        return core
 
     def _structure(self, items: list) -> Q.Query:
         """Resolve infix operators (binary ops bind tighter than OR; OR
@@ -218,6 +261,14 @@ class QueryParser:
                 endexcl=t.extra["endexcl"],
                 boost=t.extra["boost"],
             )
+        if t.kind == "rgx":
+            if self.regex:
+                return Q.Regex(field, t.value, boost=t.extra["boost"])
+            # without the plugin, r"..." is the word 'r' adjacent to a phrase
+            rest = self._make_phrase(field, t.value, 1, t.extra["boost"])
+            w = self._make_word(field, "r", 1.0)
+            parts = [p for p in (w, rest) if p is not None]
+            return Q.And(parts) if len(parts) > 1 else (parts[0] if parts else None)
         if t.kind == "op":  # operator in unit position: treat as plain word
             return self._make_word(field, t.value.lower(), 1.0)
         if t.kind == "word":
@@ -239,6 +290,30 @@ class QueryParser:
         return terms[0] if terms else text
 
     def _make_word(self, field: str, text: str, boost: float):
+        if self.gtlt:
+            m = re.match(r"^(>=|<=|>|<)(.+)$", text)
+            if m:
+                op, operand = m.group(1), m.group(2)
+                operand = self._range_text(field, operand)
+                if op == ">":
+                    return Q.TermRange(field, operand, None, startexcl=True, boost=boost)
+                if op == ">=":
+                    return Q.TermRange(field, operand, None, boost=boost)
+                if op == "<":
+                    return Q.TermRange(field, None, operand, endexcl=True, boost=boost)
+                return Q.TermRange(field, None, operand, boost=boost)
+        if self.fuzzy:
+            m = re.match(r"^(.+?)~(\d*)(?:/(\d+))?$", text)
+            if m:
+                base, dist, pref = m.group(1), m.group(2), m.group(3)
+                terms = self._analyzer(field).query_terms(base) if self._analyzer(field) else [base]
+                if terms:
+                    return Q.FuzzyTerm(
+                        field, terms[0],
+                        maxdist=int(dist) if dist else 1,
+                        prefixlength=int(pref) if pref else 0,
+                        boost=boost,
+                    )
         if text == "*":
             return Q.Every(None if field == self.default_field else field, boost=boost)
         if "*" in text or "?" in text:
