@@ -62,6 +62,10 @@ class Analyzer:
     minsize: int = 2
     maxsize: int | None = None
     use_stopfilter: bool = True
+    #: (min, max) char n-gram sizes; None = normal tokenization
+    ngram: tuple | None = None
+    #: n-grams within regex words (NGRAMWORDS) vs over the raw text (NGRAM)
+    ngram_words: bool = False
 
     # ---- driver-side (query analysis, tests) ----
 
@@ -72,8 +76,33 @@ class Analyzer:
             toks = [t.lower() for t in toks]
         return toks
 
+    def _ngram_tokens(self, text: str) -> list[tuple[str, int]]:
+        """(gram, pos) streams matching the reference NgramTokenizer /
+        NgramFilter (analysis/ngrams.py:37-221): char mode slides over the
+        raw text (pos = start offset); word mode emits grams per regex word
+        (grams inherit the word position)."""
+        lo, hi = self.ngram
+        out = []
+        if self.ngram_words:
+            pat = re.compile(self.pattern)
+            for wpos, m in enumerate(pat.finditer(text)):
+                w = m.group(0).lower() if self.lowercase else m.group(0)
+                for start in range(len(w) - lo + 1):
+                    for size in range(lo, hi + 1):
+                        if start + size <= len(w):
+                            out.append((w[start:start + size], wpos))
+        else:
+            t = text.lower() if self.lowercase else text
+            for start in range(len(t) - lo + 1):
+                for size in range(lo, hi + 1):
+                    if start + size <= len(t):
+                        out.append((t[start:start + size], start))
+        return out
+
     def tokens(self, text: str) -> list[tuple[str, int]]:
         """Kept (term, position) pairs with Whoosh renumbering."""
+        if self.ngram is not None:
+            return self._ngram_tokens(text)
         toks = self.raw_tokens(text)
         if not self.use_stopfilter:
             return list(zip(toks, range(len(toks))))
@@ -116,6 +145,14 @@ class Analyzer:
                 if text is None:
                     out_terms.append([])
                     out_len.append(0)
+                    continue
+                if cfg.ngram is not None:
+                    pairs = cfg._ngram_tokens(text)
+                    agg2: dict = {}
+                    for t, pos in pairs:
+                        agg2.setdefault(t, []).append(pos)
+                    out_terms.append([(t, len(ps), ps) for t, ps in agg2.items()])
+                    out_len.append(len(pairs))
                     continue
                 toks = [m.group(0) for m in pat.finditer(text)]
                 if lower:

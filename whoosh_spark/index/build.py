@@ -104,12 +104,36 @@ def _field_configs(schema: IndexSchema) -> list[tuple]:
         f = schema[fieldname]
         a = f.analyzer
         out.append((fieldname, a.pattern, a.lowercase, a.stopwords if a.use_stopfilter else None,
-                    a.minsize, a.maxsize, bool(f.phrase)))
+                    a.minsize, a.maxsize, bool(f.phrase), a.ngram, a.ngram_words))
     return out
 
 
-def _tokenize_agg(pat, lower, stops, minsize, maxsize, text):
+def _ngram_pairs(pat, lower, lo, hi, words, text):
+    out = []
+    if words:
+        for wpos, m in enumerate(pat.finditer(text)):
+            w = m.group(0).lower() if lower else m.group(0)
+            for start in range(len(w) - lo + 1):
+                for size in range(lo, hi + 1):
+                    if start + size <= len(w):
+                        out.append((w[start:start + size], wpos))
+    else:
+        t = text.lower() if lower else text
+        for start in range(len(t) - lo + 1):
+            for size in range(lo, hi + 1):
+                if start + size <= len(t):
+                    out.append((t[start:start + size], start))
+    return out
+
+
+def _tokenize_agg(pat, lower, stops, minsize, maxsize, text, ngram=None, ngram_words=False):
     """(term -> positions, kept_count) with Whoosh renumbering."""
+    if ngram is not None:
+        pairs = _ngram_pairs(pat, lower, ngram[0], ngram[1], ngram_words, text)
+        agg: dict = {}
+        for t, pos in pairs:
+            agg.setdefault(t, []).append(pos)
+        return agg, len(pairs)
     toks = [m.group(0) for m in pat.finditer(text)]
     if lower:
         toks = [t.lower() for t in toks]
@@ -138,17 +162,17 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     ]
 
     def kernel(batches):
-        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, phrase)
-                    for name, pat, lower, stops, mins, maxs, phrase in cfgs]
+        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, phrase, ng, ngw)
+                    for name, pat, lower, stops, mins, maxs, phrase, ng, ngw in cfgs]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
-            for name, pat, lower, stops, mins, maxs, phrase in compiled:
+            for name, pat, lower, stops, mins, maxs, phrase, ng, ngw in compiled:
                 texts = pdf[name]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
                     if text is None:
                         continue
-                    agg, k = _tokenize_agg(pat, lower, stops, mins, maxs, text)
+                    agg, k = _tokenize_agg(pat, lower, stops, mins, maxs, text, ng, ngw)
                     for t, ps in agg.items():
                         f_out.append(name)
                         t_out.append(t)
@@ -181,15 +205,17 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
     ]
 
     def kernel(batches):
-        compiled = [(name, re.compile(pat), lower, stops, mins, maxs)
-                    for name, pat, lower, stops, mins, maxs, _ in cfgs]
+        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, ng, ngw)
+                    for name, pat, lower, stops, mins, maxs, _, ng, ngw in cfgs]
         for pdf in batches:
             d_out, f_out, l_out = [], [], []
-            for name, pat, lower, stops, mins, maxs in compiled:
+            for name, pat, lower, stops, mins, maxs, ng, ngw in compiled:
                 for did, text in zip(pdf["doc_id"], pdf[name]):
                     if text is None:
                         continue
-                    if stops is None:
+                    if ng is not None:
+                        k = len(_ngram_pairs(pat, lower, ng[0], ng[1], ngw, text))
+                    elif stops is None:
                         k = sum(1 for _ in pat.finditer(text))
                     else:
                         k = 0

@@ -61,6 +61,23 @@ def KEYWORD(stored: bool = False, lowercase: bool = True, commas: bool = False, 
     )
 
 
+def NGRAM(minsize: int = 2, maxsize: int = 4, stored: bool = False) -> FieldType:
+    """Char n-grams over the raw value (reference fields.py:1183-1231)."""
+    return FieldType(
+        analyzer=Analyzer(lowercase=True, use_stopfilter=False, ngram=(minsize, maxsize)),
+        indexed=True, stored=stored, scorable=True, kind="ngram",
+    )
+
+
+def NGRAMWORDS(minsize: int = 2, maxsize: int = 4, stored: bool = False) -> FieldType:
+    """N-grams within regex words (reference fields.py:1234-1265)."""
+    return FieldType(
+        analyzer=Analyzer(lowercase=True, use_stopfilter=False,
+                          ngram=(minsize, maxsize), ngram_words=True),
+        indexed=True, stored=stored, scorable=True, kind="ngramwords",
+    )
+
+
 def NUMERIC(stored: bool = False) -> FieldType:
     # Numeric predicates are native in Spark (SURVEY.md §2.4 NumericRange) —
     # no sortable-bytes/tiered-precision trick needed; kept as a doc column.
@@ -107,6 +124,8 @@ def schema_to_dict(schema: IndexSchema) -> dict:
                 "minsize": f.analyzer.minsize,
                 "maxsize": f.analyzer.maxsize,
                 "use_stopfilter": f.analyzer.use_stopfilter,
+                "ngram": list(f.analyzer.ngram) if f.analyzer.ngram else None,
+                "ngram_words": f.analyzer.ngram_words,
             }
         out[name] = {
             "analyzer": ana,
@@ -134,6 +153,8 @@ def schema_from_dict(d: dict) -> IndexSchema:
                 minsize=a["minsize"],
                 maxsize=a["maxsize"],
                 use_stopfilter=a["use_stopfilter"],
+                ngram=tuple(a["ngram"]) if a.get("ngram") else None,
+                ngram_words=a.get("ngram_words", False),
             )
         fields[name] = FieldType(
             analyzer=ana,
