@@ -5,7 +5,7 @@ from pyspark.sql import Row
 
 from whoosh_spark.index import Index, build_index
 from whoosh_spark.schema import IndexSchema, TEXT
-from whoosh_spark.search.spelling import correct_query_terms, suggest
+from whoosh_spark.search.spelling import correct_query_string, correct_query_terms, suggest
 
 DOCS = [
     "render render render",
@@ -59,3 +59,31 @@ def test_correct_query_terms(pair):
     fixes = correct_query_terms(ix, "value", ["rendar", "render", "zzzzzz"])
     assert fixes.get("rendar") == "render"
     assert "render" not in fixes
+
+
+def test_correct_query_string_matches_whoosh(pair, whoosh_ref):
+    ix, wix = pair
+    from whoosh.qparser import QueryParser as WQP
+
+    qp = WQP("value", wix.schema)
+    # parity on strings where each misspelled term appears once — with
+    # repeated terms the reference's char-range replacement garbles the
+    # output (e.g. '"rendar bender" rendar' -> '"render render" render',
+    # replacing the well-spelled 'bender'); we correct every occurrence
+    cases = [
+        "rendar bender",
+        "value:rendar^2 sender",
+        "rendar AND blendr",
+        "render",  # nothing to fix
+    ]
+    with wix.searcher() as s:
+        for qs in cases:
+            want = s.correct_query(qp.parse(qs), qs).string
+            got = correct_query_string(ix, qs, "value")
+            assert got == want, qs
+    # our behavior on duplicates: every occurrence corrected, others intact
+    assert correct_query_string(ix, "rendar rendar", "value") == "render render"
+    assert (
+        correct_query_string(ix, 'rendar AND "blender rendar"', "value")
+        == 'render AND "blender render"'
+    )

@@ -43,6 +43,84 @@ def suggest(ix: Index, field: str, text: str, limit: int = 5,
     return [r["term"] for r in rows]
 
 
+def correct_query_string(ix: Index, qstring: str, default_field: str,
+                         maxdist: int = 2, prefix: int = 0) -> str:
+    """Re-render the query string with misspelled terms replaced by their
+    best suggestion, preserving syntax (reference Searcher.correct_query +
+    Correction.string, spelling.py:178-320): corrects bare, fielded and
+    boosted words and words inside quoted phrases."""
+    import re as _re
+
+    from whoosh_spark.query.parser import _TOKEN_RE
+
+    def term_of(field: str, word: str) -> str | None:
+        ana = ix.schema[field].analyzer if field in ix.schema else None
+        terms = ana.query_terms(word) if ana else [word]
+        return terms[0] if terms else None
+
+    def fix(field: str, word: str) -> str | None:
+        t = term_of(field, word)
+        if t is None:
+            return None
+        present = (
+            ix.termstats()
+            .filter((F.col("field") == field) & (F.col("term") == t))
+            .limit(1)
+            .count()
+        )
+        if present:
+            return None
+        # the reference correction takes the head of the default 5-item
+        # suggestion list (the limit affects the tie cut, see suggest())
+        sugs = suggest(ix, field, t, limit=5, maxdist=maxdist, prefix=prefix)
+        return sugs[0] if sugs else None
+
+    edits: list[tuple[int, int, str]] = []
+    field = default_field
+    field_sticky = False
+    for m in _TOKEN_RE.finditer(qstring):
+        kind = m.lastgroup
+        if kind == "field":
+            field = m.group(0)[:-1]
+            field_sticky = True
+            continue
+        if kind == "word":
+            w = m.group("word")
+            if w in ("AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"):
+                continue
+            start, end = m.span("word")
+            core = w
+            # keep boost suffix / +- prefixes in place
+            bm = _re.match(r"^(.*?)(\^\d+(?:\.\d+)?)$", core)
+            if bm and bm.group(1):
+                core = bm.group(1)
+                end = start + len(core)
+            while core and core[0] in "+-":
+                core = core[1:]
+                start += 1
+            if core and "*" not in core and "?" not in core:
+                rep = fix(field, core)
+                if rep is not None:
+                    edits.append((start, end, rep))
+        elif kind == "phrase":
+            ptext = m.group("phtext")
+            pstart = m.span("phtext")[0]
+            ana = ix.schema[field].analyzer if field in ix.schema else None
+            pat = _re.compile(ana.pattern if ana else r"\\w+")
+            for wm in pat.finditer(ptext):
+                rep = fix(field, wm.group(0))
+                if rep is not None:
+                    edits.append((pstart + wm.start(), pstart + wm.end(), rep))
+        if kind != "field" and field_sticky:
+            field = default_field
+            field_sticky = False
+
+    out = qstring
+    for start, end, rep in sorted(edits, reverse=True):
+        out = out[:start] + rep + out[end:]
+    return out
+
+
 def correct_query_terms(ix: Index, field: str, words: list[str],
                         maxdist: int = 2, prefix: int = 0) -> dict[str, str]:
     """For each word not present in the lexicon, its best suggestion
@@ -58,7 +136,7 @@ def correct_query_terms(ix: Index, field: str, words: list[str],
     for w in words:
         if w in present:
             continue
-        sugs = suggest(ix, field, w, limit=1, maxdist=maxdist, prefix=prefix)
+        sugs = suggest(ix, field, w, limit=5, maxdist=maxdist, prefix=prefix)
         if sugs:
             out[w] = sugs[0]
     return out
