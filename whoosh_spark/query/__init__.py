@@ -9,6 +9,7 @@ from whoosh_spark.query.nodes import (
     Not,
     NullQuery,
     Or,
+    Ordered,
     Otherwise,
     Phrase,
     Prefix,
@@ -22,6 +23,6 @@ from whoosh_spark.query.nodes import (
 
 __all__ = [
     "Query", "Term", "And", "Or", "Not", "AndNot", "AndMaybe", "Require",
-    "Otherwise", "DisjunctionMax", "Phrase", "Prefix", "Wildcard", "Regex",
+    "Otherwise", "Ordered", "DisjunctionMax", "Phrase", "Prefix", "Wildcard", "Regex",
     "FuzzyTerm", "TermRange", "Every", "ConstantScore", "NullQuery",
 ]

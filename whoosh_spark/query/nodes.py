@@ -352,6 +352,26 @@ class Phrase(Query):
         return [(self.field, w) for w in self.words]
 
 
+class Ordered(Phrase):
+    """Sub-terms must occur in document order, at any distance (reference
+    query/positional.py:37-75; verified: matches in-order occurrences only).
+    Implemented as the SpanNear2 chain with an unbounded slop."""
+
+    def __init__(self, field: str, words: list, boost: float = 1.0):
+        super().__init__(field, words, slop=1 << 30, boost=boost)
+
+    def __repr__(self):
+        return f"Ordered({self.field!r}, {self.words!r})"
+
+    def normalize(self):
+        words = [w for w in self.words if w is not None]
+        if not words:
+            return NullQuery
+        if len(words) == 1:
+            return Term(self.field, words[0], boost=self.boost)
+        return Ordered(self.field, words, boost=self.boost)
+
+
 class MultiTerm(Query):
     """Base for queries that expand to a set of matching terms against the
     lexicon (reference terms.py:148-229 simplify-to-Or semantics).
