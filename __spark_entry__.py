@@ -194,7 +194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ix.termstats()
             .filter(F.col("field") == "text")
             .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("total_tf").alias("total_tf"))
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("total_tf").cast("long").alias("total_tf"),
+            )
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(50)
         )
@@ -330,7 +333,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_cosine_topk(emb, queries, dim=dim, k=5)
 
     def embedding_neardup(spark, sf):
+        # the production path: LSH bucket candidates + exact cosine verify
         from whoosh_spark.functions.dedup import embedding_neardup as op
+
+        return op(_emb(spark, sf), tau=0.4, dim=64)
+
+    def embedding_neardup_exact(spark, sf):
+        # O(n^2) verification oracle (never the production path)
+        from whoosh_spark.functions.dedup import embedding_neardup_oracle as op
 
         return op(_emb(spark, sf), tau=0.4)
 
@@ -372,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_neardup": embedding_neardup,
+        "embedding_neardup_exact": embedding_neardup_exact,
         "media_features": media_features,
     }
 
@@ -442,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["term_stats_top"] = (
         f"WITH {pre}, per_doc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term) "
-        "SELECT term, count(*) AS df, sum(tf) AS total_tf FROM per_doc "
+        "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM per_doc "
         "GROUP BY term ORDER BY df DESC, term ASC LIMIT 50"
     )
     sql["doc_lengths"] = (
@@ -479,7 +490,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from whoosh_spark.functions.dedup import exact_dedup_sql, minhash_pairs_sql, simhash_sql
-    from whoosh_spark.functions.similarity import brute_cosine_topk_sql, embedding_neardup_sql
+    from whoosh_spark.functions.similarity import (
+        brute_cosine_topk_sql,
+        embedding_neardup_lsh_sql,
+        embedding_neardup_sql,
+    )
     from whoosh_spark.functions.textstats import (
         doc_fingerprint_sql,
         lang_id_sql,
@@ -495,7 +510,8 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = lang_id_sql()
     sql["doc_fingerprint"] = doc_fingerprint_sql()
     sql["ann_brute_topk"] = brute_cosine_topk_sql(n_queries=3, k=5)
-    sql["embedding_neardup"] = embedding_neardup_sql(tau=0.4)
+    sql["embedding_neardup"] = embedding_neardup_lsh_sql(tau=0.4, dim=64)
+    sql["embedding_neardup_exact"] = embedding_neardup_sql(tau=0.4)
     # ann_lsh_topk and media_features are rows-only (ANN recall is verified
     # against the brute-force baseline in tests/test_functions.py; media
     # decode is stubbed pending codec libraries)

@@ -66,6 +66,9 @@ class Analyzer:
     ngram: tuple | None = None
     #: n-grams within regex words (NGRAMWORDS) vs over the raw text (NGRAM)
     ngram_words: bool = False
+    #: Porter-stem kept tokens (reference StemFilter, analysis/morph.py:35-149;
+    #: applied after the stop filter, like StemmingAnalyzer's chain order)
+    stem: bool = False
 
     # ---- driver-side (query analysis, tests) ----
 
@@ -105,14 +108,19 @@ class Analyzer:
             return self._ngram_tokens(text)
         toks = self.raw_tokens(text)
         if not self.use_stopfilter:
-            return list(zip(toks, range(len(toks))))
-        kept: list[tuple[str, int]] = []
-        first_pos = None
-        for pos, t in enumerate(toks):
-            if len(t) >= self.minsize and (self.maxsize is None or len(t) <= self.maxsize) and t not in self.stopwords:
-                if first_pos is None:
-                    first_pos = pos
-                kept.append((t, first_pos + len(kept)))
+            kept = list(zip(toks, range(len(toks))))
+        else:
+            kept = []
+            first_pos = None
+            for pos, t in enumerate(toks):
+                if len(t) >= self.minsize and (self.maxsize is None or len(t) <= self.maxsize) and t not in self.stopwords:
+                    if first_pos is None:
+                        first_pos = pos
+                    kept.append((t, first_pos + len(kept)))
+        if self.stem:
+            from whoosh_spark.analysis.morph import porter_stem
+
+            kept = [(porter_stem(t), pos) for t, pos in kept]
         return kept
 
     def query_terms(self, text: str) -> list[str]:
@@ -139,6 +147,11 @@ class Analyzer:
             minsize, maxsize = cfg.minsize, cfg.maxsize
             lower = cfg.lowercase
             use_stop = cfg.use_stopfilter
+            if cfg.stem:
+                # process-wide lru cache — survives across Arrow batches
+                from whoosh_spark.analysis.morph import porter_stem
+            else:
+                porter_stem = None
             out_terms = []
             out_len = []
             for text in texts:
@@ -165,11 +178,15 @@ class Analyzer:
                         if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
                             if first_pos is None:
                                 first_pos = pos
+                            if porter_stem is not None:
+                                t = porter_stem(t)
                             agg.setdefault(t, []).append(first_pos + n_kept)
                             n_kept += 1
                 else:
                     n_kept = len(toks)
                     for pos, t in enumerate(toks):
+                        if porter_stem is not None:
+                            t = porter_stem(t)
                         agg.setdefault(t, []).append(pos)
                 out_terms.append([(t, len(ps), ps) for t, ps in agg.items()])
                 out_len.append(n_kept)
@@ -185,6 +202,13 @@ class Analyzer:
 def standard_analyzer(**kw) -> Analyzer:
     """RegexTokenizer | Lowercase | StopFilter — the target chain."""
     return Analyzer(**kw)
+
+
+def stemming_analyzer(**kw) -> Analyzer:
+    """RegexTokenizer | Lowercase | StopFilter | StemFilter — the reference
+    docs' recommended default (reference analysis/analyzers.py:243-296
+    StemmingAnalyzer)."""
+    return Analyzer(stem=True, **kw)
 
 
 def simple_analyzer() -> Analyzer:

@@ -16,8 +16,13 @@ making every permutation pick the same element).
 
 At 100 TB the LSH path is the only viable one: signatures are one narrow
 shuffle per band; candidate verification touches only bucket-colliding
-pairs. Parameters (K=16, bands=4x4, shingle width 3) follow the standard
-MinHash-LSH construction (Broder; Mining of Massive Datasets ch. 3).
+pairs. Parameters (K=32 permutations, 16 bands x 2 rows, shingle width 3)
+follow the standard MinHash-LSH construction (Broder; Mining of Massive
+Datasets ch. 3): P(candidate | jaccard j) = 1 - (1 - j^2)^16 — 0.94 at
+j=0.4, 0.998 at j=0.6. 2-row band keys avoid the 1-row trap where one hot
+shingle's min-value forms giant buckets; MAX_BUCKET additionally drops any
+degenerate bucket whose membership exceeds the cap (sub-quadratic guarantee
+inside every bucket), mirrored exactly in the oracle SQL.
 """
 
 from __future__ import annotations
@@ -26,13 +31,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from whoosh_spark.functions.textstats import TOKEN_PATTERN, md5_hash64, tokens_col
 
-K = 16
-# 16 bands x 1 row: P(catch | j) = 1-(1-j)^16 (0.94 at j=0.16); generous
-# candidate recall — false positives are removed by the exact-jaccard
-# verification stage, and banding is tunable for the precision/cost tradeoff
+K = 32
 BANDS = 16
-ROWS_PER_BAND = K // BANDS
+ROWS_PER_BAND = K // BANDS  # 2 minhashes per band key
 SHINGLE_W = 3
+# skew guard: a band bucket holding more than this many docs is degenerate
+# (hot boilerplate); drop it rather than go quadratic inside it. The exact
+# same cap is applied in the DuckDB oracle so results stay comparable.
+MAX_BUCKET = 200
 
 
 def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
@@ -94,6 +100,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", threshold: float = 
     candidates restricted to band-bucket collisions."""
     sigs = minhash_signatures(df, text_col)
     bands = band_table(sigs)
+    # skew guard: drop degenerate buckets before the self-join so no bucket
+    # can go quadratic (one extra narrow aggregate, no second shuffle of
+    # the candidate pairs)
+    bucket_n = bands.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+    bands = bands.join(
+        bucket_n.filter(F.col("_bn") <= MAX_BUCKET).drop("_bn"),
+        on=["band", "key"], how="left_semi",
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "key"])
@@ -195,7 +209,12 @@ sigs AS (
     {mins}
   FROM sh GROUP BY doc_id
 ),
-bands AS ({bands_sql}),
+bands_all AS ({bands_sql}),
+bands AS (
+  SELECT doc_id, band, key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, key) AS _bn FROM bands_all
+  ) WHERE _bn <= {MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
@@ -242,10 +261,21 @@ SELECT doc_id, concat({bits}) AS simhash FROM s
 
 
 def embedding_neardup(emb: DataFrame, tau: float = 0.95,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs (a < b) with cosine >= tau. O(n^2) comparison — the scale
-    path buckets by LSH first (similarity.lsh_buckets); kept exact here as
-    the verification oracle."""
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact cosine >= tau — routed through
+    LSH bucket candidates (similarity.embedding_neardup_lsh), the only viable
+    construction at corpus scale. The O(n^2) all-pairs variant survives as
+    embedding_neardup_oracle for verification only."""
+    from whoosh_spark.functions.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(emb, tau=tau, id_col=id_col, vec_col=vec_col, dim=dim)
+
+
+def embedding_neardup_oracle(emb: DataFrame, tau: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs (a < b) with cosine >= tau. O(n^2) comparison — verification
+    oracle ONLY; production near-dup goes through embedding_neardup (LSH)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

@@ -15,6 +15,11 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 N_PLANES = 16
 N_TABLES = 4
+# near-dup pair search uses shorter bucket keys across more tables (recall
+# over precision — the exact-cosine stage removes false positives)
+ND_PLANES = 8
+ND_TABLES = 4
+MAX_BUCKET = 200  # skew guard: drop degenerate buckets (mirrored in SQL)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -117,6 +122,101 @@ def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def lsh_pair_candidates(emb: DataFrame, dim: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_tables: int = ND_TABLES,
+                        n_planes: int = ND_PLANES,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(a, b) candidate pairs (a < b) sharing an LSH bucket in any table,
+    with degenerate buckets (> max_bucket members) dropped so no bucket's
+    self-join can go quadratic — the scale path for pairwise similarity."""
+    buckets = lsh_buckets(emb, dim, id_col, vec_col, n_tables=n_tables, n_planes=n_planes)
+    sizes = buckets.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
+    buckets = buckets.join(
+        sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+        on=["table", "bucket"], how="left_semi",
+    )
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on=["table", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.95, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int | None = None,
+                          n_tables: int = ND_TABLES, n_planes: int = ND_PLANES) -> DataFrame:
+    """Near-duplicate pairs (a < b, exact cosine >= tau), candidates
+    restricted to LSH bucket collisions — the default at-scale near-dup
+    (the all-pairs variant survives as dedup.embedding_neardup_oracle for
+    verification only). Identical vectors always share every bucket, so
+    exact-duplicate recall is 1.0; near-pair recall follows the standard
+    random-hyperplane curve 1-(1-(1-theta/pi)^n_planes)^n_tables."""
+    if dim is None:
+        head = emb.select(vec_col).head()
+        dim = len(head[0]) if head else 0
+    if not dim:
+        return emb.sparkSession.createDataFrame(
+            [], "a long, b long, cosine double"
+        )
+    cand = lsh_pair_candidates(emb, dim, id_col, vec_col, n_tables, n_planes)
+    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    scored = (
+        cand.join(base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                              F.col("nrm").alias("na")), on="a")
+        .join(base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                          F.col("nrm").alias("nb")), on="b")
+        .select(
+            "a", "b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= tau)
+
+
+def _sql_plane_literal(table: int, plane: int, dim: int) -> str:
+    return "[" + ", ".join(repr(c) for c in _pseudo_plane(table, plane, dim)) + "]"
+
+
+def embedding_neardup_lsh_sql(tau: float, dim: int = 64,
+                              n_tables: int = ND_TABLES, n_planes: int = ND_PLANES,
+                              max_bucket: int = MAX_BUCKET) -> str:
+    """DuckDB mirror of embedding_neardup_lsh: identical pseudo-hyperplane
+    constants inlined as literals, identical bucket keys, cap, and exact
+    cosine verification."""
+    tables = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane_literal(t, p, dim)}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM base")
+    buckets_sql = " UNION ALL ".join(tables)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+buckets_all AS ({buckets_sql}),
+buckets AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS _bn FROM buckets_all
+  ) WHERE _bn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+SELECT c.a, c.b,
+       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
+WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {tau}
+""".strip()
 
 
 def lsh_cosine_topk(

@@ -174,6 +174,35 @@ class Index:
         decoded = decode_blocks(blocks, with_positions=with_positions)
         return self._mask_deleted(decoded)
 
+    def postings_docs_where(self, field: str, pushdown=None, exact_pred=None) -> DataFrame:
+        """Distinct doc_ids of postings whose term satisfies a Column
+        predicate — the distributed multiterm path: the pattern is pushed
+        into the block scan (Parquet row-group pruning on the term-sorted
+        files via ``pushdown``, exact refinement via ``exact_pred``) and only
+        doc ids are decoded; no term list ever reaches the driver."""
+        blocks = self.postings_blocks().filter(F.col("field") == field)
+        if pushdown is not None:
+            blocks = blocks.filter(pushdown)
+        if exact_pred is not None:
+            blocks = blocks.filter(exact_pred)
+        return self._mask_deleted(decode_doc_ids(blocks)).distinct()
+
+
+def decode_doc_ids(blocks: DataFrame) -> DataFrame:
+    """Ids-only block decode: (doc_id) rows. Skips tf/len/position decode —
+    the fast path for existence-style scans (multiterm doc sets)."""
+
+    def decode_iter(batches):
+        for pdf in batches:
+            out = [codec.delta_decode(row.ids, int(row.count))
+                   for row in pdf.itertuples(index=False)]
+            if out:
+                yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+    return blocks.select("count", "ids").mapInPandas(
+        decode_iter, T.StructType([T.StructField("doc_id", T.LongType())])
+    )
+
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False,
                   with_block_id: bool = False) -> DataFrame:

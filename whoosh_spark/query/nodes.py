@@ -25,6 +25,10 @@ from __future__ import annotations
 import re
 from fnmatch import translate as glob_translate
 
+import pandas as pd  # needed at module scope: pandas_udf resolves the
+# (stringified, PEP-563) type hints of spark_exact_predicate's kernel
+# against this module's globals
+
 
 class Query:
     boost: float = 1.0
@@ -392,8 +396,26 @@ class MultiTerm(Query):
 
     def spark_term_filter(self):
         """Optional: a pyspark Column predicate over F.col('term') used to
-        push the expansion into the lexicon scan. None -> driver filter."""
+        push the expansion into the lexicon scan (may be a *partial* filter,
+        e.g. just a literal-prefix pushdown). None -> no pushdown."""
         return None
+
+    def spark_exact_predicate(self):
+        """Full-fidelity Column predicate over F.col('term') — semantically
+        identical to ``term_predicate``. The default wraps ``term_predicate``
+        in an Arrow-batched pandas UDF so expansion stays distributed even
+        for patterns with no native Spark equivalent (Python-regex Wildcard/
+        Regex). Subclasses with exact native expressions override."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        pred = self.term_predicate
+
+        @pandas_udf("boolean")
+        def _pred(s: pd.Series) -> pd.Series:
+            return s.map(pred)
+
+        return _pred(F.col("term"))
 
     def estimate_size(self, stats):
         return stats.doc_count()
@@ -424,6 +446,9 @@ class Prefix(MultiTerm):
         from pyspark.sql import functions as F
 
         return F.col("term").startswith(self.text)
+
+    def spark_exact_predicate(self):
+        return self.spark_term_filter()  # startswith is the full predicate
 
 
 class Wildcard(MultiTerm):
@@ -519,6 +544,10 @@ class FuzzyTerm(MultiTerm):
             cond = cond & F.col("term").startswith(self.text[: self.prefixlength])
         return cond
 
+    def spark_exact_predicate(self):
+        # Spark's levenshtein == plain Levenshtein == term_predicate's DP
+        return self.spark_term_filter()
+
     def __eq__(self, other):
         return type(self) is type(other) and (
             self.field, self.text, self.maxdist, self.prefixlength, self.boost,
@@ -563,6 +592,9 @@ class TermRange(MultiTerm):
         if self.end is not None:
             cond = cond & (F.col("term") < self.end if self.endexcl else F.col("term") <= self.end)
         return cond
+
+    def spark_exact_predicate(self):
+        return self.spark_term_filter()  # the bounds are the full predicate
 
     def normalize(self):
         # degenerate forms (reference ranges.py:164-175)
@@ -682,6 +714,32 @@ class ConstantScore(Query):
 
     def estimate_size(self, stats):
         return self.child.estimate_size(stats)
+
+
+class _MultiTermDocs(Query):
+    """Internal plan node: the distributed constant-score doc set of a
+    multiterm expansion that matched >1 lexicon term. Matches every doc
+    containing ANY matching term, score exactly 1.0 and boost ignored —
+    the reference MultiTerm.matcher constant-score ListMatcher semantics
+    (terms.py:195-211), without ever materializing the term list on the
+    driver: the planner semi-joins the posting scan against the filtered
+    lexicon predicate instead (engine.py _compile_multiterm_docs)."""
+
+    def __init__(self, source: MultiTerm, est: int):
+        self.source = source
+        self.field = source.field
+        self.boost = 1.0  # constant-score expansion ignores boost (verified)
+        self._est = int(est)
+
+    def __repr__(self):
+        return f"_MultiTermDocs({self.source!r}, est={self._est})"
+
+    def estimate_size(self, stats):
+        # the expanded Or's estimate: min(sum of term dfs, doc_count)
+        return min(self._est, stats.doc_count())
+
+    def leaf_terms(self):
+        return []
 
 
 def _levenshtein(a: str, b: str) -> int:

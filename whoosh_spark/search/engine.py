@@ -63,12 +63,14 @@ class _Compiled:
 
 class Searcher:
     def __init__(self, index: Index, weighting: WeightingModel | None = None,
-                 exact_scores: bool = True, cache_postings: bool = True):
+                 exact_scores: bool = True, cache_postings: bool = True,
+                 max_expansion: int = 1024):
         self.index = index
         self.schema = index.schema
         self.weighting = weighting or BM25F()
         self.exact_scores = exact_scores
         self.cache_postings = cache_postings
+        self.max_expansion = max_expansion  # scored-multiterm clause cap
         self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------ API
@@ -213,25 +215,51 @@ class _PlanContext:
         return c.df
 
     def _resolve_multiterms(self, q: Q.Query) -> Q.Query:
-        """Expand Prefix/Wildcard/Regex/FuzzyTerm/TermRange against the
-        lexicon into Or-of-Terms (reference simplify(), terms.py:173-191)."""
+        """Resolve Prefix/Wildcard/Regex/FuzzyTerm/TermRange.
+
+        Constant-score multiterms (the reference default for pattern/range
+        queries) stay fully DISTRIBUTED: only a 1-row aggregate of the
+        filtered lexicon (match count + summed df + the single term when
+        count==1) ever reaches the driver — the doc set itself is computed
+        by pushing the term predicate into the posting-block scan
+        (_compile_multiterm_docs). 0-term and 1-term expansions keep the
+        reference's Null / scored-Term special cases (terms.py:173-191).
+
+        Scored multiterms (FuzzyTerm, constantscore=False) need per-term idf,
+        so they expand to Or-of-Terms — capped at Searcher.max_expansion
+        (fail loudly, Lucene-clause-limit style) since a scored expansion is
+        inherently a per-term plan."""
         if isinstance(q, Q.MultiTerm):
             lex = self.ix.field_terms(q.field)
             flt = q.spark_term_filter()
             if flt is not None:
                 lex = lex.filter(flt)
-            terms = [r["term"] for r in lex.select("term").collect() if q.term_predicate(r["term"])]
-            terms.sort()  # lexicon order (reference iterates terms sorted)
+            lex = lex.filter(q.spark_exact_predicate())
+            if q.constantscore:
+                row = lex.agg(
+                    F.count("*").alias("n"),
+                    F.sum("df").alias("est"),
+                    F.min("term").alias("t0"),
+                ).collect()[0]
+                if row["n"] == 0:
+                    return Q.NullQuery
+                if row["n"] == 1:
+                    return Q.Term(q.field, row["t0"], boost=q.boost)
+                return Q._MultiTermDocs(q, est=int(row["est"]))
+            cap = self.s.max_expansion
+            rows = lex.select("term").orderBy("term").limit(cap + 1).collect()
+            terms = [r["term"] for r in rows]
+            if len(terms) > cap:
+                raise ValueError(
+                    f"{type(q).__name__} on field {q.field!r} expands to more "
+                    f"than max_expansion={cap} terms; narrow the pattern or "
+                    f"raise Searcher(max_expansion=...)"
+                )
             if not terms:
                 return Q.NullQuery
             if len(terms) == 1:
                 return Q.Term(q.field, terms[0], boost=q.boost)
-            expanded = Q.Or([Q.Term(q.field, t) for t in terms], boost=q.boost)
-            if q.constantscore:
-                # reference PatternQuery/TermRange default: every match
-                # scores exactly 1.0, boost ignored (verified empirically)
-                return Q.ConstantScore(expanded, 1.0)
-            return expanded
+            return Q.Or([Q.Term(q.field, t) for t in terms], boost=q.boost)
         # recurse
         if isinstance(q, Q.CompoundQuery):
             return q._rebuild([self._resolve_multiterms(c) for c in q.subqueries])
@@ -401,7 +429,21 @@ class _PlanContext:
             child = self._realize(self._compile(q.child))
             df = child.select("doc_id").withColumn("score", F.lit(float(q.score)))
             return _Compiled(self._boosted(df, q.boost))
+        if isinstance(q, Q._MultiTermDocs):
+            return _Compiled(self._compile_multiterm_docs(q))
         raise TypeError(f"cannot compile query node {type(q).__name__}")
+
+    def _compile_multiterm_docs(self, q: Q._MultiTermDocs) -> DataFrame:
+        """Distributed constant-score multiterm: push the term predicate into
+        the posting-block scan (partial filter pushes to Parquet row-group
+        stats on the term-sorted files), decode ids only, distinct, score 1.0
+        (boost ignored — reference quirk, terms.py:195-211)."""
+        src = q.source
+        docs = self.ix.postings_docs_where(
+            src.field, pushdown=src.spark_term_filter(),
+            exact_pred=src.spark_exact_predicate(),
+        )
+        return docs.withColumn("score", F.lit(1.0))
 
     def _realize(self, c: _Compiled) -> DataFrame:
         return self._complement(c.df) if c.negated else c.df
@@ -608,16 +650,36 @@ class _PlanContext:
 
         slop, ordered, mindist = q.slop, True, 1
 
-        @pandas_udf(T.BooleanType())
-        def span_chain(*cols: pd.Series) -> pd.Series:
-            out = []
-            n_rows = len(cols[0])
-            for ri in range(n_rows):
-                poslists = [list(c.iloc[ri]) for c in cols]
-                out.append(_span_near_chain(poslists, slop, ordered, mindist))
-            return pd.Series(out)
+        if slop == 1:
+            # slop=1 ordered adjacency degenerates to: exists p in p0 with
+            # p+i in p_i for every following word — a pure JVM expression
+            # (higher-order array functions inside codegen, no Python).
+            # Equivalent to the SpanNear2 chain: each pairwise combine with
+            # mindist=1..slop=1 forces b_start == a_end + 1.
+            def adjacent(start_col):
+                conds = [
+                    F.array_contains(F.col(pos_cols[i]), start_col + F.lit(i))
+                    for i in range(1, len(pos_cols))
+                ]
+                out = conds[0]
+                for c in conds[1:]:
+                    out = out & c
+                return out
 
-        matched = joined.filter(span_chain(*[F.col(c) for c in pos_cols])).select("doc_id")
+            chain_ok = F.exists(F.col(pos_cols[0]), adjacent)
+            matched = joined.filter(chain_ok).select("doc_id")
+        else:
+
+            @pandas_udf(T.BooleanType())
+            def span_chain(*cols: pd.Series) -> pd.Series:
+                out = []
+                n_rows = len(cols[0])
+                for ri in range(n_rows):
+                    poslists = [list(c.iloc[ri]) for c in cols]
+                    out.append(_span_near_chain(poslists, slop, ordered, mindist))
+                return pd.Series(out)
+
+            matched = joined.filter(span_chain(*[F.col(c) for c in pos_cols])).select("doc_id")
 
         # score = sum of word term-scores over an order-preserving binary
         # tree (SpanNear2Matcher wraps make_binary_tree(Intersection, ms))
