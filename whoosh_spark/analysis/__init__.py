@@ -2,8 +2,9 @@ from whoosh_spark.analysis.tokenize import (
     STOP_WORDS,
     Analyzer,
     standard_analyzer,
+    stemming_analyzer,
     simple_analyzer,
     id_analyzer,
 )
 
-__all__ = ["STOP_WORDS", "Analyzer", "standard_analyzer", "simple_analyzer", "id_analyzer"]
+__all__ = ["STOP_WORDS", "Analyzer", "standard_analyzer", "stemming_analyzer", "simple_analyzer", "id_analyzer"]

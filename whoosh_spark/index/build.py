@@ -104,7 +104,7 @@ def _field_configs(schema: IndexSchema) -> list[tuple]:
         f = schema[fieldname]
         a = f.analyzer
         out.append((fieldname, a.pattern, a.lowercase, a.stopwords if a.use_stopfilter else None,
-                    a.minsize, a.maxsize, bool(f.phrase), a.ngram, a.ngram_words))
+                    a.minsize, a.maxsize, bool(f.phrase), a.ngram, a.ngram_words, a.stem))
     return out
 
 
@@ -126,8 +126,12 @@ def _ngram_pairs(pat, lower, lo, hi, words, text):
     return out
 
 
-def _tokenize_agg(pat, lower, stops, minsize, maxsize, text, ngram=None, ngram_words=False):
-    """(term -> positions, kept_count) with Whoosh renumbering."""
+def _tokenize_agg(pat, lower, stops, minsize, maxsize, text, ngram=None, ngram_words=False, stem=False):
+    """(term -> positions, kept_count) with Whoosh renumbering; ``stem``
+    porter-stems kept tokens before aggregation (StemFilter position in the
+    reference chain: after the stop filter)."""
+    if stem:
+        from whoosh_spark.analysis.morph import porter_stem
     if ngram is not None:
         pairs = _ngram_pairs(pat, lower, ngram[0], ngram[1], ngram_words, text)
         agg: dict = {}
@@ -140,6 +144,8 @@ def _tokenize_agg(pat, lower, stops, minsize, maxsize, text, ngram=None, ngram_w
     agg: dict = {}
     if stops is None:
         for pos, t in enumerate(toks):
+            if stem:
+                t = porter_stem(t)
             agg.setdefault(t, []).append(pos)
         return agg, len(toks)
     first = None
@@ -148,6 +154,8 @@ def _tokenize_agg(pat, lower, stops, minsize, maxsize, text, ngram=None, ngram_w
         if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
             if first is None:
                 first = pos
+            if stem:
+                t = porter_stem(t)
             agg.setdefault(t, []).append(first + k)
             k += 1
     return agg, k
@@ -162,17 +170,17 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     ]
 
     def kernel(batches):
-        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, phrase, ng, ngw)
-                    for name, pat, lower, stops, mins, maxs, phrase, ng, ngw in cfgs]
+        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, phrase, ng, ngw, stm)
+                    for name, pat, lower, stops, mins, maxs, phrase, ng, ngw, stm in cfgs]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
-            for name, pat, lower, stops, mins, maxs, phrase, ng, ngw in compiled:
+            for name, pat, lower, stops, mins, maxs, phrase, ng, ngw, stm in compiled:
                 texts = pdf[name]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
                     if text is None:
                         continue
-                    agg, k = _tokenize_agg(pat, lower, stops, mins, maxs, text, ng, ngw)
+                    agg, k = _tokenize_agg(pat, lower, stops, mins, maxs, text, ng, ngw, stm)
                     for t, ps in agg.items():
                         f_out.append(name)
                         t_out.append(t)
@@ -206,7 +214,7 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
 
     def kernel(batches):
         compiled = [(name, re.compile(pat), lower, stops, mins, maxs, ng, ngw)
-                    for name, pat, lower, stops, mins, maxs, _, ng, ngw in cfgs]
+                    for name, pat, lower, stops, mins, maxs, _, ng, ngw, _stm in cfgs]
         for pdf in batches:
             d_out, f_out, l_out = [], [], []
             for name, pat, lower, stops, mins, maxs, ng, ngw in compiled:

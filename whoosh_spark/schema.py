@@ -126,6 +126,7 @@ def schema_to_dict(schema: IndexSchema) -> dict:
                 "use_stopfilter": f.analyzer.use_stopfilter,
                 "ngram": list(f.analyzer.ngram) if f.analyzer.ngram else None,
                 "ngram_words": f.analyzer.ngram_words,
+                "stem": f.analyzer.stem,
             }
         out[name] = {
             "analyzer": ana,
@@ -155,6 +156,7 @@ def schema_from_dict(d: dict) -> IndexSchema:
                 use_stopfilter=a["use_stopfilter"],
                 ngram=tuple(a["ngram"]) if a.get("ngram") else None,
                 ngram_words=a.get("ngram_words", False),
+                stem=a.get("stem", False),
             )
         fields[name] = FieldType(
             analyzer=ana,
