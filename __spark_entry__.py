@@ -188,6 +188,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def term_id_field(spark, sf):
         return _topk(_searcher(spark, sf), Q.Term("lang", "zh"), k=500)
 
+    # ---- multiterm / positional / compound variants (all through the
+    #      distributed expansion + full engine) ----
+
+    def bm25_wildcard(spark, sf):
+        # "s*a*" expands to >1 term -> constant-score distributed doc set
+        return _topk(_searcher(spark, sf), Q.Wildcard("text", "s*a*"), k=200)
+
+    def bm25_regex(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Regex("text", "^s"), k=200)
+
+    def bm25_fuzzy(spark, sf):
+        # scored multiterm: expands to {part, sort} (levenshtein <= 2)
+        return _topk(_searcher(spark, sf), Q.FuzzyTerm("text", "sort", maxdist=2, prefixlength=0), k=30)
+
+    def bm25_termrange(spark, sf):
+        return _topk(_searcher(spark, sf), Q.TermRange("text", "query", "table"), k=300)
+
+    def bm25_every(spark, sf):
+        return _topk(_searcher(spark, sf), Q.Every("text"), k=500)
+
+    def bm25_otherwise(spark, sf):
+        return _topk(
+            _searcher(spark, sf),
+            Q.Otherwise(Q.Term("text", "zzzqqq"), Q.Term("text", "scan")),
+        )
+
+    def bm25_minmatch(spark, sf):
+        return _topk(
+            _searcher(spark, sf),
+            Q.Or(
+                [Q.Term("text", "scan"), Q.Term("text", "merge"), Q.Term("text", "window")],
+                minmatch=2,
+            ),
+        )
+
+    def bm25_or_scale(spark, sf):
+        return _topk(
+            _searcher(spark, sf),
+            Q.Or([Q.Term("text", "scan"), Q.Term("text", "join")], scale=0.5),
+        )
+
+    def bm25_ordered(spark, sf):
+        # in-order at any distance (reference Ordered, positional.py:37-75)
+        return _topk(_searcher(spark, sf), Q.Ordered("text", ["group", "order"]))
+
+    def wand_or5(spark, sf):
+        # block-max WAND pruned top-k == unpruned top-k
+        s = _searcher(spark, sf)
+        q = Q.Or([Q.Term("text", t) for t in ["scan", "join", "window", "sort", "row"]])
+        df = s.search(q, limit=20, use_wand=True)
+        return (
+            df.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def matched_terms_top(spark, sf):
+        from whoosh_spark.search.sorting import matched_terms as op
+
+        s = _searcher(spark, sf)
+        q = Q.Or([Q.Term("text", "scan"), Q.Term("text", "merge"), Q.Term("text", "window")])
+        m = op(s, q, limit=None)
+        return (
+            m.select(
+                "doc_id",
+                F.round(F.col("score"), 6).alias("score"),
+                F.concat_ws(",", F.col("matched_terms")).alias("terms"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    def batch_bm25(spark, sf):
+        from whoosh_spark.search.batch import batch_term_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", "text", ["scan", "merge"]),
+            ("q2", "text", ["join"]),
+            ("q3", "text", ["window", "sort", "row"]),
+        ]
+        return batch_term_search(s, qs, k=10, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
+    def date_range_filter(spark, sf):
+        # DateRange over a deterministic derived date column (the corpus has
+        # no timestamp column): date = 2020-01-01 + doc_id % 365 days
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        d = F.date_add(F.to_date(F.lit("2020-01-01")), (F.col("doc_id") % 365).cast("int"))
+        return (
+            docs.withColumn("d", d)
+            .filter((F.col("d") >= F.lit("2020-03-01")) & (F.col("d") <= F.lit("2020-06-30")))
+            .select("doc_id", F.col("d").cast("string").alias("d"))
+        )
+
+    def facet_range_count(spark, sf):
+        from whoosh_spark.search.sorting import range_facet_col
+
+        s = _searcher(spark, sf)
+        m = s.matches(Q.Term("text", "scan"))
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        j = m.join(docs.select("doc_id", "n_chars"), on="doc_id")
+        bucket = range_facet_col("n_chars", 0, 3000, 500)
+        return (
+            j.select(bucket.alias("bucket"))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias("count"))
+        )
+
+    def facet_query_count(spark, sf):
+        from whoosh_spark.search.sorting import query_facet_col
+
+        s = _searcher(spark, sf)
+        m = s.matches(Q.Term("text", "scan")).select("doc_id")
+        labeled = query_facet_col(
+            s,
+            {"has_merge": Q.Term("text", "merge"), "has_join": Q.Term("text", "join")},
+            m,
+        )
+        return (
+            labeled.filter(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.count("*").alias("count"))
+        )
+
     def term_stats_top(spark, sf):
         ix = _index_for(spark, sf)
         ts = (
@@ -364,6 +490,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": bm25_prefix,
         "bm25_phrase2": bm25_phrase2,
         "term_id_field": term_id_field,
+        "bm25_wildcard": bm25_wildcard,
+        "bm25_regex": bm25_regex,
+        "bm25_fuzzy": bm25_fuzzy,
+        "bm25_termrange": bm25_termrange,
+        "bm25_every": bm25_every,
+        "bm25_otherwise": bm25_otherwise,
+        "bm25_minmatch": bm25_minmatch,
+        "bm25_or_scale": bm25_or_scale,
+        "bm25_ordered": bm25_ordered,
+        "wand_or5": wand_or5,
+        "matched_terms_top": matched_terms_top,
+        "batch_bm25": batch_bm25,
+        "date_range_filter": date_range_filter,
+        "facet_range_count": facet_range_count,
+        "facet_query_count": facet_query_count,
         "term_stats_top": term_stats_top,
         "doc_lengths": doc_lengths,
         "lexicon_range": lexicon_range,
@@ -394,6 +535,33 @@ def oracle_sql() -> dict[str, str]:
     def with_scores(terms: list[str], body: str, k: int = 20, positions: bool = False) -> str:
         ctes = ",\n".join(_score_cte(t, t) for t in terms)
         return f"WITH {pre_pos if positions else pre},\n{ctes}\n{_sql_topk(body, k)}"
+
+    k1p1, k1, omb, b = repr(_K1 + 1), repr(_K1), repr(1 - _B), repr(_B)
+
+    def multiterm_const(pred: str, k: int) -> str:
+        # constant-score multiterm: any matching term -> score exactly 1.0
+        return (
+            f"WITH {pre} SELECT doc_id, 1.0 AS score FROM tok WHERE {pred} "
+            f"GROUP BY doc_id ORDER BY doc_id LIMIT {k}"
+        )
+
+    def multiterm_scored(pred: str, k: int) -> str:
+        # scored multiterm expansion: BM25 per matching term, summed per doc
+        return f"""
+WITH {pre},
+mt AS (SELECT DISTINCT term FROM tok WHERE {pred}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok JOIN mt USING (term) GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT f.doc_id,
+         sum((ln((SELECT CAST(n AS DOUBLE) FROM nstats) / (d.df + 1)) + 1)
+             * (f.tf * {k1p1}) / (f.tf + {k1} * ({omb} + {b} * CAST(l.q AS DOUBLE)
+                 / ((SELECT CAST(total_len AS DOUBLE) FROM nstats) / (SELECT CAST(n AS DOUBLE) FROM nstats))))) AS score
+  FROM tf f JOIN dfs d USING (term) JOIN doclen dl USING (doc_id) JOIN lenq l ON dl.fl BETWEEN l.lo AND l.hi
+  GROUP BY f.doc_id
+)
+{_sql_topk("SELECT doc_id, score FROM sc", k)}
+""".strip()
 
     sql = {}
     sql["bm25_term"] = with_scores(["scan"], "SELECT doc_id, score FROM sc_scan")
@@ -450,6 +618,91 @@ def oracle_sql() -> dict[str, str]:
     sql["term_id_field"] = (
         "SELECT doc_id, 1.0 AS score FROM documents WHERE lang = 'zh' "
         "ORDER BY doc_id LIMIT 500"
+    )
+    sql["bm25_wildcard"] = multiterm_const("term LIKE 's%a%'", 200)
+    sql["bm25_regex"] = multiterm_const("regexp_matches(term, '^s')", 200)
+    sql["bm25_fuzzy"] = multiterm_scored("levenshtein(term, 'sort') <= 2", 30)
+    sql["bm25_termrange"] = multiterm_const("term >= 'query' AND term <= 'table'", 300)
+    sql["bm25_every"] = (
+        "SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id LIMIT 500"
+    )
+    sql["bm25_otherwise"] = with_scores(["scan"], "SELECT doc_id, score FROM sc_scan")
+    sql["bm25_minmatch"] = with_scores(
+        ["scan", "merge", "window"],
+        "SELECT doc_id, sum(score) AS score FROM (SELECT * FROM sc_scan UNION ALL "
+        "SELECT * FROM sc_merge UNION ALL SELECT * FROM sc_window) "
+        "GROUP BY doc_id HAVING count(*) >= 2",
+    )
+    # Or(scale=s) CoordMatcher SQR (reference matching/wrappers.py:541-558):
+    # sqr = (score + (matching-1)/(termcount-scale)^2) * ((termcount-1)/termcount)
+    sql["bm25_or_scale"] = with_scores(
+        ["scan", "join"],
+        "SELECT doc_id, (sum(score) + (count(*) - 1) / ((2 - 0.5) * (2 - 0.5)))"
+        " * ((2 - 1.0) / 2) AS score FROM (SELECT * FROM sc_scan UNION ALL "
+        "SELECT * FROM sc_join) GROUP BY doc_id",
+    )
+    sql["bm25_ordered"] = with_scores(
+        ["group", "order"],
+        "SELECT g.doc_id, g.score + o.score AS score "
+        "FROM sc_group g JOIN sc_order o USING (doc_id) "
+        "WHERE g.doc_id IN (SELECT a.doc_id FROM tok a JOIN tok b USING (doc_id) "
+        "WHERE a.term = 'group' AND b.term = 'order' AND b.pos > a.pos)",
+        positions=True,
+    )
+    sql["wand_or5"] = with_scores(
+        ["scan", "join", "window", "sort", "row"],
+        "SELECT doc_id, sum(score) AS score FROM (SELECT * FROM sc_scan "
+        "UNION ALL SELECT * FROM sc_join UNION ALL SELECT * FROM sc_window "
+        "UNION ALL SELECT * FROM sc_sort UNION ALL SELECT * FROM sc_row) "
+        "GROUP BY doc_id",
+    )
+    sql["matched_terms_top"] = (
+        "WITH " + pre + ",\n"
+        + ",\n".join(_score_cte(t, t) for t in ["scan", "merge", "window"]) + ",\n"
+        "agg AS (SELECT doc_id, sum(score) AS score FROM (SELECT * FROM sc_scan "
+        "UNION ALL SELECT * FROM sc_merge UNION ALL SELECT * FROM sc_window) GROUP BY doc_id),\n"
+        "mt AS (SELECT doc_id, array_to_string(list_sort(list(DISTINCT term)), ',') AS terms "
+        "FROM tok WHERE term IN ('merge', 'scan', 'window') GROUP BY doc_id)\n"
+        "SELECT a.doc_id, round(a.score, 6) AS score, m.terms FROM agg a JOIN mt m USING (doc_id) "
+        "ORDER BY round(a.score, 6) DESC, a.doc_id LIMIT 20"
+    )
+    _batch_q = {
+        "q1": ["scan", "merge"],
+        "q2": ["join"],
+        "q3": ["window", "sort", "row"],
+    }
+    _batch_terms = sorted({t for ts in _batch_q.values() for t in ts})
+    _batch_union = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score FROM sc_{t}"
+        for qid, ts in _batch_q.items()
+        for t in ts
+    )
+    sql["batch_bm25"] = (
+        "WITH " + pre + ",\n"
+        + ",\n".join(_score_cte(t, t) for t in _batch_terms) + ",\n"
+        f"u AS ({_batch_union}),\n"
+        "agg AS (SELECT query_id, doc_id, round(sum(score), 6) AS score FROM u GROUP BY query_id, doc_id)\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM agg"
+        ") WHERE rn <= 10"
+    )
+    sql["date_range_filter"] = (
+        "SELECT doc_id, CAST(DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR) AS d "
+        "FROM documents "
+        "WHERE DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) BETWEEN DATE '2020-03-01' AND DATE '2020-06-30'"
+    )
+    sql["facet_range_count"] = (
+        f"WITH {pre} SELECT CAST(floor(d.n_chars / 500) AS BIGINT) AS bucket, count(*) AS count "
+        "FROM (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan') m "
+        "JOIN documents d USING (doc_id) "
+        "WHERE d.n_chars >= 0 AND d.n_chars < 3000 GROUP BY 1"
+    )
+    sql["facet_query_count"] = (
+        f"WITH {pre}, m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan'), "
+        "lab AS (SELECT doc_id, CASE "
+        "WHEN doc_id IN (SELECT doc_id FROM tok WHERE term = 'merge') THEN 'has_merge' "
+        "WHEN doc_id IN (SELECT doc_id FROM tok WHERE term = 'join') THEN 'has_join' END AS value FROM m) "
+        "SELECT value, count(*) AS count FROM lab WHERE value IS NOT NULL GROUP BY value"
     )
     sql["term_stats_top"] = (
         f"WITH {pre}, per_doc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term) "

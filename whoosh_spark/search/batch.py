@@ -57,11 +57,14 @@ def batch_term_search(
     k: int = 10,
     conjunctive: bool = False,
     use_wand: bool = False,
+    round_to: int | None = None,
 ) -> DataFrame:
     """queries: [(query_id, field, [terms...])] -> top-k per query.
 
     Returns DataFrame(query_id, doc_id, score, rank). ``use_wand=True``
-    applies per-query block-max pruning (see batch_wand_search)."""
+    applies per-query block-max pruning (see batch_wand_search).
+    ``round_to`` rounds scores BEFORE the top-k window so the k-boundary
+    tie-cut is deterministic across engines (oracle comparisons)."""
     if use_wand and not conjunctive:
         return batch_wand_search(searcher, queries, k)
     ix = searcher.index
@@ -84,7 +87,10 @@ def batch_term_search(
         agg = agg.join(F.broadcast(n_terms), on="query_id").filter(
             F.col("_n") == F.col("_need")
         )
-    return _topk_window(agg.select("query_id", "doc_id", "score"), k)
+    out = agg.select("query_id", "doc_id", "score")
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return _topk_window(out, k)
 
 
 def batch_wand_search(
