@@ -471,10 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return op(_emb(spark, sf), tau=0.4)
 
     def media_features(spark, sf):
+        # REAL stdlib decode of PNG/WAV payloads (video = documented stub);
+        # decoded width/height/sample_rate are invariant-checked against the
+        # generator metadata in tests/test_functions.py
         from whoosh_spark.functions.multimodal import extract_features, synth_media
 
-        return extract_features(synth_media(spark, 100), decoder="fake").select(
-            "media_id", "kind", "payload_sha256", "n_bytes"
+        return extract_features(synth_media(spark, 100), decoder="stdlib").select(
+            "media_id", "kind", "payload_sha256", "n_bytes", "width", "height", "sample_rate"
         )
 
     return {

@@ -145,19 +145,51 @@ def test_embedding_neardup_self(spark):
     assert all((i, i + 10000) in found for i in range(5))
 
 
-def test_multimodal_plumbing(spark):
+def test_png_wav_roundtrip():
+    import numpy as np
+
+    from whoosh_spark.functions.multimodal import (
+        png_decode,
+        png_encode_gray,
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    w, h, decoded = png_decode(png_encode_gray(px))
+    assert (w, h) == (13, 9)
+    assert (decoded == px).all()
+
+    samples = (rng.standard_normal(160) * 10000).clip(-32768, 32767).astype("<i2")
+    rate, back = wav_decode(wav_encode_pcm16(samples.astype(np.float64), 8000))
+    assert rate == 8000
+    assert np.allclose(back * 32768.0, samples, atol=1.0)
+
+
+def test_multimodal_real_decode(spark):
     media = synth_media(spark, 30)
     assert media.count() == 30
-    feats = extract_features(media, decoder="fake")
-    rows = feats.collect()
+    rows = extract_features(media, decoder="stdlib").collect()
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
     assert len(rows) == 30
     assert all(len(r["feature"]) == 16 for r in rows)
-    # deterministic features from payload
-    r0 = [r for r in rows if r["media_id"] == 0][0]
-    payload = hashlib.sha256(b"42:0").digest() * 4
-    assert r0["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    for r in rows:
+        m = meta[r["media_id"]]
+        if r["kind"] == "image":
+            # the REAL PNG decode recovers the generator's dimensions
+            assert (r["width"], r["height"]) == (m["width"], m["height"])
+            assert r["feature"][0] == m["width"] and r["feature"][1] == m["height"]
+        elif r["kind"] == "audio":
+            assert r["sample_rate"] == m["sample_rate"]
+            assert r["feature"][1] == m["sample_rate"] * m["duration_ms"] // 1000
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0
+    # fake path still deterministic
+    f1 = {r["media_id"]: r["feature"] for r in extract_features(media, decoder="fake").collect()}
+    f2 = {r["media_id"]: r["feature"] for r in extract_features(media, decoder="fake").collect()}
+    assert f1 == f2
+    # capability gate: pillow not installed here
     with pytest.raises(Exception) as ei:
         extract_features(media, decoder="pillow").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

@@ -221,15 +221,25 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[i
         hits = in_seg.join(seg_docs, on="doc_id", how="left_semi")
         dpath = os.path.join(seg_dir, "deletes.parquet")
         if seg.has_deletes:
-            hits = hits.unionByName(spark.read.parquet(dpath).select("doc_id")).distinct()
-        n = hits.count()
-        if n:
-            hits.write.mode("overwrite").parquet(dpath + ".new")
+            # count only NEW tombstones (reference delete semantics: an
+            # already-deleted doc does not delete again), and skip the
+            # rewrite entirely when this call adds nothing
+            existing = spark.read.parquet(dpath).select("doc_id")
+            hits = hits.join(existing, on="doc_id", how="left_anti").persist()
+            n_new = hits.count()
+            tombstones = hits.unionByName(existing) if n_new else None
+        else:
+            hits = hits.persist()
+            n_new = hits.count()
+            tombstones = hits if n_new else None
+        if n_new:
+            tombstones.write.mode("overwrite").parquet(dpath + ".new")
             shutil.rmtree(dpath, ignore_errors=True)
             os.replace(dpath + ".new", dpath)
             seg.has_deletes = True
-            seg.deleted_count = n
-            total += n
+            seg.deleted_count += n_new
+            total += n_new
+        hits.unpersist()
     doc_ids.unpersist()
     manifest.generation += 1
     write_manifest(index_dir, manifest)

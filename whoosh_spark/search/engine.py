@@ -273,16 +273,24 @@ class _PlanContext:
             return Q.ConstantScore(self._resolve_multiterms(q.child), q.score, boost=q.boost)
         return q
 
-    def _collect_terms(self, q: Q.Query, plain: set, positional: set):
+    def _collect_terms(self, q: Q.Query, plain: set, positional: set,
+                       in_span: bool = False):
+        from whoosh_spark.query import spans as SQ
+
         if isinstance(q, Q.Term):
             plain.add((q.field, q.text))
+            if in_span:
+                positional.add((q.field, q.text))
         elif isinstance(q, Q.Phrase):
             for w in q.words:
                 positional.add((q.field, w))
                 plain.add((q.field, w))
+        elif isinstance(q, SQ.SpanQuery):
+            for c in q.children():
+                self._collect_terms(c, plain, positional, in_span=True)
         else:
             for c in q.children():
-                self._collect_terms(c, plain, positional)
+                self._collect_terms(c, plain, positional, in_span=in_span)
 
     # ---------------------------------------------------- scored base build
 
@@ -431,6 +439,12 @@ class _PlanContext:
             return _Compiled(self._boosted(df, q.boost))
         if isinstance(q, Q._MultiTermDocs):
             return _Compiled(self._compile_multiterm_docs(q))
+        from whoosh_spark.query import spans as SQ
+
+        if isinstance(q, SQ.SpanQuery):
+            from whoosh_spark.search.spaneval import span_frame
+
+            return _Compiled(span_frame(self, q).select("doc_id", "score"))
         raise TypeError(f"cannot compile query node {type(q).__name__}")
 
     def _compile_multiterm_docs(self, q: Q._MultiTermDocs) -> DataFrame:
