@@ -123,3 +123,147 @@ def test_plugin_syntax_matches_reference(pair, whoosh_ref, kwargs, wplugins, qs)
     assert [d for d, _ in got] == [d for d, _ in want], f"{qs!r}: ours={oq!r} theirs={wq!r}\n{got}\n{want}"
     for (d1, s1), (d2, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, rel=1e-12), f"{qs!r} at doc {d1}"
+
+
+PRESET_QUERIES = [
+    "red",
+    "red town",
+    "yellow red",
+    "red OR uptown",
+    '"red town"',
+    "name:yellow red",
+]
+
+
+@pytest.mark.parametrize("qs", PRESET_QUERIES)
+def test_multifield_parser_matches_reference(pair, whoosh_ref, qs):
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    from whoosh_spark.query.parser import MultifieldParser
+
+    ix, wix = pair
+    wq = WMFP(["name", "value"], wix.schema).parse(qs)
+    with wix.searcher() as s:
+        want = [(h.docnum, round(h.score, 9)) for h in s.search(wq, limit=10)]
+
+    oq = MultifieldParser(["name", "value"], ix.schema).parse(qs)
+    srch = Searcher(ix)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in srch.search(oq, limit=10).collect()]
+    srch.clear_cache()
+    assert got == want, f"{qs!r}: ours={oq!r} theirs={wq!r}\n{got}\n{want}"
+
+
+SIMPLE_QUERIES = [
+    "red town",
+    "+red green",
+    "red -town",
+    '+yellow "red town"',
+    "red AND town",  # operators are plain words in the simple parser
+]
+
+
+@pytest.mark.parametrize("qs", SIMPLE_QUERIES)
+def test_simple_parser_matches_reference(pair, whoosh_ref, qs):
+    from whoosh.qparser import SimpleParser as WSP
+
+    from whoosh_spark.query.parser import SimpleParser
+
+    ix, wix = pair
+    wq = WSP("value", wix.schema).parse(qs)
+    with wix.searcher() as s:
+        want = [(h.docnum, round(h.score, 9)) for h in s.search(wq, limit=10)]
+
+    oq = SimpleParser("value", ix.schema).parse(qs)
+    srch = Searcher(ix)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in srch.search(oq, limit=10).collect()]
+    srch.clear_cache()
+    assert got == want, f"{qs!r}: ours={oq!r} theirs={wq!r}\n{got}\n{want}"
+
+
+def _translate_ref_tree(wq):
+    """Reference query tree -> our nodes (structure equivalence check)."""
+    import whoosh.query as wquery
+
+    import whoosh_spark.query as Q
+
+    if isinstance(wq, wquery.Term):
+        return Q.Term(wq.fieldname, wq.text, boost=wq.boost)
+    if isinstance(wq, wquery.DisjunctionMax):
+        return Q.DisjunctionMax([_translate_ref_tree(c) for c in wq.children()], boost=wq.boost)
+    if isinstance(wq, wquery.Or):
+        return Q.Or([_translate_ref_tree(c) for c in wq.children()], boost=wq.boost)
+    if isinstance(wq, wquery.And):
+        return Q.And([_translate_ref_tree(c) for c in wq.children()], boost=wq.boost)
+    if isinstance(wq, wquery.AndNot):
+        return Q.AndNot(_translate_ref_tree(wq.a), _translate_ref_tree(wq.b), boost=wq.boost)
+    if isinstance(wq, wquery.AndMaybe):
+        return Q.AndMaybe(_translate_ref_tree(wq.a), _translate_ref_tree(wq.b), boost=wq.boost)
+    raise TypeError(type(wq))
+
+
+@pytest.mark.parametrize("qs", ["red town", "+red uptown", "yellow -town"])
+def test_dismax_parser_matches_reference(pair, whoosh_ref, qs):
+    """The reference's own DisjunctionMaxMatcher smears scores across
+    docnums when children exhaust unevenly (documented reference bug, see
+    tests/test_fuzz_differential.py), so running its DisMaxParser output
+    through its engine gives wrong scores. We therefore assert (1) our
+    parser produces the SAME TREE as the reference DisMaxParser, and (2) our
+    engine scores that tree per the correct max-of-children semantics built
+    from the reference's own per-term scores."""
+    from whoosh.qparser import DisMaxParser as WDMP
+    from whoosh.query import Term as WTerm
+
+    from whoosh_spark.query.parser import DisMaxParser
+
+    ix, wix = pair
+    boosts = {"name": 2.0, "value": 1.0}
+    wq = WDMP(boosts, wix.schema).parse(qs)
+    oq = DisMaxParser(boosts, ix.schema).parse(qs)
+    assert oq == _translate_ref_tree(wq), f"{qs!r}: ours={oq!r} theirs={wq!r}"
+
+    # correct-semantics oracle from reference per-term scores
+    def term_scores(field, word, boost=1.0):
+        with wix.searcher() as s:
+            return {h.docnum: h.score * boost
+                    for h in s.search(WTerm(field, word), limit=None)}
+
+    def evaluate(q):
+        import whoosh_spark.query as Q
+
+        if isinstance(q, Q.Term):
+            return term_scores(q.field, q.text, q.boost)
+        if isinstance(q, Q.DisjunctionMax):
+            out = {}
+            for c in q.subqueries:
+                for d, sc in evaluate(c).items():
+                    out[d] = max(out.get(d, float("-inf")), sc)
+            return out
+        if isinstance(q, Q.Or):
+            out = {}
+            for c in q.subqueries:
+                for d, sc in evaluate(c).items():
+                    out[d] = out.get(d, 0.0) + sc
+            return out
+        if isinstance(q, Q.And):
+            subs = [evaluate(c) for c in q.subqueries]
+            docs = set(subs[0])
+            for m in subs[1:]:
+                docs &= set(m)
+            return {d: sum(m[d] for m in subs) for d in docs}
+        if isinstance(q, Q.AndNot):
+            a, b = evaluate(q.a), evaluate(q.b)
+            return {d: sc for d, sc in a.items() if d not in b}
+        if isinstance(q, Q.AndMaybe):
+            a, b = evaluate(q.a), evaluate(q.b)
+            return {d: sc + b.get(d, 0.0) for d, sc in a.items()}
+        raise TypeError(type(q))
+
+    expected = evaluate(oq)
+    want = sorted(
+        ((d, round(sc, 9)) for d, sc in expected.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    srch = Searcher(ix)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in srch.search(oq, limit=10).collect()]
+    srch.clear_cache()
+    assert got == want, f"{qs!r}: ours={oq!r}\n{got}\n{want}"

@@ -97,18 +97,33 @@ def _lex(text: str) -> list[_Tok]:
 
 
 class QueryParser:
-    def __init__(self, default_field: str, schema: IndexSchema,
+    def __init__(self, default_field: str | None, schema: IndexSchema,
                  gtlt: bool = False, plusminus: bool = False,
-                 fuzzy: bool = False, regex: bool = False):
+                 fuzzy: bool = False, regex: bool = False,
+                 operators: bool = True, group: str = "and",
+                 multifield: list[str] | None = None,
+                 fieldboosts: dict | None = None,
+                 multifield_group: str = "or"):
         """Optional syntaxes mirror the reference's opt-in plugins:
         gtlt (field:>x, qparser/plugins.py:1064), plusminus (+a -b, :1001),
-        fuzzy (word~2/p, :449), regex (r"pat", :202)."""
+        fuzzy (word~2/p, :449), regex (r"pat", :202).
+
+        ``operators=False`` treats AND/OR/NOT as plain words (SimpleParser);
+        ``group`` is the implicit-adjacency group ("and"|"or");
+        ``multifield`` fans unfielded clauses across several fields with
+        optional per-field boosts, related by ``multifield_group``
+        ("or"|"dismax") — the MultifieldPlugin (plugins.py:1141-1199)."""
         self.default_field = default_field
         self.schema = schema
         self.gtlt = gtlt
         self.plusminus = plusminus
         self.fuzzy = fuzzy
         self.regex = regex
+        self.operators = operators
+        self.group = group
+        self.multifield = multifield
+        self.fieldboosts = fieldboosts or {}
+        self.multifield_group = multifield_group
 
     # --------------------------------------------------------------- parse
 
@@ -116,7 +131,7 @@ class QueryParser:
         toks = _lex(text)
         self._toks = toks
         self._pos = 0
-        q = self._parse_group(self.default_field)
+        q = self._parse_group(None)  # None = unfielded (default/multifield)
         return q.normalize()
 
     def _peek(self):
@@ -142,7 +157,7 @@ class QueryParser:
                     break
                 self._next()
                 continue
-            if t.kind == "op":
+            if t.kind == "op" and self.operators:
                 self._next()
                 if t.value == "NOT":
                     sub = self._parse_unit(field)
@@ -224,7 +239,26 @@ class QueryParser:
         items = [x for x in items if not isinstance(x, str)]
         if len(items) == 1:
             return items[0]
-        return Q.And(items)
+        return Q.Or(items) if self.group == "or" else Q.And(items)
+
+    def _fan(self, field, make):
+        """Build a leaf for a concrete field, or fan an unfielded leaf across
+        the multifield list (each with its field boost), grouped by
+        multifield_group."""
+        if field is not None or self.multifield is None:
+            return make(field if field is not None else self.default_field, 1.0)
+        subs = []
+        for f in self.multifield:
+            q = make(f, float(self.fieldboosts.get(f, 1.0)))
+            if q is not None:
+                subs.append(q)
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        if self.multifield_group == "dismax":
+            return Q.DisjunctionMax(subs)
+        return Q.Or(subs)
 
     def _parse_unit(self, field: str):
         t = self._next()
@@ -250,29 +284,31 @@ class QueryParser:
         if t.kind == ")":
             return None
         if t.kind == "phrase":
-            return self._make_phrase(field, t.value, t.extra["slop"], t.extra["boost"])
+            return self._fan(field, lambda f, fb: self._make_phrase(
+                f, t.value, t.extra["slop"], t.extra["boost"] * fb))
         if t.kind == "range":
             start, end = t.value
-            return Q.TermRange(
-                field,
-                self._range_text(field, start) if start else None,
-                self._range_text(field, end) if end else None,
+            return self._fan(field, lambda f, fb: Q.TermRange(
+                f,
+                self._range_text(f, start) if start else None,
+                self._range_text(f, end) if end else None,
                 startexcl=t.extra["startexcl"],
                 endexcl=t.extra["endexcl"],
-                boost=t.extra["boost"],
-            )
+                boost=t.extra["boost"] * fb,
+            ))
         if t.kind == "rgx":
             if self.regex:
-                return Q.Regex(field, t.value, boost=t.extra["boost"])
+                return self._fan(field, lambda f, fb: Q.Regex(
+                    f, t.value, boost=t.extra["boost"] * fb))
             # without the plugin, r"..." is the word 'r' adjacent to a phrase
-            rest = self._make_phrase(field, t.value, 1, t.extra["boost"])
-            w = self._make_word(field, "r", 1.0)
+            rest = self._fan(field, lambda f, fb: self._make_phrase(f, t.value, 1, t.extra["boost"] * fb))
+            w = self._fan(field, lambda f, fb: self._make_word(f, "r", fb))
             parts = [p for p in (w, rest) if p is not None]
             return Q.And(parts) if len(parts) > 1 else (parts[0] if parts else None)
         if t.kind == "op":  # operator in unit position: treat as plain word
-            return self._make_word(field, t.value.lower(), 1.0)
+            return self._fan(field, lambda f, fb: self._make_word(f, t.value, fb))
         if t.kind == "word":
-            return self._make_word(field, t.value, t.extra["boost"])
+            return self._fan(field, lambda f, fb: self._make_word(f, t.value, t.extra["boost"] * fb))
         return None
 
     # --------------------------------------------------------- word -> query
@@ -315,7 +351,7 @@ class QueryParser:
                         boost=boost,
                     )
         if text == "*":
-            return Q.Every(None if field == self.default_field else field, boost=boost)
+            return Q.Every(None if field in (self.default_field, None) else field, boost=boost)
         if "*" in text or "?" in text:
             return Q.Wildcard(field, text if not self._lowercases(field) else text.lower(), boost=boost).normalize()
         ana = self._analyzer(field)
@@ -337,3 +373,29 @@ class QueryParser:
         if not words:
             return None
         return Q.Phrase(field, words, slop=slop, boost=boost).normalize()
+
+
+# ------------------------------------------------------------- preset parsers
+
+def MultifieldParser(fieldnames: list[str], schema: IndexSchema,
+                     fieldboosts: dict | None = None, **kw) -> QueryParser:
+    """Unfielded clauses search ALL the given fields as an OR
+    (reference qparser/default.py:384-404)."""
+    return QueryParser(None, schema, multifield=list(fieldnames),
+                       fieldboosts=fieldboosts, **kw)
+
+
+def SimpleParser(fieldname: str, schema: IndexSchema, **kw) -> QueryParser:
+    """Human-friendly parser: only +required / -prohibited / "phrase"
+    syntax, implicit OR (reference qparser/default.py:407-419)."""
+    return QueryParser(fieldname, schema, plusminus=True, operators=False,
+                       group="or", **kw)
+
+
+def DisMaxParser(fieldboosts: dict, schema: IndexSchema, **kw) -> QueryParser:
+    """SimpleParser syntax; each term becomes a DisjunctionMax across the
+    boosted fields (reference qparser/default.py:422-443)."""
+    return QueryParser(None, schema, plusminus=True, operators=False,
+                       group="or", multifield=list(fieldboosts),
+                       fieldboosts=dict(fieldboosts),
+                       multifield_group="dismax", **kw)
