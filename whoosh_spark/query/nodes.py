@@ -662,6 +662,85 @@ class TermRange(MultiTerm):
         return hash((TermRange, self.field, self.start, self.end, self.startexcl, self.endexcl, self.boost))
 
 
+class ColumnRange(Query):
+    """Range over a NON-indexed document column (NUMERIC/DATETIME schema
+    kinds): compiles to a native predicate on the docs table — Spark pushes
+    it into the Parquet scan, no postings involved (reference NumericRange /
+    DateRange semantics, ranges.py:188-375: constant score 1.0)."""
+
+    def __init__(self, field: str, start, end, startexcl: bool = False,
+                 endexcl: bool = False, boost: float = 1.0):
+        self.field = field
+        self.start = start
+        self.end = end
+        self.startexcl = startexcl
+        self.endexcl = endexcl
+        self.boost = boost
+
+    def __repr__(self):
+        return (f"{type(self).__name__}({self.field!r}, {self.start!r}, "
+                f"{self.end!r})")
+
+    def __eq__(self, other):
+        return type(self) is type(other) and (
+            self.field, self.start, self.end, self.startexcl, self.endexcl, self.boost,
+        ) == (other.field, other.start, other.end, other.startexcl, other.endexcl, other.boost)
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.field, str(self.start), str(self.end),
+                     self.startexcl, self.endexcl, self.boost))
+
+    def estimate_size(self, stats):
+        return stats.doc_count()
+
+    def spark_predicate(self):
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        c = F.col(self.field)
+        if self.start is not None:
+            cond = cond & (c > F.lit(self.start) if self.startexcl else c >= F.lit(self.start))
+        if self.end is not None:
+            cond = cond & (c < F.lit(self.end) if self.endexcl else c <= F.lit(self.end))
+        return cond
+
+
+class NumericRange(ColumnRange):
+    pass
+
+
+class DateRange(ColumnRange):
+    pass
+
+
+class ColumnTerm(Query):
+    """Equality on a NON-indexed document column (NUMERIC equality, BOOLEAN
+    true/false — reference fields.py:783-976). Constant score 1.0."""
+
+    def __init__(self, field: str, value, boost: float = 1.0):
+        self.field = field
+        self.value = value
+        self.boost = boost
+
+    def __repr__(self):
+        return f"ColumnTerm({self.field!r}, {self.value!r})"
+
+    def __eq__(self, other):
+        return type(self) is type(other) and (
+            self.field, self.value, self.boost) == (other.field, other.value, other.boost)
+
+    def __hash__(self):
+        return hash((ColumnTerm, self.field, str(self.value), self.boost))
+
+    def estimate_size(self, stats):
+        return stats.doc_count()
+
+    def spark_predicate(self):
+        from pyspark.sql import functions as F
+
+        return F.col(self.field) == F.lit(self.value)
+
+
 class Every(Query):
     """All documents (or all docs with any term in ``field``) — reference
     qcore.py:650-738. Score 1.0 * boost."""

@@ -33,7 +33,8 @@ _TOKEN_RE = re.compile(
     (?P<rparen>\)(?:\^(?P<gboost>\d+(?:\.\d+)?))?) |
     (?P<rgx>r"(?P<rgxpat>[^"]*)"(?:\^(?P<rgxboost>\d+(?:\.\d+)?))?) |
     (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<phboost>\d+(?:\.\d+)?))?) |
-    (?P<range>(?P<lb>[\[{])\s*(?P<rstart>[^\s\]}]*)\s+TO\s+(?P<rend>[^\s\]}]*)\s*(?P<rb>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
+    (?P<range>(?P<lb>[\[{])\s*(?P<rstart>[^\s\]}]*?)\s*TO\s*(?P<rend>[^\s\]}]*)\s*(?P<rb>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
+    (?P<squote>'(?P<sqtext>[^']*)'(?:\^(?P<sqboost>\d+(?:\.\d+)?))?) |
     (?P<field>[\w*]+): |
     (?P<word>[^\s()]+) |
     (?P<ws>\s+)
@@ -81,6 +82,11 @@ def _lex(text: str) -> list[_Tok]:
                      {"startexcl": m.group("lb") == "{", "endexcl": m.group("rb") == "}",
                       "boost": float(m.group("rboost")) if m.group("rboost") else 1.0})
             )
+        elif kind == "squote":
+            # SingleQuotePlugin (reference plugins.py:109-117): quoted value
+            # as one word token
+            toks.append(_Tok("word", m.group("sqtext"),
+                             {"boost": float(m.group("sqboost")) if m.group("sqboost") else 1.0}))
         elif kind == "field":
             toks.append(_Tok("field", m.group("field")[:-1] if False else m.group(0)[:-1]))
         elif kind == "word":
@@ -124,6 +130,7 @@ class QueryParser:
         self.multifield = multifield
         self.fieldboosts = fieldboosts or {}
         self.multifield_group = multifield_group
+        self.basedate = None  # for dateparse 'today'/'now' (tests inject)
 
     # --------------------------------------------------------------- parse
 
@@ -288,14 +295,9 @@ class QueryParser:
                 f, t.value, t.extra["slop"], t.extra["boost"] * fb))
         if t.kind == "range":
             start, end = t.value
-            return self._fan(field, lambda f, fb: Q.TermRange(
-                f,
-                self._range_text(f, start) if start else None,
-                self._range_text(f, end) if end else None,
-                startexcl=t.extra["startexcl"],
-                endexcl=t.extra["endexcl"],
-                boost=t.extra["boost"] * fb,
-            ))
+            return self._fan(field, lambda f, fb: self._make_range(
+                f, start, end, t.extra["startexcl"], t.extra["endexcl"],
+                t.extra["boost"] * fb))
         if t.kind == "rgx":
             if self.regex:
                 return self._fan(field, lambda f, fb: Q.Regex(
@@ -320,12 +322,85 @@ class QueryParser:
 
         return standard_analyzer()
 
+    def _make_range(self, field: str, start: str, end: str,
+                    startexcl: bool, endexcl: bool, boost: float):
+        kind = self._field_kind(field)
+        if kind == "datetime":
+            from whoosh_spark.query.dateparse import date_range_bounds
+
+            lo, hi = date_range_bounds(start or None, end or None, self.basedate)
+            return Q.DateRange(field, lo, hi, startexcl=startexcl,
+                               endexcl=endexcl, boost=boost)
+        if kind == "numeric":
+            return Q.NumericRange(
+                field,
+                self._column_value(kind, start) if start else None,
+                self._column_value(kind, end) if end else None,
+                startexcl=startexcl, endexcl=endexcl, boost=boost,
+            )
+        return Q.TermRange(
+            field,
+            self._range_text(field, start) if start else None,
+            self._range_text(field, end) if end else None,
+            startexcl=startexcl, endexcl=endexcl, boost=boost,
+        )
+
     def _range_text(self, field: str, text: str) -> str:
         ana = self._analyzer(field)
         terms = ana.query_terms(text) if ana else [text]
         return terms[0] if terms else text
 
+    def _field_kind(self, field: str) -> str:
+        return self.schema[field].kind if field in self.schema else "text"
+
+    def _column_value(self, kind: str, text: str):
+        if kind == "numeric":
+            try:
+                return int(text)
+            except ValueError:
+                return float(text)
+        if kind == "boolean":
+            # reference fields.py:923-924 accepted strings
+            low = text.lower()
+            if low in ("t", "true", "yes", "1"):
+                return True
+            if low in ("f", "false", "no", "0"):
+                return False
+            raise ValueError(f"not a boolean: {text!r}")
+        return text
+
+    def _make_column_query(self, field: str, kind: str, text: str, boost: float):
+        """Non-indexed schema kinds: NUMERIC equality, BOOLEAN, DATETIME
+        (a date term matches its whole timespan)."""
+        from whoosh_spark.query.dateparse import date_term_range
+
+        if kind == "datetime":
+            lo, hi = date_term_range(text, self.basedate)
+            return Q.DateRange(field, lo, hi, boost=boost)
+        return Q.ColumnTerm(field, self._column_value(kind, text), boost=boost)
+
     def _make_word(self, field: str, text: str, boost: float):
+        kind = self._field_kind(field)
+        if kind in ("numeric", "boolean", "datetime") and text != "*":
+            if self.gtlt:
+                m = re.match(r"^(>=|<=|>|<)(.+)$", text)
+                if m:
+                    from whoosh_spark.query.dateparse import parse_timespan
+
+                    op, operand = m.group(1), m.group(2)
+                    cls = Q.DateRange if kind == "datetime" else Q.NumericRange
+                    if kind == "datetime":
+                        lo, hi = parse_timespan(operand, self.basedate)
+                    else:
+                        lo = hi = self._column_value(kind, operand)
+                    if op == ">":
+                        return cls(field, hi, None, startexcl=True, boost=boost)
+                    if op == ">=":
+                        return cls(field, lo, None, boost=boost)
+                    if op == "<":
+                        return cls(field, None, lo, endexcl=True, boost=boost)
+                    return cls(field, None, hi, boost=boost)
+            return self._make_column_query(field, kind, text, boost)
         if self.gtlt:
             m = re.match(r"^(>=|<=|>|<)(.+)$", text)
             if m:
@@ -368,6 +443,10 @@ class QueryParser:
         return bool(ana and ana.lowercase)
 
     def _make_phrase(self, field: str, text: str, slop: int, boost: float):
+        kind = self._field_kind(field)
+        if kind in ("numeric", "boolean", "datetime"):
+            # quoted value on a column field, e.g. date:"may 2011"
+            return self._make_column_query(field, kind, text, boost)
         ana = self._analyzer(field)
         words = ana.query_terms(text) if ana else text.split()
         if not words:

@@ -84,6 +84,18 @@ def NUMERIC(stored: bool = False) -> FieldType:
     return FieldType(analyzer=None, indexed=False, stored=True, kind="numeric")
 
 
+def DATETIME(stored: bool = True) -> FieldType:
+    """Native timestamp doc column (reference fields.py:835-920 packs
+    datetimes into sortable longs — Parquet timestamps + Catalyst predicates
+    replace that). Query strings parse via query/dateparse.py."""
+    return FieldType(analyzer=None, indexed=False, stored=stored, kind="datetime")
+
+
+def BOOLEAN(stored: bool = True) -> FieldType:
+    """Native boolean doc column (reference fields.py:923-976)."""
+    return FieldType(analyzer=None, indexed=False, stored=stored, kind="boolean")
+
+
 def STORED() -> FieldType:
     return FieldType(analyzer=None, indexed=False, stored=True, kind="stored")
 

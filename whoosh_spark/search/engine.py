@@ -439,6 +439,17 @@ class _PlanContext:
             return _Compiled(self._boosted(df, q.boost))
         if isinstance(q, Q._MultiTermDocs):
             return _Compiled(self._compile_multiterm_docs(q))
+        if isinstance(q, (Q.ColumnRange, Q.ColumnTerm)):
+            # native predicate on the docs table: pushed into the Parquet
+            # scan by Catalyst; constant score 1.0 (reference constantscore
+            # NumericRange/DateRange/BOOLEAN semantics)
+            df = (
+                self.ix.docs()
+                .filter(q.spark_predicate())
+                .select("doc_id")
+                .withColumn("score", F.lit(1.0))
+            )
+            return _Compiled(df)
         from whoosh_spark.query import spans as SQ
 
         if isinstance(q, SQ.SpanQuery):
