@@ -173,3 +173,20 @@ def test_spannear2_matches_reference_fixture(pair, spark, whoosh_ref, tmp_path):
     wq = wspans.SpanNear2([WTerm("text", "bravo"), WTerm("text", "echo")], slop=3)
     assert sorted(r["doc_id"] for r in s.search(q, limit=None).collect()) == [1, 2, 3]
     assert our_search(s, q) == ref_search(wix, wq)
+
+
+def test_sequence_matches_reference(pair, whoosh_ref):
+    """Sequence == SpanNear2(ordered, mindist=1) — verified vs the reference
+    Sequence query (query/positional.py:37-118)."""
+    from whoosh.query import Term as WTerm
+    from whoosh.query.positional import Sequence as WSequence
+
+    searcher, wix = pair
+    for words, slop in [(("bravo", "charlie"), 1), (("alfa", "bravo", "charlie"), 1),
+                        (("alfa", "charlie"), 2)]:
+        ours = Q.Sequence([Q.Term("text", w) for w in words], slop=slop)
+        theirs = WSequence([WTerm("text", w) for w in words], slop=slop)
+        got = sorted(r["doc_id"] for r in searcher.search(ours, limit=None).collect())
+        with wix.searcher() as s:
+            want = sorted(h.docnum for h in s.search(theirs, limit=None))
+        assert got == want, (words, slop, got[:10], want[:10])

@@ -406,6 +406,23 @@ def build_segment(
         "field", "term"
     ).write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
 
+    # ---- term vectors (vector=True fields): decode the already-written
+    # blocks (no second tokenize) and lay the postings out doc-sorted so a
+    # per-doc vector read prunes to one file/row-group (reference
+    # codec/whoosh3.py:224-245 per-doc term maps) ----
+    vector_fields = [f for f in schema.indexed_fields() if schema[f].vector]
+    if vector_fields:
+        from whoosh_spark.index.catalog import decode_blocks
+
+        vec = decode_blocks(blocks_tbl.filter(F.col("field").isin(vector_fields)))
+        (
+            vec.select("doc_id", "field", "term", "tf")
+            .repartitionByRange(max(1, nparts // 2), "doc_id")
+            .sortWithinPartitions("doc_id", "field", "term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_dir, "vectors.parquet"))
+        )
+
     # ---- lengths (dedicated light pass) ----
     lengths = lengths_table(docs, schema, doc_id_col)
     lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))

@@ -85,6 +85,18 @@ class Index:
     def docs(self) -> DataFrame:
         return self._mask_deleted(self._read("docs.parquet"))
 
+    def has_vectors(self, field: str | None = None) -> bool:
+        if field is not None and (field not in self.schema or not self.schema[field].vector):
+            return False
+        return all(
+            os.path.exists(os.path.join(s.path(self.index_dir), "vectors.parquet"))
+            for s in self.manifest.segments
+        )
+
+    def vectors(self) -> DataFrame:
+        """Per-doc term vectors (doc_id, field, term, tf), doc-sorted."""
+        return self._mask_deleted(self._read("vectors.parquet"))
+
     # ---- deletes ----
 
     def _delete_paths(self) -> list[str]:

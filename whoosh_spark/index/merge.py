@@ -143,6 +143,18 @@ def merge_segments(
     )
     termstats.write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
 
+    # term vectors: rebuild for vector=True fields (doc-sorted layout)
+    vector_fields = [f for f in ix.schema.indexed_fields() if ix.schema[f].vector]
+    if vector_fields:
+        vec = decode_blocks(blocks_tbl.filter(F.col("field").isin(vector_fields)))
+        (
+            vec.select("doc_id", "field", "term", "tf")
+            .repartitionByRange(max(1, nparts // 2), "doc_id")
+            .sortWithinPartitions("doc_id", "field", "term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(seg_dir, "vectors.parquet"))
+        )
+
     lengths_tbl = spark.read.parquet(os.path.join(seg_dir, "lengths.parquet"))
     fl = {
         r["field"]: int(r["total"])

@@ -116,6 +116,19 @@ class SpanNear2(SpanQuery):
         return min(q.estimate_size(stats) for q in self.qs)
 
 
+class Sequence(SpanNear2):
+    """Sub-queries matching in adjacent positions, in order (reference
+    query/positional.py:37-118). Physically identical to
+    SpanNear2(qs, slop, ordered=True, mindist=1) — verified against the
+    reference in tests/test_spans.py."""
+
+    def __init__(self, qs: list[Query], slop: int = 1):
+        super().__init__(qs, slop=slop, ordered=True, mindist=1)
+
+    def __repr__(self):
+        return f"Sequence({self.qs!r}, slop={self.slop})"
+
+
 class SpanOr(SpanQuery):
     def __init__(self, subqs: list[Query]):
         self.subqs = list(subqs)

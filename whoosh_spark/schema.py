@@ -22,17 +22,20 @@ class FieldType:
     unique: bool = False
     scorable: bool = False  # record lengths + use BM25
     phrase: bool = False  # record positions
+    vector: bool = False  # store per-doc term vectors (reference vector=True)
     field_boost: float = 1.0
     kind: str = "text"
 
 
-def TEXT(stored: bool = False, phrase: bool = True, analyzer: Analyzer | None = None, field_boost: float = 1.0) -> FieldType:
+def TEXT(stored: bool = False, phrase: bool = True, analyzer: Analyzer | None = None,
+         field_boost: float = 1.0, vector: bool = False) -> FieldType:
     return FieldType(
         analyzer=analyzer or standard_analyzer(),
         indexed=True,
         stored=stored,
         scorable=True,
         phrase=phrase,
+        vector=vector,
         field_boost=field_boost,
         kind="text",
     )
@@ -147,6 +150,7 @@ def schema_to_dict(schema: IndexSchema) -> dict:
             "unique": f.unique,
             "scorable": f.scorable,
             "phrase": f.phrase,
+            "vector": f.vector,
             "field_boost": f.field_boost,
             "kind": f.kind,
         }
@@ -177,6 +181,7 @@ def schema_from_dict(d: dict) -> IndexSchema:
             unique=fd["unique"],
             scorable=fd["scorable"],
             phrase=fd["phrase"],
+            vector=fd.get("vector", False),
             field_boost=fd["field_boost"],
             kind=fd["kind"],
         )

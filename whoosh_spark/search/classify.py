@@ -84,7 +84,15 @@ def expanded_terms(ix: Index, field: str, texts: list[str], numterms: int = 5,
         for t, tf, _ in terms:
             top_weight[t] = top_weight.get(t, 0.0) + float(tf)
             top_total += float(tf)
+    return expanded_terms_from_weights(ix, field, top_weight, top_total,
+                                       numterms, model, normalize)
 
+
+def expanded_terms_from_weights(ix: Index, field: str, top_weight: dict,
+                                top_total: float, numterms: int = 5,
+                                model: str = "bo1", normalize: bool = True) -> list[tuple[str, float]]:
+    """Core expansion over an already-aggregated {term: weight} map (fed by
+    either re-analyzed stored text or the term-vector fast path)."""
     if not top_weight:
         return []
 
@@ -120,12 +128,30 @@ def more_like(searcher, field: str, text: str, limit: int = 10,
 
 
 def key_terms(searcher, field: str, doc_ids: list[int], numterms: int = 5,
-              model: str = "bo1") -> list[tuple[str, float]]:
-    """Key terms of the given documents, using their stored field text."""
+              model: str = "bo1", use_vectors: bool = True) -> list[tuple[str, float]]:
+    """Key terms of the given documents.
+
+    When the field was indexed with ``vector=True``, reads the stored
+    per-doc term vectors (doc-pruned Parquet scan, no re-analysis — the
+    reference's key-terms fast path, searching.py:508-541 via
+    reader.vector_as); otherwise re-analyzes the stored field text."""
+    ix = searcher.index
+    ids = [int(d) for d in doc_ids]
+    if use_vectors and ix.has_vectors(field):
+        rows = (
+            ix.vectors()
+            .filter((F.col("field") == field) & F.col("doc_id").isin(ids))
+            .groupBy("term")
+            .agg(F.sum("tf").alias("w"))
+            .collect()
+        )
+        top_weight = {r["term"]: float(r["w"]) for r in rows}
+        top_total = sum(top_weight.values())
+        return expanded_terms_from_weights(ix, field, top_weight, top_total, numterms, model)
     docs = (
-        searcher.index.docs()
-        .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        ix.docs()
+        .filter(F.col("doc_id").isin(ids))
         .select(field)
         .collect()
     )
-    return expanded_terms(searcher.index, field, [r[field] for r in docs], numterms, model)
+    return expanded_terms(ix, field, [r[field] for r in docs], numterms, model)
