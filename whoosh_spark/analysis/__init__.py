@@ -3,8 +3,9 @@ from whoosh_spark.analysis.tokenize import (
     Analyzer,
     standard_analyzer,
     stemming_analyzer,
+    fancy_analyzer,
     simple_analyzer,
     id_analyzer,
 )
 
-__all__ = ["STOP_WORDS", "Analyzer", "standard_analyzer", "stemming_analyzer", "simple_analyzer", "id_analyzer"]
+__all__ = ["STOP_WORDS", "Analyzer", "standard_analyzer", "stemming_analyzer", "fancy_analyzer", "simple_analyzer", "id_analyzer"]

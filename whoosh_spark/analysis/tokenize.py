@@ -37,6 +37,15 @@ STOP_WORDS = frozenset(
 
 DEFAULT_PATTERN = r"\w+(\.?\w+)*"
 
+_PAT_CACHE: dict = {}
+
+
+def _compiled(pattern: str):
+    rx = _PAT_CACHE.get(pattern)
+    if rx is None:
+        rx = _PAT_CACHE[pattern] = re.compile(pattern)
+    return rx
+
 TOKEN_STRUCT = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -69,12 +78,24 @@ class Analyzer:
     #: Porter-stem kept tokens (reference StemFilter, analysis/morph.py:35-149;
     #: applied after the stop filter, like StemmingAnalyzer's chain order)
     stem: bool = False
+    #: IntraWordFilter options (delims, splitwords, splitnums, mergewords,
+    #: mergenums) — None disables. Runs BEFORE lowercasing, like the
+    #: reference chain order (analysis/analyzers.py FancyAnalyzer).
+    intraword: tuple | None = None
+    #: CharsetFilter(accent_map) accent folding (after lowercase)
+    accent_fold: bool = False
+    #: SubstitutionFilter steps ((regex, replacement), ...)
+    substitutions: tuple = ()
+    #: ReverseTextFilter
+    reverse: bool = False
 
     # ---- driver-side (query analysis, tests) ----
 
+    def _pat(self):
+        return _compiled(self.pattern)
+
     def raw_tokens(self, text: str) -> list[str]:
-        pat = re.compile(self.pattern)
-        toks = [m.group(0) for m in pat.finditer(text)]
+        toks = [m.group(0) for m in self._pat().finditer(text)]
         if self.lowercase:
             toks = [t.lower() for t in toks]
         return toks
@@ -103,20 +124,40 @@ class Analyzer:
         return out
 
     def tokens(self, text: str) -> list[tuple[str, int]]:
-        """Kept (term, position) pairs with Whoosh renumbering."""
+        """Kept (term, position) pairs — the ONE pipeline shared by query
+        analysis, the Spark analyzer UDF, and the index-build kernels:
+
+        tokenize -> intraword -> lowercase -> accent_fold -> substitutions
+        -> reverse -> stop (with the reference renumbering quirk) -> stem
+        """
         if self.ngram is not None:
             return self._ngram_tokens(text)
-        toks = self.raw_tokens(text)
-        if not self.use_stopfilter:
-            kept = list(zip(toks, range(len(toks))))
-        else:
+        pairs = [(m.group(0), i) for i, m in enumerate(self._pat().finditer(text))]
+        if self.intraword is not None:
+            from whoosh_spark.analysis.intraword import intraword_pairs
+
+            pairs = intraword_pairs(pairs, *self.intraword)
+        if self.lowercase:
+            pairs = [(t.lower(), p) for t, p in pairs]
+        if self.accent_fold:
+            from whoosh_spark.analysis.intraword import fold_accents
+
+            pairs = [(fold_accents(t), p) for t, p in pairs]
+        for pat, repl in self.substitutions:
+            rx = _compiled(pat)
+            pairs = [(rx.sub(repl, t), p) for t, p in pairs]
+        if self.reverse:
+            pairs = [(t[::-1], p) for t, p in pairs]
+        if self.use_stopfilter:
             kept = []
             first_pos = None
-            for pos, t in enumerate(toks):
+            for t, pos in pairs:
                 if len(t) >= self.minsize and (self.maxsize is None or len(t) <= self.maxsize) and t not in self.stopwords:
                     if first_pos is None:
                         first_pos = pos
                     kept.append((t, first_pos + len(kept)))
+        else:
+            kept = pairs
         if self.stem:
             from whoosh_spark.analysis.morph import porter_stem
 
@@ -142,54 +183,12 @@ class Analyzer:
 
         @pandas_udf(ANALYSIS_STRUCT)
         def analyze(texts: pd.Series) -> pd.DataFrame:
-            pat = re.compile(cfg.pattern)
-            stops = cfg.stopwords
-            minsize, maxsize = cfg.minsize, cfg.maxsize
-            lower = cfg.lowercase
-            use_stop = cfg.use_stopfilter
-            if cfg.stem:
-                # process-wide lru cache — survives across Arrow batches
-                from whoosh_spark.analysis.morph import porter_stem
-            else:
-                porter_stem = None
             out_terms = []
             out_len = []
             for text in texts:
-                if text is None:
-                    out_terms.append([])
-                    out_len.append(0)
-                    continue
-                if cfg.ngram is not None:
-                    pairs = cfg._ngram_tokens(text)
-                    agg2: dict = {}
-                    for t, pos in pairs:
-                        agg2.setdefault(t, []).append(pos)
-                    out_terms.append([(t, len(ps), ps) for t, ps in agg2.items()])
-                    out_len.append(len(pairs))
-                    continue
-                toks = [m.group(0) for m in pat.finditer(text)]
-                if lower:
-                    toks = [t.lower() for t in toks]
-                agg: dict[str, list[int]] = {}
-                if use_stop:
-                    first_pos = None
-                    n_kept = 0
-                    for pos, t in enumerate(toks):
-                        if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
-                            if first_pos is None:
-                                first_pos = pos
-                            if porter_stem is not None:
-                                t = porter_stem(t)
-                            agg.setdefault(t, []).append(first_pos + n_kept)
-                            n_kept += 1
-                else:
-                    n_kept = len(toks)
-                    for pos, t in enumerate(toks):
-                        if porter_stem is not None:
-                            t = porter_stem(t)
-                        agg.setdefault(t, []).append(pos)
-                out_terms.append([(t, len(ps), ps) for t, ps in agg.items()])
-                out_len.append(n_kept)
+                terms, n = cfg.analyze_doc(text or "")
+                out_terms.append(terms)
+                out_len.append(n)
             return pd.DataFrame({"terms": out_terms, "length": out_len})
 
         return analyze
@@ -209,6 +208,19 @@ def stemming_analyzer(**kw) -> Analyzer:
     docs' recommended default (reference analysis/analyzers.py:243-296
     StemmingAnalyzer)."""
     return Analyzer(stem=True, **kw)
+
+
+def fancy_analyzer(mergewords: bool = False, mergenums: bool = False, **kw) -> Analyzer:
+    """RegexTokenizer(r'\\S+') | IntraWordFilter | Lowercase | StopFilter —
+    the reference FancyAnalyzer (analysis/analyzers.py:299-321); ideal for
+    source code (camelCase / snake_case splitting)."""
+    from whoosh_spark.analysis.intraword import DEFAULT_DELIMS
+
+    return Analyzer(
+        pattern=r"\S+",
+        intraword=(DEFAULT_DELIMS, True, True, mergewords, mergenums),
+        **kw,
+    )
 
 
 def simple_analyzer() -> Analyzer:

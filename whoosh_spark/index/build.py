@@ -98,67 +98,13 @@ LENGTHS_SCHEMA = T.StructType(
 
 
 def _field_configs(schema: IndexSchema) -> list[tuple]:
-    """Picklable per-field analyzer configs for UDF closures."""
-    out = []
-    for fieldname in schema.indexed_fields():
-        f = schema[fieldname]
-        a = f.analyzer
-        out.append((fieldname, a.pattern, a.lowercase, a.stopwords if a.use_stopfilter else None,
-                    a.minsize, a.maxsize, bool(f.phrase), a.ngram, a.ngram_words, a.stem))
-    return out
-
-
-def _ngram_pairs(pat, lower, lo, hi, words, text):
-    out = []
-    if words:
-        for wpos, m in enumerate(pat.finditer(text)):
-            w = m.group(0).lower() if lower else m.group(0)
-            for start in range(len(w) - lo + 1):
-                for size in range(lo, hi + 1):
-                    if start + size <= len(w):
-                        out.append((w[start:start + size], wpos))
-    else:
-        t = text.lower() if lower else text
-        for start in range(len(t) - lo + 1):
-            for size in range(lo, hi + 1):
-                if start + size <= len(t):
-                    out.append((t[start:start + size], start))
-    return out
-
-
-def _tokenize_agg(pat, lower, stops, minsize, maxsize, text, ngram=None, ngram_words=False, stem=False):
-    """(term -> positions, kept_count) with Whoosh renumbering; ``stem``
-    porter-stems kept tokens before aggregation (StemFilter position in the
-    reference chain: after the stop filter)."""
-    if stem:
-        from whoosh_spark.analysis.morph import porter_stem
-    if ngram is not None:
-        pairs = _ngram_pairs(pat, lower, ngram[0], ngram[1], ngram_words, text)
-        agg: dict = {}
-        for t, pos in pairs:
-            agg.setdefault(t, []).append(pos)
-        return agg, len(pairs)
-    toks = [m.group(0) for m in pat.finditer(text)]
-    if lower:
-        toks = [t.lower() for t in toks]
-    agg: dict = {}
-    if stops is None:
-        for pos, t in enumerate(toks):
-            if stem:
-                t = porter_stem(t)
-            agg.setdefault(t, []).append(pos)
-        return agg, len(toks)
-    first = None
-    k = 0
-    for pos, t in enumerate(toks):
-        if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
-            if first is None:
-                first = pos
-            if stem:
-                t = porter_stem(t)
-            agg.setdefault(t, []).append(first + k)
-            k += 1
-    return agg, k
+    """(fieldname, analyzer, phrase) per indexed field — the Analyzer
+    dataclass pickles into the Arrow kernels and is the ONE tokenize
+    pipeline (whoosh_spark/analysis/tokenize.py Analyzer.tokens)."""
+    return [
+        (fieldname, schema[fieldname].analyzer, bool(schema[fieldname].phrase))
+        for fieldname in schema.indexed_fields()
+    ]
 
 
 def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
@@ -170,22 +116,20 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     ]
 
     def kernel(batches):
-        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, phrase, ng, ngw, stm)
-                    for name, pat, lower, stops, mins, maxs, phrase, ng, ngw, stm in cfgs]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
-            for name, pat, lower, stops, mins, maxs, phrase, ng, ngw, stm in compiled:
+            for name, ana, phrase in cfgs:
                 texts = pdf[name]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
                     if text is None:
                         continue
-                    agg, k = _tokenize_agg(pat, lower, stops, mins, maxs, text, ng, ngw, stm)
-                    for t, ps in agg.items():
+                    terms, k = ana.analyze_doc(text)
+                    for t, tf, ps in terms:
                         f_out.append(name)
                         t_out.append(t)
                         d_out.append(did)
-                        tf_out.append(len(ps))
+                        tf_out.append(tf)
                         p_out.append(ps if phrase else None)
                         l_out.append(k)
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
@@ -213,29 +157,15 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
     ]
 
     def kernel(batches):
-        compiled = [(name, re.compile(pat), lower, stops, mins, maxs, ng, ngw)
-                    for name, pat, lower, stops, mins, maxs, _, ng, ngw, _stm in cfgs]
         for pdf in batches:
             d_out, f_out, l_out = [], [], []
-            for name, pat, lower, stops, mins, maxs, ng, ngw in compiled:
+            for name, ana, _phrase in cfgs:
                 for did, text in zip(pdf["doc_id"], pdf[name]):
                     if text is None:
                         continue
-                    if ng is not None:
-                        k = len(_ngram_pairs(pat, lower, ng[0], ng[1], ngw, text))
-                    elif stops is None:
-                        k = sum(1 for _ in pat.finditer(text))
-                    else:
-                        k = 0
-                        for m in pat.finditer(text):
-                            t = m.group(0)
-                            if lower:
-                                t = t.lower()
-                            if len(t) >= mins and (maxs is None or len(t) <= maxs) and t not in stops:
-                                k += 1
                     d_out.append(did)
                     f_out.append(name)
-                    l_out.append(k)
+                    l_out.append(len(ana.tokens(text)))
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {

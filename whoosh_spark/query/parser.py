@@ -317,7 +317,8 @@ class QueryParser:
 
     def _analyzer(self, field: str):
         if field in self.schema:
-            return self.schema[field].analyzer
+            f = self.schema[field]
+            return f.query_analyzer or f.analyzer
         from whoosh_spark.analysis import standard_analyzer
 
         return standard_analyzer()

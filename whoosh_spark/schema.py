@@ -17,6 +17,10 @@ from whoosh_spark.analysis import Analyzer, id_analyzer, standard_analyzer
 @dataclass(frozen=True)
 class FieldType:
     analyzer: Analyzer | None = None
+    #: optional distinct analyzer for query-time analysis (the reference
+    #: MultiFilter's index/query modes, analysis/morph.py MultiFilter);
+    #: None -> use ``analyzer`` for both
+    query_analyzer: "Analyzer | None" = None
     indexed: bool = True
     stored: bool = False
     unique: bool = False
@@ -142,6 +146,10 @@ def schema_to_dict(schema: IndexSchema) -> dict:
                 "ngram": list(f.analyzer.ngram) if f.analyzer.ngram else None,
                 "ngram_words": f.analyzer.ngram_words,
                 "stem": f.analyzer.stem,
+                "intraword": list(f.analyzer.intraword) if f.analyzer.intraword else None,
+                "accent_fold": f.analyzer.accent_fold,
+                "substitutions": [list(x) for x in f.analyzer.substitutions],
+                "reverse": f.analyzer.reverse,
             }
         out[name] = {
             "analyzer": ana,
@@ -173,6 +181,10 @@ def schema_from_dict(d: dict) -> IndexSchema:
                 ngram=tuple(a["ngram"]) if a.get("ngram") else None,
                 ngram_words=a.get("ngram_words", False),
                 stem=a.get("stem", False),
+                intraword=tuple(a["intraword"]) if a.get("intraword") else None,
+                accent_fold=a.get("accent_fold", False),
+                substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
+                reverse=a.get("reverse", False),
             )
         fields[name] = FieldType(
             analyzer=ana,
