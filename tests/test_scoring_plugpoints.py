@@ -1,0 +1,89 @@
+"""FunctionWeighting and the final() hook, differential vs the reference
+custom-scoring plug points (reference scoring.py:503-544, 69-85)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+import whoosh_spark.query as Q
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.schema import IndexSchema, TEXT
+from whoosh_spark.search import Searcher
+from whoosh_spark.search.scoring import FunctionWeighting
+
+DOCS = [
+    (0, "alfa bravo charlie alfa"),
+    (1, "bravo bravo delta"),
+    (2, "alfa alfa alfa echo"),
+    (3, "charlie delta echo"),
+]
+
+
+@pytest.fixture(scope="module")
+def pair(spark, whoosh_ref, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fwix"))
+    schema = IndexSchema.of(text=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+    build_index(spark, df, schema, d, sha_col=None)
+
+    from whoosh import fields
+    from whoosh.filedb.filestore import RamStorage
+
+    wschema = fields.Schema(text=fields.TEXT())
+    wix = RamStorage().create_index(wschema)
+    w = wix.writer()
+    for _, t in DOCS:
+        w.add_document(text=t)
+    w.commit()
+    return Index(spark, d), wix
+
+
+def test_function_weighting_matches_reference(pair, whoosh_ref):
+    from whoosh import scoring as wscoring
+
+    ix, wix = pair
+
+    def ref_fn(searcher, fieldname, text, matcher):
+        return matcher.weight() * 2.0 + 1.0
+
+    with wix.searcher(weighting=wscoring.FunctionWeighting(ref_fn)) as s:
+        from whoosh.query import Or as WOr, Term as WTerm
+
+        wq = WOr([WTerm("text", "alfa"), WTerm("text", "bravo")])
+        want = [(h.docnum, round(h.score, 9)) for h in s.search(wq, limit=None)]
+
+    fw = FunctionWeighting(fn=lambda w, fl, idf, avgfl: w * F.lit(2.0) + F.lit(1.0))
+    srch = Searcher(ix, weighting=fw)
+    q = Q.Or([Q.Term("text", "alfa"), Q.Term("text", "bravo")])
+    got = [(r["doc_id"], round(r["score"], 9)) for r in srch.search(q, limit=None).collect()]
+    assert got == want, (got, want)
+
+    # the Python-scalar slow path computes the same thing
+    fw_py = FunctionWeighting(python_fn=lambda w, fl, idf, avgfl: w * 2.0 + 1.0)
+    srch2 = Searcher(ix, weighting=fw_py)
+    got2 = [(r["doc_id"], round(r["score"], 9)) for r in srch2.search(q, limit=None).collect()]
+    assert got2 == want
+
+
+def test_final_hook_matches_reference(pair, whoosh_ref):
+    from whoosh import scoring as wscoring
+
+    ix, wix = pair
+
+    class RefFinal(wscoring.BM25F):
+        use_final = True
+
+        def final(self, searcher, docnum, score):
+            return score + docnum * 0.001
+
+    with wix.searcher(weighting=RefFinal()) as s:
+        from whoosh.query import Term as WTerm
+
+        want = [(h.docnum, round(h.score, 9)) for h in s.search(WTerm("text", "alfa"), limit=None)]
+
+    fw = FunctionWeighting(final=lambda doc_id, score: score + doc_id.cast("double") * F.lit(0.001))
+    srch = Searcher(ix, weighting=fw)
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in srch.search(Q.Term("text", "alfa"), limit=None).collect()
+    ]
+    assert got == want, (got, want)

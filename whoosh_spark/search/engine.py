@@ -83,7 +83,8 @@ class Searcher:
         ``use_wand=True`` routes eligible disjunctions of scored terms
         through block-max pruning (search/wand.py); results are the same
         top-k (scores may differ in the last ulp from aggregation order)."""
-        if use_wand and limit is not None and filter_q is None and mask_q is None:
+        if (use_wand and limit is not None and filter_q is None and mask_q is None
+                and not getattr(self.weighting, "use_final", False)):
             wand = self.wand_search(q, limit)
             if wand is not None:
                 return wand
@@ -123,6 +124,13 @@ class Searcher:
         if mask_q is not None:
             deny = plan.compile_root(mask_q).select("doc_id")
             out = out.join(deny, on="doc_id", how="left_anti")
+        if getattr(self.weighting, "use_final", False):
+            # reference final() hook (scoring.py:69-85): post-process each
+            # doc's accumulated score
+            out = out.select(
+                "doc_id",
+                self.weighting.final_col(F.col("doc_id"), F.col("score")).alias("score"),
+            )
         return out
 
     def clear_cache(self):
@@ -308,7 +316,7 @@ class _PlanContext:
             ftype = self.s.schema[field] if field in self.s.schema else None
             scorable = bool(ftype and ftype.scorable)
             fboost = float(ftype.field_boost) if ftype else 1.0
-            B = w.field_B(field) if isinstance(w, BM25F) else 0.0
+            B = w.field_B(field) if hasattr(w, "field_B") else 0.0
             meta_rows.append(
                 {
                     "field": field,

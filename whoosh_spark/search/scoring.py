@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module scope: pandas_udf resolves PEP-563 hints here
+
 from pyspark.sql import Column, functions as F
 
 from whoosh_spark.index.quantize import BYTE_TO_LENGTH
@@ -139,3 +141,60 @@ class PL2(WeightingModel):
 
     def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
         return float("inf")
+
+
+class FunctionWeighting(WeightingModel):
+    """Custom per-posting scoring plug point (reference scoring.py:503-544
+    FunctionWeighting, whose fn sees the matcher's weight and the searcher).
+
+    ``fn(w, fl, idf, avgfl) -> Column`` builds a native Column expression —
+    the Spark-first fast path (stays in whole-stage codegen).
+    ``python_fn(w, fl, idf, avgfl) -> float`` is an arbitrary Python scalar
+    function, applied as an Arrow-batched pandas UDF (the slow path, like
+    the reference's per-posting Python call — use only when the formula
+    can't be expressed as Columns).
+    ``final(doc_id, score) -> Column`` post-processes each document's final
+    accumulated score (the reference final() hook, scoring.py:69-85).
+    """
+
+    def __init__(self, fn=None, python_fn=None, final=None, base=None):
+        if fn is None and python_fn is None and final is None:
+            raise ValueError("FunctionWeighting needs fn, python_fn or final")
+        self.fn = fn
+        self.python_fn = python_fn
+        self.final = final
+        self.use_final = final is not None
+        self.base = base or BM25F()  # underlying model when fn is absent
+
+    def field_B(self, fieldname: str) -> float:
+        return self.base.field_B(fieldname) if isinstance(self.base, BM25F) else 0.0
+
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
+        if self.fn is not None:
+            return F.when(scorable, self.fn(w, fl, idf_col, avgfl_col)).otherwise(w)
+        if self.python_fn is not None:
+            from pyspark.sql.pandas.functions import pandas_udf
+
+            pyfn = self.python_fn
+
+            @pandas_udf("double")
+            def _score(ws: pd.Series, fls: pd.Series, idfs: pd.Series, avgs: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [pyfn(a, b, c, d) for a, b, c, d in zip(ws, fls, idfs, avgs)]
+                )
+
+            return F.when(scorable, _score(w, fl, idf_col, avgfl_col)).otherwise(w)
+        # final-only wrapper: delegate to the underlying model
+        return self.base.score_col(w, fl, idf_col, avgfl_col, b_col,
+                                   one_minus_b_col, scorable,
+                                   cf_col=cf_col, fl_total_col=fl_total_col,
+                                   dc_col=dc_col)
+
+    def final_col(self, doc_id: Column, score: Column) -> Column:
+        if self.final is None:
+            return score
+        return self.final(doc_id, score)
+
+    def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
+        return float("inf")  # unknown function: WAND pruning not offered
