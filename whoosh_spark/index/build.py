@@ -361,6 +361,11 @@ def build_segment(
     lengths_tbl = spark.read.parquet(os.path.join(seg_dir, "lengths.parquet"))
     field_lengths_rows = lengths_tbl.groupBy("field").agg(F.sum("length").alias("total")).collect()
     field_lengths = {r["field"]: int(r["total"]) for r in field_lengths_rows}
+    term_count_rows = (
+        spark.read.parquet(os.path.join(seg_dir, "termstats.parquet"))
+        .groupBy("field").agg(F.count("*").alias("n")).collect()
+    )
+    field_term_counts = {r["field"]: int(r["n"]) for r in term_count_rows}
     id_stats = docs.agg(
         F.count("*").alias("n"), F.min(doc_id_col).alias("lo"), F.max(doc_id_col).alias("hi")
     ).collect()[0]
@@ -372,6 +377,7 @@ def build_segment(
         min_doc_id=int(id_stats["lo"]) if id_stats["lo"] is not None else 0,
         max_doc_id=int(id_stats["hi"]) if id_stats["hi"] is not None else -1,
         lineage=lineage or {},
+        field_term_counts=field_term_counts,
     )
 
     if commit:

@@ -55,6 +55,8 @@ class Index:
         self.schema: IndexSchema = schema_from_dict(self.manifest.schema)
         self._df_cache: dict = {}
         self._term_stats_cache: dict = {}
+        self._prefetched_fields: set = set()
+        self._complete_fields: set = set()  # full lexicon stats cached
 
     # ---- segment table access ----
 
@@ -129,15 +131,59 @@ class Index:
     def avg_field_length(self, fieldname: str) -> float:
         return self.manifest.avg_field_length(fieldname)
 
+    #: full-field stats prefetch cap: when the manifest records a lexicon
+    #: at most this large, ONE job caches every term's stats and later
+    #: queries over the field cost zero extra stats jobs. Huge-vocabulary
+    #: fields (the 100 TB case) exceed it and keep per-term lookups.
+    PREFETCH_TERMS = 50_000
+
+    def _maybe_prefetch_field(self, field: str) -> None:
+        if field in getattr(self, "_prefetched_fields", set()):
+            return
+        if not hasattr(self, "_prefetched_fields"):
+            self._prefetched_fields = set()
+        self._prefetched_fields.add(field)  # attempt once per reload
+        n = self.manifest.field_term_count(field)
+        if n is None or n > self.PREFETCH_TERMS:
+            return
+        ts = (
+            self.termstats()
+            .filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("total_tf").alias("total_tf"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_len_byte").alias("min_len_byte"),
+                F.max("max_len_byte").alias("max_len_byte"),
+                F.min("min_id").alias("min_id"),
+                F.max("max_id").alias("max_id"),
+            )
+        )
+        for r in ts.collect():
+            self._term_stats_cache[(field, r["term"])] = r.asDict()
+        self._complete_fields.add(field)
+
     def term_stats(self, field: str, terms: list[str]) -> dict[str, dict]:
         """Collect combined per-term stats for a (small) query term set.
 
         df sums across segments; extrema combine by min/max. Deleted docs
         still count toward df — matching the reference, which computes idf
         from uncollected doc_frequency (scoring.py:53-60).
+
+        Small-lexicon fields (per the manifest's recorded term counts) are
+        prefetched whole in one job, making every later query's stats lookup
+        job-free.
         """
         if not terms:
             return {}
+        self._maybe_prefetch_field(field)
+        if field in self._complete_fields:
+            return {
+                t: self._term_stats_cache[(field, t)]
+                for t in terms
+                if self._term_stats_cache.get((field, t)) is not None
+            }
         missing = [t for t in terms if (field, t) not in self._term_stats_cache]
         if not missing:
             out = {}

@@ -162,6 +162,10 @@ def merge_segments(
     }
     id_stats = docs.agg(F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
 
+    ftc = {
+        r["field"]: int(r["n"])
+        for r in blocks_tbl.groupBy("field").agg(F.count_distinct("term").alias("n")).collect()
+    }
     info = SegmentInfo(
         name=name,
         doc_count=int(id_stats["n"]),
@@ -169,6 +173,7 @@ def merge_segments(
         min_doc_id=int(id_stats["lo"]) if id_stats["lo"] is not None else 0,
         max_doc_id=int(id_stats["hi"]) if id_stats["hi"] is not None else -1,
         lineage={"merged_from": sorted(victim_names)},
+        field_term_counts=ftc,
     )
 
     manifest = read_manifest(index_dir)

@@ -28,6 +28,9 @@ class SegmentInfo:
     lineage: dict = field(default_factory=dict)
     has_deletes: bool = False
     deleted_count: int = 0
+    #: field -> distinct-term count (lexicon size); lets readers decide
+    #: driver-side whether a full-field stats prefetch is safe WITHOUT a job
+    field_term_counts: dict = field(default_factory=dict)
 
     @property
     def doc_count_all(self) -> int:
@@ -78,6 +81,17 @@ class Manifest:
 
     def field_length(self, fieldname: str) -> int:
         return sum(s.field_lengths.get(fieldname, 0) for s in self.segments)
+
+    def field_term_count(self, fieldname: str) -> int | None:
+        """Upper bound on the field's distinct terms (sum of per-segment
+        lexicon sizes); None when any segment predates the stat."""
+        total = 0
+        for s in self.segments:
+            n = s.field_term_counts.get(fieldname)
+            if n is None:
+                return None
+            total += int(n)
+        return total
 
     def avg_field_length(self, fieldname: str) -> float:
         # reference: searching.py:259-262 — field_length / doc_count_all, or 1

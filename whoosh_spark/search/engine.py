@@ -64,13 +64,17 @@ class _Compiled:
 class Searcher:
     def __init__(self, index: Index, weighting: WeightingModel | None = None,
                  exact_scores: bool = True, cache_postings: bool = True,
-                 max_expansion: int = 1024):
+                 max_expansion: int = 1024, use_local: bool = True,
+                 local_threshold: int = 100_000):
         self.index = index
         self.schema = index.schema
         self.weighting = weighting or BM25F()
         self.exact_scores = exact_scores
         self.cache_postings = cache_postings
         self.max_expansion = max_expansion  # scored-multiterm clause cap
+        # adaptive driver-local top-k for tiny candidate sets (search/local.py)
+        self.use_local = use_local
+        self.local_threshold = local_threshold
         self._persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------ API
@@ -83,6 +87,20 @@ class Searcher:
         ``use_wand=True`` routes eligible disjunctions of scored terms
         through block-max pruning (search/wand.py); results are the same
         top-k (scores may differ in the last ulp from aggregation order)."""
+        if (self.use_local and limit is not None and filter_q is None
+                and mask_q is None and not getattr(self.weighting, "use_final", False)
+                and isinstance(self.weighting, BM25F)):
+            # AQE-style adaptive choice: when every term's df (job-free from
+            # prefetched stats) keeps total postings under local_threshold,
+            # evaluate driver-side with pyarrow block reads — identical
+            # results (tests/test_local_fastpath.py), ~50x lower latency.
+            # Hot terms at corpus scale exceed the threshold and take the
+            # distributed plan below.
+            from whoosh_spark.search.local import try_local_search
+
+            rows = try_local_search(self, q, limit)
+            if rows is not None:
+                return self.spark_rows_df(rows)
         if (use_wand and limit is not None and filter_q is None and mask_q is None
                 and not getattr(self.weighting, "use_final", False)):
             wand = self.wand_search(q, limit)
@@ -93,6 +111,13 @@ class Searcher:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def spark_rows_df(self, rows: list) -> DataFrame:
+        """Materialize locally-computed (doc_id, score) rows as a DataFrame
+        (local relation: collecting it launches no cluster job)."""
+        return self.index.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+        )
 
     def wand_search(self, q: Q.Query, limit: int) -> DataFrame | None:
         """Block-max WAND path for Term / flat Or-of-Terms; None if the
@@ -238,22 +263,50 @@ class _PlanContext:
         (fail loudly, Lucene-clause-limit style) since a scored expansion is
         inherently a per-term plan."""
         if isinstance(q, Q.MultiTerm):
+            # job-free fast path: a small-lexicon field's full stats are
+            # already cached on the driver (catalog.py prefetch) — evaluate
+            # the predicate over the cache instead of launching a job
+            cached = None
+            if q.field in getattr(self.ix, "_complete_fields", set()):
+                cached = [
+                    (t, row) for (f, t), row in self.ix._term_stats_cache.items()
+                    if f == q.field and row is not None and q.term_predicate(t)
+                ]
             lex = self.ix.field_terms(q.field)
             flt = q.spark_term_filter()
             if flt is not None:
                 lex = lex.filter(flt)
             lex = lex.filter(q.spark_exact_predicate())
             if q.constantscore:
-                row = lex.agg(
-                    F.count("*").alias("n"),
-                    F.sum("df").alias("est"),
-                    F.min("term").alias("t0"),
-                ).collect()[0]
-                if row["n"] == 0:
+                if cached is not None:
+                    n = len(cached)
+                    est = sum(int(r["df"]) for _, r in cached)
+                    t0 = min((t for t, _ in cached), default=None)
+                else:
+                    row = lex.agg(
+                        F.count("*").alias("n"),
+                        F.sum("df").alias("est"),
+                        F.min("term").alias("t0"),
+                    ).collect()[0]
+                    n, est, t0 = row["n"], row["est"], row["t0"]
+                if n == 0:
                     return Q.NullQuery
-                if row["n"] == 1:
-                    return Q.Term(q.field, row["t0"], boost=q.boost)
-                return Q._MultiTermDocs(q, est=int(row["est"]))
+                if n == 1:
+                    return Q.Term(q.field, t0, boost=q.boost)
+                return Q._MultiTermDocs(q, est=int(est))
+            if cached is not None:
+                cap = self.s.max_expansion
+                terms = sorted(t for t, _ in cached)
+                if len(terms) > cap:
+                    raise ValueError(
+                        f"{type(q).__name__} on field {q.field!r} expands to "
+                        f"more than max_expansion={cap} terms"
+                    )
+                if not terms:
+                    return Q.NullQuery
+                if len(terms) == 1:
+                    return Q.Term(q.field, terms[0], boost=q.boost)
+                return Q.Or([Q.Term(q.field, t) for t in terms], boost=q.boost)
             cap = self.s.max_expansion
             rows = lex.select("term").orderBy("term").limit(cap + 1).collect()
             terms = [r["term"] for r in rows]
@@ -334,23 +387,43 @@ class _PlanContext:
                     "dc": float(dc),
                 }
             )
-        meta_schema = T.StructType(
-            [
-                T.StructField("field", T.StringType()),
-                T.StructField("term", T.StringType()),
-                T.StructField("idf", T.DoubleType()),
-                T.StructField("avgfl", T.DoubleType()),
-                T.StructField("b", T.DoubleType()),
-                T.StructField("one_minus_b", T.DoubleType()),
-                T.StructField("fboost", T.DoubleType()),
-                T.StructField("scorable", T.BooleanType()),
-                T.StructField("cf", T.DoubleType()),
-                T.StructField("fl_total", T.DoubleType()),
-                T.StructField("dc", T.DoubleType()),
-            ]
-        )
-        meta = self.spark.createDataFrame(meta_rows, meta_schema)
-        joined = decoded.join(F.broadcast(meta), on=["field", "term"])
+        # inline the per-term constants as literal CASE chains keyed on
+        # (field, term) — pure codegen, no broadcast-exchange job. Query
+        # term sets are small (they were driver-collected stats anyway);
+        # fall back to a broadcast join for very large scored expansions.
+        if len(meta_rows) <= 64:
+            key = F.concat_ws("\x00", F.col("field"), F.col("term"))
+
+            def lit_case(col_name):
+                expr = None
+                for m in meta_rows:
+                    k = f"{m['field']}\x00{m['term']}"
+                    v = F.lit(m[col_name])
+                    expr = F.when(key == k, v) if expr is None else expr.when(key == k, v)
+                return expr
+
+            joined = decoded
+            for c in ("idf", "avgfl", "b", "one_minus_b", "fboost", "scorable",
+                      "cf", "fl_total", "dc"):
+                joined = joined.withColumn(c, lit_case(c))
+        else:
+            meta_schema = T.StructType(
+                [
+                    T.StructField("field", T.StringType()),
+                    T.StructField("term", T.StringType()),
+                    T.StructField("idf", T.DoubleType()),
+                    T.StructField("avgfl", T.DoubleType()),
+                    T.StructField("b", T.DoubleType()),
+                    T.StructField("one_minus_b", T.DoubleType()),
+                    T.StructField("fboost", T.DoubleType()),
+                    T.StructField("scorable", T.BooleanType()),
+                    T.StructField("cf", T.DoubleType()),
+                    T.StructField("fl_total", T.DoubleType()),
+                    T.StructField("dc", T.DoubleType()),
+                ]
+            )
+            meta = self.spark.createDataFrame(meta_rows, meta_schema)
+            joined = decoded.join(F.broadcast(meta), on=["field", "term"])
         weight = F.col("tf").cast("double") * F.col("fboost")
         fl = F.col("fl").cast("double")  # dequantized in the decode kernel
         score = w.score_col(
