@@ -86,3 +86,17 @@ def test_phrase_and_ordered_local(ix):
         got = [(r["doc_id"], r["score"]) for r in fast.search(q, limit=None or 20).collect()]
         want = [(r["doc_id"], r["score"]) for r in slow.search(q, limit=20).collect()]
         assert got == want
+
+
+def test_multiterm_local(ix):
+    for q in [Q.Prefix("text", "a"), Q.Wildcard("text", "*o*"),
+              Q.TermRange("text", "bravo", "echo"),
+              Q.FuzzyTerm("text", "alfa", maxdist=1, prefixlength=0)]:
+        fast = Searcher(ix, use_local=True)
+        slow = Searcher(ix, use_local=False)
+        got = [(r["doc_id"], r["score"]) for r in fast.search(q, limit=25).collect()]
+        want = [(r["doc_id"], r["score"]) for r in slow.search(q, limit=25).collect()]
+        assert got == want, (q, got[:5], want[:5])
+        from whoosh_spark.search.local import try_local_search
+
+        assert try_local_search(fast, q, 25) is not None

@@ -320,10 +320,62 @@ class LocalEvaluator:
         return self._boost({d: total[d] for d in matched if d in total}, q.boost)
 
 
+class _NotLocal(Exception):
+    pass
+
+
+def _resolve_multiterms_local(q, searcher):
+    """Expand multiterms against the driver-cached lexicon (zero jobs);
+    raises _NotLocal when the field's lexicon isn't fully cached."""
+    ix = searcher.index
+    if isinstance(q, Q.MultiTerm):
+        ix._maybe_prefetch_field(q.field)
+        if q.field not in ix._complete_fields:
+            raise _NotLocal
+        terms = sorted(
+            t for (f, t), row in ix._term_stats_cache.items()
+            if f == q.field and row is not None and q.term_predicate(t)
+        )
+        if len(terms) > searcher.max_expansion:
+            raise _NotLocal
+        if not terms:
+            return Q.NullQuery
+        if len(terms) == 1:
+            return Q.Term(q.field, terms[0], boost=q.boost)
+        expanded = Q.Or([Q.Term(q.field, t) for t in terms])
+        if q.constantscore:
+            return Q.ConstantScore(expanded, 1.0)
+        expanded.boost = q.boost
+        return expanded
+    if isinstance(q, Q.CompoundQuery):
+        return q._rebuild([_resolve_multiterms_local(c, searcher) for c in q.subqueries])
+    if isinstance(q, Q.Not):
+        return Q.Not(_resolve_multiterms_local(q.query, searcher), boost=q.boost)
+    if isinstance(q, Q.BinaryQuery):
+        return type(q)(
+            _resolve_multiterms_local(q.a, searcher),
+            _resolve_multiterms_local(q.b, searcher), boost=q.boost,
+        )
+    if isinstance(q, Q.ConstantScore):
+        return Q.ConstantScore(_resolve_multiterms_local(q.child, searcher), q.score, boost=q.boost)
+    return q
+
+
+def _contains_multiterm(q) -> bool:
+    if isinstance(q, Q.MultiTerm):
+        return True
+    return any(_contains_multiterm(c) for c in q.children())
+
+
 def try_local_search(searcher, q, limit: int):
     """None when the query isn't eligible; else the top-k rows
     [(doc_id, score)] computed entirely driver-side (no Spark jobs once
     the field stats are prefetched)."""
+    if isinstance(q, Q.MultiTerm) or _contains_multiterm(q):
+        try:
+            q = _resolve_multiterms_local(q, searcher)
+        except _NotLocal:
+            return None
     if not _supported(q):
         return None
     ix = searcher.index
