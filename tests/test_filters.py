@@ -145,3 +145,45 @@ def test_multifilter_index_vs_query_analyzers(spark, tmp_path):
     # merged form matches both the camelcase doc (merged at index) and doc 1
     hits = sorted(r["doc_id"] for r in s.search(qp.parse("wifi"), limit=None).collect())
     assert hits == [0, 1]
+
+
+def test_path_tokenizer_matches_reference(whoosh_ref):
+    from whoosh.analysis import PathTokenizer
+
+    from whoosh_spark.analysis.tokenize import path_analyzer
+
+    pt = PathTokenizer()
+    ours = path_analyzer()
+    for p in ["/a/b/c", "/usr/local/lib/python", "rel/path", "/x", ""]:
+        want = [(t.text, t.pos) for t in pt(p, positions=True)]
+        assert ours.tokens(p) == want, p
+
+
+def test_variations_query(spark, tmp_path):
+    """Variations matches lexicon terms sharing the word's Porter stem,
+    scored per term (our documented engine-native strategy; the reference
+    generates rule-table suffix candidates instead)."""
+    from pyspark.sql import Row
+
+    import whoosh_spark.query as Q
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.schema import IndexSchema, TEXT
+    from whoosh_spark.search import Searcher
+
+    docs = [
+        (0, "rendering the scene"),
+        (1, "renders quickly"),
+        (2, "rendered yesterday"),
+        (3, "nothing to see"),
+        (4, "render farm"),
+    ]
+    d = str(tmp_path / "varix")
+    schema = IndexSchema.of(text=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    build_index(spark, df, schema, d, sha_col=None)
+    s = Searcher(Index(spark, d))
+    hits = sorted(r["doc_id"] for r in s.search(Q.Variations("text", "render"), limit=None).collect())
+    assert hits == [0, 1, 2, 4]
+    # scored expansion: each variant scores like its own Term, summed per doc
+    scores = {r["doc_id"]: r["score"] for r in s.search(Q.Variations("text", "render"), limit=None).collect()}
+    assert all(v > 0 for v in scores.values())

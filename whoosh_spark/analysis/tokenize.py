@@ -88,6 +88,9 @@ class Analyzer:
     substitutions: tuple = ()
     #: ReverseTextFilter
     reverse: bool = False
+    #: PathTokenizer mode: "/a/b/c" -> "/a", "/a/b", "/a/b/c" (reference
+    #: analysis/tokenizers.py:320-337); pattern matches path components
+    path_mode: bool = False
 
     # ---- driver-side (query analysis, tests) ----
 
@@ -132,7 +135,10 @@ class Analyzer:
         """
         if self.ngram is not None:
             return self._ngram_tokens(text)
-        pairs = [(m.group(0), i) for i, m in enumerate(self._pat().finditer(text))]
+        if self.path_mode:
+            pairs = [(text[: m.end()], i) for i, m in enumerate(self._pat().finditer(text))]
+        else:
+            pairs = [(m.group(0), i) for i, m in enumerate(self._pat().finditer(text))]
         if self.intraword is not None:
             from whoosh_spark.analysis.intraword import intraword_pairs
 
@@ -226,6 +232,12 @@ def fancy_analyzer(mergewords: bool = False, mergenums: bool = False, **kw) -> A
 def simple_analyzer() -> Analyzer:
     """RegexTokenizer | Lowercase (no stop filter)."""
     return Analyzer(use_stopfilter=False)
+
+
+def path_analyzer() -> Analyzer:
+    """PathTokenizer: each prefix of a /-separated path is a token."""
+    return Analyzer(pattern=r"[^/]+", lowercase=False, use_stopfilter=False,
+                    path_mode=True)
 
 
 def id_analyzer(lowercase: bool = False) -> Analyzer:

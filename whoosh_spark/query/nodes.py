@@ -557,6 +557,36 @@ class FuzzyTerm(MultiTerm):
         return hash((FuzzyTerm, self.field, self.text, self.maxdist, self.prefixlength, self.boost))
 
 
+class Variations(MultiTerm):
+    """Morphological variants of a word that exist in the lexicon (reference
+    query/terms.py:488-534 Variations). The reference GENERATES candidate
+    suffix forms with a 900-line rules table (lang/morph_en.py) and keeps
+    the ones present in the index; we match lexicon terms sharing the
+    word's Porter stem — same intent, engine-native. Documented divergence:
+    irregular forms from the reference's exceptions dictionary (e.g.
+    was/be) are not matched. Scored per term like the reference
+    (constantscore=False)."""
+
+    def __init__(self, field: str, text: str, boost: float = 1.0):
+        super().__init__(field, boost)
+        self.text = text
+
+    def __repr__(self):
+        return f"Variations({self.field!r}, {self.text!r})"
+
+    def term_predicate(self, term):
+        from whoosh_spark.analysis.morph import porter_stem
+
+        return porter_stem(term) == porter_stem(self.text)
+
+    def __eq__(self, other):
+        return type(self) is type(other) and (
+            self.field, self.text, self.boost) == (other.field, other.text, other.boost)
+
+    def __hash__(self):
+        return hash((Variations, self.field, self.text, self.boost))
+
+
 class TermRange(MultiTerm):
     constantscore = True
     def __init__(self, field: str, start: str | None, end: str | None,

@@ -150,6 +150,7 @@ def schema_to_dict(schema: IndexSchema) -> dict:
                 "accent_fold": f.analyzer.accent_fold,
                 "substitutions": [list(x) for x in f.analyzer.substitutions],
                 "reverse": f.analyzer.reverse,
+                "path_mode": f.analyzer.path_mode,
             }
         out[name] = {
             "analyzer": ana,
@@ -185,6 +186,7 @@ def schema_from_dict(d: dict) -> IndexSchema:
                 accent_fold=a.get("accent_fold", False),
                 substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
                 reverse=a.get("reverse", False),
+                path_mode=a.get("path_mode", False),
             )
         fields[name] = FieldType(
             analyzer=ana,
