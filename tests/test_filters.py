@@ -187,3 +187,35 @@ def test_variations_query(spark, tmp_path):
     # scored expansion: each variant scores like its own Term, summed per doc
     scores = {r["doc_id"]: r["score"] for r in s.search(Q.Variations("text", "render"), limit=None).collect()}
     assert all(v > 0 for v in scores.values())
+
+
+def test_compound_word_filter_matches_reference(whoosh_ref):
+    from whoosh.analysis import CompoundWordFilter, RegexTokenizer
+
+    ws = frozenset("green eggs ham script apple i do not like and".split())
+    for keep in (True, False):
+        ref = RegexTokenizer(r"\S+") | CompoundWordFilter(ws, keep_compound=keep)
+        ours = Analyzer(pattern=r"\S+", lowercase=False, use_stopfilter=False,
+                        compound_words=ws, compound_keep=keep)
+        for text in ["i do not like greeneggs and ham", "applescript rocks",
+                     "nothing splits here"]:
+            want = [(t.text, t.pos) for t in ref(text, positions=True)]
+            assert ours.tokens(text) == want, (keep, text)
+
+
+def test_biword_shingle_filters_match_reference(whoosh_ref):
+    from whoosh.analysis import BiWordFilter, LowercaseFilter, RegexTokenizer, ShingleFilter
+
+    cases = [
+        ((2, "-"), BiWordFilter()),
+        ((3, " "), ShingleFilter(3, " ")),
+        ((2, "_"), ShingleFilter(2, "_")),
+    ]
+    texts = ["the sign of four", "single",
+             "better a witty fool than a foolish wit", ""]
+    for (size, sep), wfilter in cases:
+        ref = RegexTokenizer() | LowercaseFilter() | wfilter
+        ours = Analyzer(use_stopfilter=False, shingle=(size, sep))
+        for text in texts:
+            want = [(t.text, t.pos) for t in ref(text, positions=True)]
+            assert ours.tokens(text) == want, (size, sep, text)

@@ -91,6 +91,13 @@ class Analyzer:
     #: PathTokenizer mode: "/a/b/c" -> "/a", "/a/b", "/a/b/c" (reference
     #: analysis/tokenizers.py:320-337); pattern matches path components
     path_mode: bool = False
+    #: CompoundWordFilter: break tokens that segment into dictionary words
+    #: (reference intraword.py:36-99); runs before lowercasing
+    compound_words: frozenset | None = None
+    compound_keep: bool = True
+    #: ShingleFilter/BiWordFilter: (size, sep) merges adjacent kept tokens
+    #: (reference intraword.py:102-222); runs LAST
+    shingle: tuple | None = None
 
     # ---- driver-side (query analysis, tests) ----
 
@@ -143,6 +150,8 @@ class Analyzer:
             from whoosh_spark.analysis.intraword import intraword_pairs
 
             pairs = intraword_pairs(pairs, *self.intraword)
+        if self.compound_words is not None:
+            pairs = _compound_pairs(pairs, self.compound_words, self.compound_keep)
         if self.lowercase:
             pairs = [(t.lower(), p) for t, p in pairs]
         if self.accent_fold:
@@ -168,6 +177,8 @@ class Analyzer:
             from whoosh_spark.analysis.morph import porter_stem
 
             kept = [(porter_stem(t), pos) for t, pos in kept]
+        if self.shingle is not None:
+            kept = _shingle_pairs(kept, *self.shingle)
         return kept
 
     def query_terms(self, text: str) -> list[str]:
@@ -202,6 +213,52 @@ class Analyzer:
     def apply(self, df, text_col: str, out_col: str = "_analysis"):
         """df -> df + struct column with per-doc (terms, length)."""
         return df.withColumn(out_col, self.tokens_udf()(F.col(text_col)))
+
+
+def _compound_subwords(s, wordset, memo):
+    """Greedy-prefix recursive segmentation (reference intraword.py:68-84)."""
+    if s in wordset:
+        return [s]
+    if s in memo:
+        return memo[s]
+    for i in range(1, len(s)):
+        if s[:i] in wordset:
+            rest = _compound_subwords(s[i:], wordset, memo)
+            if rest:
+                memo[s] = [s[:i]] + rest
+                return memo[s]
+    memo[s] = None
+    return None
+
+
+def _compound_pairs(pairs, wordset, keep):
+    out = []
+    memo: dict = {}
+    for t, p in pairs:
+        subs = _compound_subwords(t, wordset, memo)
+        if subs:
+            if len(subs) > 1 and keep:
+                out.append((t, p))
+            out.extend((sw, p) for sw in subs)
+        else:
+            out.append((t, p))
+    return out
+
+
+def _shingle_pairs(pairs, size, sep):
+    """Adjacent-token shingles; pos = first token's pos; streams shorter
+    than ``size`` emit one shingle of everything (reference
+    intraword.py:170-222; BiWord == size 2)."""
+    out = []
+    buf: list = []
+    for t, p in pairs:
+        buf.append((t, p))
+        if len(buf) == size:
+            out.append((sep.join(x for x, _ in buf), buf[0][1]))
+            buf.pop(0)
+    if not out and buf:
+        out.append((sep.join(x for x, _ in buf), buf[0][1]))
+    return out
 
 
 def standard_analyzer(**kw) -> Analyzer:

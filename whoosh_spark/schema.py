@@ -151,6 +151,9 @@ def schema_to_dict(schema: IndexSchema) -> dict:
                 "substitutions": [list(x) for x in f.analyzer.substitutions],
                 "reverse": f.analyzer.reverse,
                 "path_mode": f.analyzer.path_mode,
+                "compound_words": sorted(f.analyzer.compound_words) if f.analyzer.compound_words else None,
+                "compound_keep": f.analyzer.compound_keep,
+                "shingle": list(f.analyzer.shingle) if f.analyzer.shingle else None,
             }
         out[name] = {
             "analyzer": ana,
@@ -187,6 +190,9 @@ def schema_from_dict(d: dict) -> IndexSchema:
                 substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
                 reverse=a.get("reverse", False),
                 path_mode=a.get("path_mode", False),
+                compound_words=frozenset(a["compound_words"]) if a.get("compound_words") else None,
+                compound_keep=a.get("compound_keep", True),
+                shingle=tuple(a["shingle"]) if a.get("shingle") else None,
             )
         fields[name] = FieldType(
             analyzer=ana,
