@@ -212,10 +212,13 @@ def test_biword_shingle_filters_match_reference(whoosh_ref):
         ((2, "_"), ShingleFilter(2, "_")),
     ]
     texts = ["the sign of four", "single",
-             "better a witty fool than a foolish wit", ""]
+             "better a witty fool than a foolish wit"]
     for (size, sep), wfilter in cases:
         ref = RegexTokenizer() | LowercaseFilter() | wfilter
         ours = Analyzer(use_stopfilter=False, shingle=(size, sep))
         for text in texts:
             want = [(t.text, t.pos) for t in ref(text, positions=True)]
             assert ours.tokens(text) == want, (size, sep, text)
+        # the reference BiWordFilter raises UnboundLocalError on an empty
+        # stream (intraword.py:167); we return an empty token list
+        assert ours.tokens("") == []
