@@ -387,43 +387,28 @@ class _PlanContext:
                     "dc": float(dc),
                 }
             )
-        # inline the per-term constants as literal CASE chains keyed on
-        # (field, term) — pure codegen, no broadcast-exchange job. Query
-        # term sets are small (they were driver-collected stats anyway);
-        # fall back to a broadcast join for very large scored expansions.
-        if len(meta_rows) <= 64:
-            key = F.concat_ws("\x00", F.col("field"), F.col("term"))
-
-            def lit_case(col_name):
-                expr = None
-                for m in meta_rows:
-                    k = f"{m['field']}\x00{m['term']}"
-                    v = F.lit(m[col_name])
-                    expr = F.when(key == k, v) if expr is None else expr.when(key == k, v)
-                return expr
-
-            joined = decoded
-            for c in ("idf", "avgfl", "b", "one_minus_b", "fboost", "scorable",
-                      "cf", "fl_total", "dc"):
-                joined = joined.withColumn(c, lit_case(c))
-        else:
-            meta_schema = T.StructType(
-                [
-                    T.StructField("field", T.StringType()),
-                    T.StructField("term", T.StringType()),
-                    T.StructField("idf", T.DoubleType()),
-                    T.StructField("avgfl", T.DoubleType()),
-                    T.StructField("b", T.DoubleType()),
-                    T.StructField("one_minus_b", T.DoubleType()),
-                    T.StructField("fboost", T.DoubleType()),
-                    T.StructField("scorable", T.BooleanType()),
-                    T.StructField("cf", T.DoubleType()),
-                    T.StructField("fl_total", T.DoubleType()),
-                    T.StructField("dc", T.DoubleType()),
-                ]
-            )
-            meta = self.spark.createDataFrame(meta_rows, meta_schema)
-            joined = decoded.join(F.broadcast(meta), on=["field", "term"])
+        # NOTE: inlining these constants as per-row literal CASE chains was
+        # tried and REVERTED — it re-evaluates an O(n_terms) string-compare
+        # chain per decoded posting row, which collapsed the 500-query batch
+        # workload from 157s to 950s at 16 cores. The broadcast hash join is
+        # O(1) per row and its exchange job is negligible.
+        meta_schema = T.StructType(
+            [
+                T.StructField("field", T.StringType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("idf", T.DoubleType()),
+                T.StructField("avgfl", T.DoubleType()),
+                T.StructField("b", T.DoubleType()),
+                T.StructField("one_minus_b", T.DoubleType()),
+                T.StructField("fboost", T.DoubleType()),
+                T.StructField("scorable", T.BooleanType()),
+                T.StructField("cf", T.DoubleType()),
+                T.StructField("fl_total", T.DoubleType()),
+                T.StructField("dc", T.DoubleType()),
+            ]
+        )
+        meta = self.spark.createDataFrame(meta_rows, meta_schema)
+        joined = decoded.join(F.broadcast(meta), on=["field", "term"])
         weight = F.col("tf").cast("double") * F.col("fboost")
         fl = F.col("fl").cast("double")  # dequantized in the decode kernel
         score = w.score_col(
