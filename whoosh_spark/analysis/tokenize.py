@@ -181,17 +181,102 @@ class Analyzer:
             kept = _shingle_pairs(kept, *self.shingle)
         return kept
 
+    def _is_simple(self) -> bool:
+        """True when the chain is tokenize->lower->stop->stem only — the fused
+        fast paths below then skip the intermediate (term, pos) list."""
+        return (self.ngram is None and self.intraword is None
+                and self.compound_words is None and self.shingle is None
+                and not self.path_mode and not self.accent_fold
+                and not self.substitutions and not self.reverse)
+
+    def kept_count(self, text: str) -> int:
+        """Field length (number of kept tokens) without materializing the
+        token list — the lengths-table pass is a full corpus tokenize, so
+        this fast path matters for build throughput."""
+        if not self._is_simple():
+            return len(self.tokens(text))
+        pat = self._pat()
+        if not self.use_stopfilter:
+            return sum(1 for _ in pat.finditer(text))
+        minsize, maxsize, stops = self.minsize, self.maxsize, self.stopwords
+        lower = self.lowercase
+        k = 0
+        for m in pat.finditer(text):
+            t = m.group(0)
+            if lower:
+                t = t.lower()
+            if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
+                k += 1
+        return k
+
     def query_terms(self, text: str) -> list[str]:
         return [t for t, _ in self.tokens(text)]
 
+    def doc_kernel(self):
+        """A prebound callable ``text -> ({term: positions}, field_length)``
+        — the index build's hot loop. The simple chain (tokenize -> lower ->
+        stop -> stem) gets a fused closure with zero per-doc attribute
+        lookups; other chains go through tokens()."""
+        if not self._is_simple():
+            tokens = self.tokens
+
+            def general(text):
+                kept = tokens(text)
+                agg: dict[str, list[int]] = {}
+                for term, pos in kept:
+                    agg.setdefault(term, []).append(pos)
+                return agg, len(kept)
+
+            return general
+
+        pat = self._pat()
+        finditer = pat.finditer
+        lower = self.lowercase
+        if self.stem:
+            from whoosh_spark.analysis.morph import porter_stem as stem_fn
+        else:
+            stem_fn = None
+        if self.use_stopfilter:
+            minsize, maxsize, stops = self.minsize, self.maxsize, self.stopwords
+
+            def fused_stop(text):
+                agg: dict[str, list[int]] = {}
+                first = None
+                k = 0
+                for pos, m in enumerate(finditer(text)):
+                    t = m.group(0)
+                    if lower:
+                        t = t.lower()
+                    if len(t) >= minsize and (maxsize is None or len(t) <= maxsize) and t not in stops:
+                        if first is None:
+                            first = pos
+                        if stem_fn is not None:
+                            t = stem_fn(t)
+                        agg.setdefault(t, []).append(first + k)
+                        k += 1
+                return agg, k
+
+            return fused_stop
+
+        def fused(text):
+            agg: dict[str, list[int]] = {}
+            k = 0
+            for pos, m in enumerate(finditer(text)):
+                t = m.group(0)
+                if lower:
+                    t = t.lower()
+                if stem_fn is not None:
+                    t = stem_fn(t)
+                agg.setdefault(t, []).append(pos)
+                k = pos + 1
+            return agg, k
+
+        return fused
+
     def analyze_doc(self, text: str) -> tuple[list[tuple[str, int, list[int]]], int]:
         """Per-doc aggregation: [(term, tf, positions)], field_length."""
-        kept = self.tokens(text or "")
-        agg: dict[str, list[int]] = {}
-        for term, pos in kept:
-            agg.setdefault(term, []).append(pos)
-        terms = [(t, len(ps), ps) for t, ps in agg.items()]
-        return terms, len(kept)
+        agg, k = self.doc_kernel()(text or "")
+        return [(t, len(ps), ps) for t, ps in agg.items()], k
 
     # ---- Spark-side ----
 

@@ -116,20 +116,21 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     ]
 
     def kernel(batches):
+        kernels = [(name, ana.doc_kernel(), phrase) for name, ana, phrase in cfgs]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
-            for name, ana, phrase in cfgs:
+            for name, doc_kernel, phrase in kernels:
                 texts = pdf[name]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
                     if text is None:
                         continue
-                    terms, k = ana.analyze_doc(text)
-                    for t, tf, ps in terms:
+                    agg, k = doc_kernel(text)
+                    for t, ps in agg.items():
                         f_out.append(name)
                         t_out.append(t)
                         d_out.append(did)
-                        tf_out.append(tf)
+                        tf_out.append(len(ps))
                         p_out.append(ps if phrase else None)
                         l_out.append(k)
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
@@ -165,7 +166,7 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
                         continue
                     d_out.append(did)
                     f_out.append(name)
-                    l_out.append(len(ana.tokens(text)))
+                    l_out.append(ana.kept_count(text))
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {
