@@ -63,7 +63,9 @@ def child(cpus: int) -> dict:
     from whoosh_spark.search.batch import batch_term_search
     from whoosh_spark.session import get_spark
 
-    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    # 4x cores shuffle partitions: hot (query,doc) hash groups straggle at
+    # 1x (measured 128s -> 96s at local[8] going 8 -> 32 partitions)
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus * 4, 8))
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(CORPUS_DIR)
     n_docs = docs.count()

@@ -222,13 +222,23 @@ class Index:
 
     # ---- posting decode ----
 
-    def postings_for(self, field: str, terms: list[str], with_positions: bool = False) -> DataFrame:
+    def postings_for(self, field: str, terms: list[str], with_positions: bool = False,
+                     min_partitions: int | None = None) -> DataFrame:
         """Decoded postings for the given terms: (field, term, doc_id, tf,
         len_byte[, positions]). Parquet row-group stats prune the term scan
-        (blocks are written term-sorted)."""
+        (blocks are written term-sorted).
+
+        ``min_partitions`` redistributes the (compact, encoded) block rows
+        before decode: Parquet packs small block files into one or two
+        128 MB input splits, which would serialize the decode -> score ->
+        fan-out pipeline on wide workloads (the batch path measured FLAT
+        ~250 s from 2 to 8 cores without this). Shuffling encoded blocks is
+        cheap — ~128x fewer rows than postings, binary payloads."""
         blocks = self.postings_blocks().filter(
             (F.col("field") == field) & F.col("term").isin(list(terms))
         )
+        if min_partitions:
+            blocks = blocks.repartition(min_partitions)
         decoded = decode_blocks(blocks, with_positions=with_positions)
         return self._mask_deleted(decoded)
 

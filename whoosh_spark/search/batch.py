@@ -70,9 +70,13 @@ def batch_term_search(
     ix = searcher.index
     qdf, all_terms, plan = _prepare(searcher, queries)
     term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
+    # spread the encoded blocks across the cluster BEFORE decode — the
+    # batch fan-out (score x queries-per-term) is the heavy stage and must
+    # not inherit the 1-2 packed Parquet input splits
+    nparts = max(1, ix.spark.sparkContext.defaultParallelism) * 2
     parts = []
     for field, ts in all_terms.items():
-        parts.append(ix.postings_for(field, list(ts)))
+        parts.append(ix.postings_for(field, list(ts), min_partitions=nparts))
     decoded = parts[0]
     for p in parts[1:]:
         decoded = decoded.unionByName(p)
