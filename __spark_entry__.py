@@ -234,8 +234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(_searcher(spark, sf), Q.Ordered("text", ["group", "order"]))
 
     def wand_or5(spark, sf):
-        # block-max WAND pruned top-k == unpruned top-k
+        # block-max WAND pruned top-k == unpruned top-k.  use_local=False so
+        # this oracle grades the WAND plan itself (search/wand.py), never the
+        # driver-local fast path (ADVICE r2).
         s = _searcher(spark, sf)
+        s.use_local = False
         q = Q.Or([Q.Term("text", t) for t in ["scan", "join", "window", "sort", "row"]])
         df = s.search(q, limit=20, use_wand=True)
         return (
@@ -449,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_cosine_topk(emb, queries, k=5)
 
     def ann_lsh_topk(spark, sf):
+        # 1-bit multi-probe LSH ANN, DuckDB-mirrored (oracle_sql) AND
+        # recall-tested vs brute force in tests/test_functions.py
         from whoosh_spark.functions.similarity import lsh_cosine_topk
 
         emb = _emb(spark, sf)
@@ -750,6 +755,7 @@ sc AS (
         brute_cosine_topk_sql,
         embedding_neardup_lsh_sql,
         embedding_neardup_sql,
+        lsh_cosine_topk_sql,
     )
     from whoosh_spark.functions.textstats import (
         doc_fingerprint_sql,
@@ -768,7 +774,8 @@ sc AS (
     sql["ann_brute_topk"] = brute_cosine_topk_sql(n_queries=3, k=5)
     sql["embedding_neardup"] = embedding_neardup_lsh_sql(tau=0.4, dim=64)
     sql["embedding_neardup_exact"] = embedding_neardup_sql(tau=0.4)
-    # ann_lsh_topk and media_features are rows-only (ANN recall is verified
-    # against the brute-force baseline in tests/test_functions.py; media
-    # decode is stubbed pending codec libraries)
+    sql["ann_lsh_topk"] = lsh_cosine_topk_sql(n_queries=3, k=5, dim=64)
+    # media_features stays rows-only (real stdlib PNG/WAV decode is
+    # invariant-checked vs generator metadata in tests/test_functions.py;
+    # binary decode has no SQL equivalent)
     return sql

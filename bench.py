@@ -62,7 +62,10 @@ def run(sf_dir: str, cpus: int, synth_docs: int) -> dict:
 
     # ---- headline queries ----
     ix = Index(spark, idx_dir)
-    s = Searcher(ix, exact_scores=False, cache_postings=False)
+    # exact_scores=True: the adaptive local fast path replicates exact-order
+    # float ops, so (post r2-ADVICE gating) only an exact-order searcher is
+    # eligible for it; scores are identical either way on these queries
+    s = Searcher(ix, exact_scores=True, cache_postings=False)
     cases = {
         "q_term": Q.Term("text", "scan"),
         "q_and2": Q.And([Q.Term("text", "scan"), Q.Term("text", "merge")]),

@@ -137,8 +137,13 @@ def test_multifilter_index_vs_query_analyzers(spark, tmp_path):
     d = str(tmp_path / "mf")
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
     build_index(spark, df, schema, d, sha_col=None)
-    s = Searcher(Index(spark, d))
-    qp = QueryParser("text", schema)
+    # parse with the RELOADED schema, not the in-memory object: r2 ADVICE —
+    # query_analyzer must survive schema_to_dict/schema_from_dict, else a
+    # reopened index silently parses with the index analyzer
+    ix = Index(spark, d)
+    assert ix.schema["text"].query_analyzer is not None
+    s = Searcher(ix)
+    qp = QueryParser("text", ix.schema)
     # "WiFi" at query time -> [wi, fi] subwords; doc 0 indexed wi/fi/wifi
     hits = sorted(r["doc_id"] for r in s.search(qp.parse("WiFi"), limit=None).collect())
     assert hits == [0]

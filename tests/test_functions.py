@@ -145,6 +145,56 @@ def test_embedding_neardup_self(spark):
     assert all((i, i + 10000) in found for i in range(5))
 
 
+def test_neardup_exact_dups_survive_bucket_cap(spark):
+    # round-2 ADVICE: a duplicate cluster larger than MAX_BUCKET lands in
+    # the same oversized bucket in every table; without the equality
+    # pre-pass the cap silently drops ALL its pairs (recall 0 on exactly
+    # the hot-boilerplate clusters dedup targets)
+    from whoosh_spark.functions.similarity import (
+        MAX_BUCKET,
+        embedding_neardup_lsh,
+        lsh_dropped_buckets,
+    )
+
+    n = MAX_BUCKET + 30
+    v = [float((i * 37) % 13 - 6) for i in range(16)]
+    other = [float((i * 29) % 11 - 5) for i in range(16)]
+    rows = [(i, v) for i in range(n)] + [(n, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dropped = lsh_dropped_buckets(emb, dim=16).collect()
+    assert dropped and all(r["members"] >= n for r in dropped)  # cap really hit
+    pairs = embedding_neardup_lsh(emb, tau=0.999, dim=16).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert found == want, f"missing {len(want - found)} exact-dup pairs"
+
+
+def test_lsh_multiprobe_beats_exact_bucket(spark):
+    # a query whose vector sits just across ONE hyperplane from its
+    # neighbor gets a bucket key 1 bit away; multi-probe must still find it
+    import numpy as np
+
+    from whoosh_spark.functions.similarity import _pseudo_plane, lsh_buckets
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # perturb each query until at least one table's bucket differs from its
+    # source vector's bucket (so exact-bucket join alone would lose table votes)
+    queries = spark.createDataFrame(
+        [(i, [float(x + rng.normal(0, 0.05)) for x in base[i]]) for i in range(10)],
+        "query_id long, embedding array<double>",
+    )
+    ann = lsh_cosine_topk(emb, queries, dim=dim, k=1).collect()
+    by_q = {r["query_id"]: r["vec_id"] for r in ann}
+    hits = sum(1 for q, v in by_q.items() if q == v)
+    assert hits >= 9, f"multi-probe nearest-neighbor hits {hits}/10"
+
+
 def test_png_wav_roundtrip():
     import numpy as np
 

@@ -60,6 +60,12 @@ QUERY_STRINGS = [
     "name:(yellow OR brown)",
     "value:[blue TO green]",
     "value:{blue TO green}",
+    "value:[blue TO]",
+    "value:[TO green]",
+    "value:['blue' TO 'red']",  # quoted range endpoints (RangeTagger strips)
+    "'red town'",  # SingleQuotePlugin: quoted value as one (analyzed) token
+    "'red'green",  # boundary guard: NOT a quote — lexes as plain words
+    "value:[greenTO]",  # unspaced TO is not a range separator
     "ren*",
     "re*er",
     "*",

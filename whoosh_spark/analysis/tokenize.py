@@ -212,6 +212,36 @@ class Analyzer:
     def query_terms(self, text: str) -> list[str]:
         return [t for t, _ in self.tokens(text)]
 
+    def single_text(self, text: str) -> str:
+        """The reference's get_single_text(field, text, tokenize=False,
+        removestops=False) (qparser/common.py + analysis tokenize=False):
+        the whole string passes through the filter chain as ONE token —
+        lowercase/fold/substitute/reverse/stem apply, stop words are kept —
+        used for range endpoints (syntax.py RangeNode.query:486-491)."""
+        pairs = [(text, 0)]
+        if self.intraword is not None:
+            from whoosh_spark.analysis.intraword import intraword_pairs
+
+            pairs = intraword_pairs(pairs, *self.intraword)
+        if self.compound_words is not None:
+            pairs = _compound_pairs(pairs, self.compound_words, self.compound_keep)
+        if self.lowercase:
+            pairs = [(t.lower(), p) for t, p in pairs]
+        if self.accent_fold:
+            from whoosh_spark.analysis.intraword import fold_accents
+
+            pairs = [(fold_accents(t), p) for t, p in pairs]
+        for pat, repl in self.substitutions:
+            rx = _compiled(pat)
+            pairs = [(rx.sub(repl, t), p) for t, p in pairs]
+        if self.reverse:
+            pairs = [(t[::-1], p) for t, p in pairs]
+        if self.stem:
+            from whoosh_spark.analysis.morph import porter_stem
+
+            pairs = [(porter_stem(t), p) for t, p in pairs]
+        return pairs[0][0] if pairs else text
+
     def doc_kernel(self):
         """A prebound callable ``text -> ({term: positions}, field_length)``
         — the index build's hot loop. The simple chain (tokenize -> lower ->

@@ -4,9 +4,13 @@
                       the correctness baseline (and DuckDB-verifiable)
   lsh_buckets         random-hyperplane signs -> bucket key (deterministic
                       pseudo-hyperplanes derived from md5, no stored model)
-  lsh_cosine_topk     ANN: candidates restricted to multi-probe LSH bucket
-                      collisions, exact cosine re-rank — the 100 TB path
-                      (bucket join instead of an all-pairs product)
+  lsh_cosine_topk     ANN: candidates restricted to LSH bucket collisions
+                      with 1-bit-flip multi-probe (each query bucket is
+                      probed as itself plus every single-bit variant, so
+                      vectors one hyperplane-sign away are still found),
+                      exact cosine re-rank — the 100 TB path (bucket join
+                      instead of an all-pairs product); DuckDB-mirrored by
+                      lsh_cosine_topk_sql
 """
 
 from __future__ import annotations
@@ -124,26 +128,61 @@ def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
     return out
 
 
+def lsh_dropped_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_tables: int = ND_TABLES,
+                        n_planes: int = ND_PLANES,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Diagnostic: (table, bucket, members) for every bucket the skew cap
+    drops. Non-empty output means some non-identical near-pairs inside those
+    buckets rely on colliding in ANOTHER table (identical vectors are safe
+    regardless — the exact-dup pre-pass in lsh_pair_candidates bypasses the
+    cap). Count this in audits instead of guessing recall."""
+    buckets = lsh_buckets(emb, dim, id_col, vec_col, n_tables=n_tables, n_planes=n_planes)
+    return (
+        buckets.groupBy("table", "bucket")
+        .agg(F.count("*").alias("members"))
+        .filter(F.col("members") > max_bucket)
+    )
+
+
 def lsh_pair_candidates(emb: DataFrame, dim: int, id_col: str = "vec_id",
                         vec_col: str = "embedding", n_tables: int = ND_TABLES,
                         n_planes: int = ND_PLANES,
                         max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(a, b) candidate pairs (a < b) sharing an LSH bucket in any table,
     with degenerate buckets (> max_bucket members) dropped so no bucket's
-    self-join can go quadratic — the scale path for pairwise similarity."""
+    self-join can go quadratic — the scale path for pairwise similarity.
+
+    Exact duplicates are exempt from the cap: a bitwise-equality self-join
+    (hash-bucketed, so it shuffles on a 4-byte key, not the vector) emits
+    every identical-vector pair even when its LSH bucket is oversized —
+    without this, the cap would silently zero recall for exactly the hot
+    boilerplate clusters dedup targets (round-2 ADVICE)."""
+    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
     buckets = lsh_buckets(emb, dim, id_col, vec_col, n_tables=n_tables, n_planes=n_planes)
     sizes = buckets.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
-    buckets = buckets.join(
+    kept = buckets.join(
         sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
         on=["table", "bucket"], how="left_semi",
     )
-    return (
-        buckets.alias("x")
-        .join(buckets.alias("y"), on=["table", "bucket"])
+    lsh_pairs = (
+        kept.alias("x")
+        .join(kept.alias("y"), on=["table", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        .distinct()
     )
+    hashed = base.select("vec_id", F.hash(F.col("v")).alias("_vh"), "v")
+    exact_pairs = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x._vh") == F.col("y._vh"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+    )
+    return lsh_pairs.unionByName(exact_pairs).distinct()
 
 
 def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.95, id_col: str = "vec_id",
@@ -152,9 +191,12 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.95, id_col: str = "vec_
     """Near-duplicate pairs (a < b, exact cosine >= tau), candidates
     restricted to LSH bucket collisions — the default at-scale near-dup
     (the all-pairs variant survives as dedup.embedding_neardup_oracle for
-    verification only). Identical vectors always share every bucket, so
-    exact-duplicate recall is 1.0; near-pair recall follows the standard
-    random-hyperplane curve 1-(1-(1-theta/pi)^n_planes)^n_tables."""
+    verification only). Exact-duplicate recall is 1.0 — guaranteed by the
+    equality pre-pass in lsh_pair_candidates, NOT by bucket sharing (the
+    skew cap can drop an oversized bucket); near-pair recall follows the
+    standard random-hyperplane curve 1-(1-(1-theta/pi)^n_planes)^n_tables
+    minus whatever mass sits in capped buckets (count those with
+    lsh_dropped_buckets)."""
     if dim is None:
         head = emb.select(vec_col).head()
         dim = len(head[0]) if head else 0
@@ -186,8 +228,9 @@ def embedding_neardup_lsh_sql(tau: float, dim: int = 64,
                               n_tables: int = ND_TABLES, n_planes: int = ND_PLANES,
                               max_bucket: int = MAX_BUCKET) -> str:
     """DuckDB mirror of embedding_neardup_lsh: identical pseudo-hyperplane
-    constants inlined as literals, identical bucket keys, cap, and exact
-    cosine verification."""
+    constants inlined as literals, identical bucket keys, cap, exact-dup
+    equality pre-pass (list equality — DuckDB needs no hash bucketing at
+    oracle scale), and exact cosine verification."""
     tables = []
     for t in range(n_tables):
         bits = " || ".join(
@@ -208,8 +251,13 @@ buckets AS (
   ) WHERE _bn <= {max_bucket}
 ),
 cand AS (
-  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT DISTINCT a, b FROM (
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    UNION ALL
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM base x JOIN base y ON x.v = y.v AND x.vec_id < y.vec_id
+  )
 ),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
 SELECT c.a, c.b,
@@ -219,6 +267,21 @@ WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {tau}
 """.strip()
 
 
+def _probe_variants(bucket: Column, n_planes: int) -> Column:
+    """Array of the bucket key plus every single-bit flip (1-bit multi-probe:
+    a corpus vector one hyperplane-sign away from the query is still found)."""
+    variants = [bucket]
+    for i in range(n_planes):
+        variants.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(bucket, i + 2, n_planes - i - 1),
+            )
+        )
+    return F.array(*variants)
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -226,15 +289,24 @@ def lsh_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """ANN top-k: candidates = vectors sharing any LSH bucket with the
-    query in any table; exact cosine re-rank of candidates only."""
-    cand_buckets = lsh_buckets(emb, dim, id_col, vec_col)
-    q_buckets = lsh_buckets(
-        queries.withColumnRenamed("query_id", id_col), dim, id_col, vec_col
-    ).withColumnRenamed("vec_id", "query_id")
+    """ANN top-k: candidates = vectors whose LSH bucket, in any table,
+    matches the query's bucket OR any single-bit flip of it (1-bit
+    multi-probe, query side only — the corpus is bucketed once); exact
+    cosine re-rank of candidates only. Probing expands only the broadcast
+    query side by (n_planes + 1)x, so the 100 TB corpus-side bucket join is
+    unchanged. DuckDB-mirrored by lsh_cosine_topk_sql."""
+    cand_buckets = lsh_buckets(emb, dim, id_col, vec_col, n_tables=n_tables, n_planes=n_planes)
+    q_buckets = (
+        lsh_buckets(queries.withColumnRenamed("query_id", id_col), dim, id_col, vec_col,
+                    n_tables=n_tables, n_planes=n_planes)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("bucket", F.explode(_probe_variants(F.col("bucket"), n_planes)))
+    )
     cand = (
-        q_buckets.join(cand_buckets, on=["table", "bucket"])
+        F.broadcast(q_buckets).join(cand_buckets, on=["table", "bucket"])
         .select("query_id", "vec_id")
         .distinct()
     )
@@ -252,3 +324,51 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def lsh_cosine_topk_sql(n_queries: int = 3, k: int = 5, dim: int = 64,
+                        n_tables: int = N_TABLES, n_planes: int = N_PLANES) -> str:
+    """DuckDB mirror of lsh_cosine_topk with queries = vec_id < n_queries:
+    identical pseudo-hyperplane literals, identical bucket keys, identical
+    1-bit-flip multi-probe on the query side, exact cosine re-rank."""
+    tables = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane_literal(t, p, dim)}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM base")
+    buckets_sql = " UNION ALL ".join(tables)
+    flips = ["SELECT query_id, tbl, bucket FROM qb"]
+    for i in range(1, n_planes + 1):
+        flips.append(
+            f"SELECT query_id, tbl, substr(bucket, 1, {i - 1}) || "
+            f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr(bucket, {i + 1}) AS bucket FROM qb"
+        )
+    probes_sql = " UNION ALL ".join(flips)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+buckets AS ({buckets_sql}),
+qb AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < {n_queries}
+),
+probes AS ({probes_sql}),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id
+  FROM probes p JOIN buckets b ON p.tbl = b.tbl AND p.bucket = b.bucket
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(x.v, q.v) / (x.nrm * q.nrm), 6) AS cosine
+  FROM cand c JOIN n x ON x.vec_id = c.vec_id JOIN n q ON q.vec_id = c.query_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+""".strip()

@@ -33,8 +33,8 @@ _TOKEN_RE = re.compile(
     (?P<rparen>\)(?:\^(?P<gboost>\d+(?:\.\d+)?))?) |
     (?P<rgx>r"(?P<rgxpat>[^"]*)"(?:\^(?P<rgxboost>\d+(?:\.\d+)?))?) |
     (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<phboost>\d+(?:\.\d+)?))?) |
-    (?P<range>(?P<lb>[\[{])\s*(?P<rstart>[^\s\]}]*?)\s*TO\s*(?P<rend>[^\s\]}]*)\s*(?P<rb>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
-    (?P<squote>'(?P<sqtext>[^']*)'(?:\^(?P<sqboost>\d+(?:\.\d+)?))?) |
+    (?P<range>(?P<lb>[\[{])(?P<rstart>('[^']*?'\s+)|([^\]}]+?(?=[Tt][Oo])))?[Tt][Oo](?P<rend>(\s+'[^']*?')|([^\]}]+?))?(?P<rb>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
+    (?P<squote>(?:^|(?<=\W))'(?P<sqtext>.*?)'(?=\s|\]|[)}]|$)) |
     (?P<field>[\w*]+): |
     (?P<word>[^\s()]+) |
     (?P<ws>\s+)
@@ -77,16 +77,29 @@ def _lex(text: str) -> list[_Tok]:
                       "boost": float(m.group("phboost")) if m.group("phboost") else 1.0})
             )
         elif kind == "range":
+            # RangeTagger.create (reference plugins.py:845-871): strip the
+            # space around TO, then strip single quotes; missing endpoint
+            # stays None (open range)
+            rstart, rend = m.group("rstart"), m.group("rend")
+            if rstart:
+                rstart = rstart.rstrip()
+                if rstart.startswith("'") and rstart.endswith("'"):
+                    rstart = rstart[1:-1]
+            if rend:
+                rend = rend.lstrip()
+                if rend.startswith("'") and rend.endswith("'"):
+                    rend = rend[1:-1]
             toks.append(
-                _Tok("range", (m.group("rstart"), m.group("rend")),
+                _Tok("range", (rstart, rend),
                      {"startexcl": m.group("lb") == "{", "endexcl": m.group("rb") == "}",
                       "boost": float(m.group("rboost")) if m.group("rboost") else 1.0})
             )
         elif kind == "squote":
-            # SingleQuotePlugin (reference plugins.py:109-117): quoted value
-            # as one word token
-            toks.append(_Tok("word", m.group("sqtext"),
-                             {"boost": float(m.group("sqboost")) if m.group("sqboost") else 1.0}))
+            # SingleQuotePlugin (reference plugins.py:115-121): quoted value
+            # as one word token, with the reference's boundary guards
+            # ((^|(?<=\W)) before, (?=\s|\]|[)}]|$) after) so 'abc'def lexes
+            # as a plain word, not quote+word
+            toks.append(_Tok("word", m.group("sqtext"), {"boost": 1.0}))
         elif kind == "field":
             toks.append(_Tok("field", m.group("field")[:-1] if False else m.group(0)[:-1]))
         elif kind == "word":
@@ -347,9 +360,11 @@ class QueryParser:
         )
 
     def _range_text(self, field: str, text: str) -> str:
+        # reference RangeNode.query (syntax.py:486-491): endpoints go through
+        # get_single_text(tokenize=False, removestops=False) — the whole
+        # string as one token, stop words kept
         ana = self._analyzer(field)
-        terms = ana.query_terms(text) if ana else [text]
-        return terms[0] if terms else text
+        return ana.single_text(text) if ana else text
 
     def _field_kind(self, field: str) -> str:
         return self.schema[field].kind if field in self.schema else "text"

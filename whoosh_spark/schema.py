@@ -131,32 +131,60 @@ class IndexSchema:
         return IndexSchema(dict(fields))
 
 
+def _analyzer_to_dict(a: Analyzer | None) -> dict | None:
+    if a is None:
+        return None
+    return {
+        "pattern": a.pattern,
+        "lowercase": a.lowercase,
+        "stopwords": sorted(a.stopwords),
+        "minsize": a.minsize,
+        "maxsize": a.maxsize,
+        "use_stopfilter": a.use_stopfilter,
+        "ngram": list(a.ngram) if a.ngram else None,
+        "ngram_words": a.ngram_words,
+        "stem": a.stem,
+        "intraword": list(a.intraword) if a.intraword else None,
+        "accent_fold": a.accent_fold,
+        "substitutions": [list(x) for x in a.substitutions],
+        "reverse": a.reverse,
+        "path_mode": a.path_mode,
+        "compound_words": sorted(a.compound_words) if a.compound_words else None,
+        "compound_keep": a.compound_keep,
+        "shingle": list(a.shingle) if a.shingle else None,
+    }
+
+
+def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
+    if a is None:
+        return None
+    return Analyzer(
+        pattern=a["pattern"],
+        lowercase=a["lowercase"],
+        stopwords=frozenset(a["stopwords"]),
+        minsize=a["minsize"],
+        maxsize=a["maxsize"],
+        use_stopfilter=a["use_stopfilter"],
+        ngram=tuple(a["ngram"]) if a.get("ngram") else None,
+        ngram_words=a.get("ngram_words", False),
+        stem=a.get("stem", False),
+        intraword=tuple(a["intraword"]) if a.get("intraword") else None,
+        accent_fold=a.get("accent_fold", False),
+        substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
+        reverse=a.get("reverse", False),
+        path_mode=a.get("path_mode", False),
+        compound_words=frozenset(a["compound_words"]) if a.get("compound_words") else None,
+        compound_keep=a.get("compound_keep", True),
+        shingle=tuple(a["shingle"]) if a.get("shingle") else None,
+    )
+
+
 def schema_to_dict(schema: IndexSchema) -> dict:
     out = {}
     for name, f in schema.fields.items():
-        ana = None
-        if f.analyzer is not None:
-            ana = {
-                "pattern": f.analyzer.pattern,
-                "lowercase": f.analyzer.lowercase,
-                "stopwords": sorted(f.analyzer.stopwords),
-                "minsize": f.analyzer.minsize,
-                "maxsize": f.analyzer.maxsize,
-                "use_stopfilter": f.analyzer.use_stopfilter,
-                "ngram": list(f.analyzer.ngram) if f.analyzer.ngram else None,
-                "ngram_words": f.analyzer.ngram_words,
-                "stem": f.analyzer.stem,
-                "intraword": list(f.analyzer.intraword) if f.analyzer.intraword else None,
-                "accent_fold": f.analyzer.accent_fold,
-                "substitutions": [list(x) for x in f.analyzer.substitutions],
-                "reverse": f.analyzer.reverse,
-                "path_mode": f.analyzer.path_mode,
-                "compound_words": sorted(f.analyzer.compound_words) if f.analyzer.compound_words else None,
-                "compound_keep": f.analyzer.compound_keep,
-                "shingle": list(f.analyzer.shingle) if f.analyzer.shingle else None,
-            }
         out[name] = {
-            "analyzer": ana,
+            "analyzer": _analyzer_to_dict(f.analyzer),
+            "query_analyzer": _analyzer_to_dict(f.query_analyzer),
             "indexed": f.indexed,
             "stored": f.stored,
             "unique": f.unique,
@@ -172,30 +200,9 @@ def schema_to_dict(schema: IndexSchema) -> dict:
 def schema_from_dict(d: dict) -> IndexSchema:
     fields = {}
     for name, fd in d.items():
-        ana = None
-        if fd.get("analyzer") is not None:
-            a = fd["analyzer"]
-            ana = Analyzer(
-                pattern=a["pattern"],
-                lowercase=a["lowercase"],
-                stopwords=frozenset(a["stopwords"]),
-                minsize=a["minsize"],
-                maxsize=a["maxsize"],
-                use_stopfilter=a["use_stopfilter"],
-                ngram=tuple(a["ngram"]) if a.get("ngram") else None,
-                ngram_words=a.get("ngram_words", False),
-                stem=a.get("stem", False),
-                intraword=tuple(a["intraword"]) if a.get("intraword") else None,
-                accent_fold=a.get("accent_fold", False),
-                substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
-                reverse=a.get("reverse", False),
-                path_mode=a.get("path_mode", False),
-                compound_words=frozenset(a["compound_words"]) if a.get("compound_words") else None,
-                compound_keep=a.get("compound_keep", True),
-                shingle=tuple(a["shingle"]) if a.get("shingle") else None,
-            )
         fields[name] = FieldType(
-            analyzer=ana,
+            analyzer=_analyzer_from_dict(fd.get("analyzer")),
+            query_analyzer=_analyzer_from_dict(fd.get("query_analyzer")),
             indexed=fd["indexed"],
             stored=fd["stored"],
             unique=fd["unique"],

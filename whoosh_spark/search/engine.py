@@ -87,9 +87,13 @@ class Searcher:
         ``use_wand=True`` routes eligible disjunctions of scored terms
         through block-max pruning (search/wand.py); results are the same
         top-k (scores may differ in the last ulp from aggregation order)."""
-        if (self.use_local and limit is not None and filter_q is None
-                and mask_q is None and not getattr(self.weighting, "use_final", False)
+        if (self.use_local and self.exact_scores and limit is not None
+                and filter_q is None and mask_q is None
+                and not getattr(self.weighting, "use_final", False)
                 and isinstance(self.weighting, BM25F)):
+            # exact_scores is required: the local evaluator replicates the
+            # exact-order float ops, so an exact_scores=False searcher must
+            # not return last-ulp-different scores depending on corpus size.
             # AQE-style adaptive choice: when every term's df (job-free from
             # prefetched stats) keeps total postings under local_threshold,
             # evaluate driver-side with pyarrow block reads — identical
