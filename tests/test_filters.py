@@ -227,3 +227,117 @@ def test_biword_shingle_filters_match_reference(whoosh_ref):
         # the reference BiWordFilter raises UnboundLocalError on an empty
         # stream (intraword.py:167); we return an empty token list
         assert ours.tokens("") == []
+
+
+CHARSET_TABLE = """
+# letters map to lowercase; digits stray; underscore maps to dash
+U+0041..U+005A->U+0061..U+007A, a..z, 0..9
+_->-
+U+00C0..U+00C5->U+00E0..U+00E5
+"""
+
+
+def test_charset_table_parser_matches_reference(whoosh_ref):
+    from whoosh.support.charset import charset_table_to_dict
+
+    from whoosh_spark.analysis.charsets import parse_charset_table
+
+    want = charset_table_to_dict(CHARSET_TABLE)
+    got = parse_charset_table(CHARSET_TABLE)
+    assert got == dict(want)
+    # checkerboard form: the REFERENCE parser is broken here — its
+    # `assert toord - fromord % 2 == 0` (support/charset.py:1369) lacks
+    # parens, so every real /2 item raises AssertionError. We implement the
+    # documented Sphinx semantics (A..Z/2 == A->B, B->B, C->D, D->D, ...).
+    with pytest.raises(AssertionError):
+        charset_table_to_dict("U+0100..U+0103/2")
+    assert parse_charset_table("U+0100..U+0103/2") == {
+        0x100: chr(0x101), 0x101: chr(0x101), 0x102: chr(0x103), 0x103: chr(0x103),
+    }
+
+
+@pytest.mark.parametrize("text", [
+    "Hello World",
+    "FOO_bar Baz123",
+    "ends-with-break!",
+    "NoBreakAtEnd",   # final-token quirk: raw slice, untranslated
+    "ÀÉöx 42",
+    "",
+    "!!!",
+])
+def test_charset_tokenizer_matches_reference(whoosh_ref, text):
+    from whoosh.analysis import CharsetTokenizer
+    from whoosh.support.charset import charset_table_to_dict
+
+    from whoosh_spark.analysis.charsets import charmap_key, parse_charset_table
+
+    from collections import defaultdict
+
+    # the reference tokenizer indexes charmap[ord] directly, so it needs the
+    # defaultdict the parser builds INTERNALLY (charset_table_to_dict returns
+    # a plain dict at the end, losing the None default — feeding its own
+    # output back crashes with KeyError on any break char)
+    refmap = defaultdict(lambda: None, charset_table_to_dict(CHARSET_TABLE))
+    want = [(t.text, t.pos) for t in CharsetTokenizer(refmap)(text, positions=True)]
+    ours = Analyzer(charmap=charmap_key(parse_charset_table(CHARSET_TABLE)),
+                    lowercase=False, use_stopfilter=False)
+    assert ours.tokens(text) == want, text
+
+
+def test_strip_filter_matches_reference(whoosh_ref):
+    from whoosh.analysis import RegexTokenizer, StripFilter
+
+    chain = RegexTokenizer(r"[^,]+") | StripFilter()
+    ours = Analyzer(pattern=r"[^,]+", strip=True, lowercase=False, use_stopfilter=False)
+    for text in ["a, b ,  c d , e", "one,two", " lead", "trail ", ""]:
+        want = [(t.text, t.pos) for t in chain(text, positions=True)]
+        assert ours.tokens(text) == want, text
+
+
+def test_tee_filter_matches_reference(whoosh_ref):
+    from whoosh.analysis import (
+        BiWordFilter,
+        LowercaseFilter,
+        PassFilter,
+        RegexTokenizer,
+        ReverseTextFilter,
+        TeeFilter,
+    )
+
+    passthru = Analyzer(lowercase=False, use_stopfilter=False)
+    # branch 1 lowercases, branch 2 reverses (reference docstring example)
+    chain = RegexTokenizer(r"\S+") | TeeFilter(LowercaseFilter(), ReverseTextFilter())
+    ours = Analyzer(
+        pattern=r"\S+", lowercase=False, use_stopfilter=False,
+        tee=(Analyzer(lowercase=True, use_stopfilter=False),
+             Analyzer(lowercase=False, use_stopfilter=False, reverse=True)),
+    )
+    for text in ["ALFA BRAVO CHARLIE", "One", ""]:
+        want = [(t.text, t.pos) for t in chain(text, positions=True)]
+        assert ours.tokens(text) == want, text
+
+    # pass-through + BiWord, lowercased AFTER the tee
+    chain2 = RegexTokenizer(r"\S+") | TeeFilter(PassFilter(), BiWordFilter()) | LowercaseFilter()
+    ours2 = Analyzer(
+        pattern=r"\S+", lowercase=True, use_stopfilter=False,
+        tee=(passthru, Analyzer(lowercase=False, use_stopfilter=False, shingle=(2, "-"))),
+    )
+    for text in ["ALFA BRAVO CHARLIE", "Alfa Bravo", "Solo"]:
+        want = [(t.text, t.pos) for t in chain2(text, positions=True)]
+        assert ours2.tokens(text) == want, text
+
+
+def test_charset_tee_strip_schema_roundtrip():
+    from whoosh_spark.analysis.charsets import charmap_key, parse_charset_table
+    from whoosh_spark.schema import FieldType, IndexSchema, schema_from_dict, schema_to_dict
+
+    ana = Analyzer(
+        strip=True,
+        charmap=charmap_key(parse_charset_table("a..z, 0..9")),
+        tee=(Analyzer(lowercase=True, use_stopfilter=False),
+             Analyzer(lowercase=False, use_stopfilter=False, reverse=True)),
+    )
+    ft = FieldType(analyzer=ana, indexed=True, stored=False, kind="text")
+    schema = IndexSchema.of(body=ft)
+    back = schema_from_dict(schema_to_dict(schema))
+    assert back["body"].analyzer == ana

@@ -98,6 +98,22 @@ class Analyzer:
     #: ShingleFilter/BiWordFilter: (size, sep) merges adjacent kept tokens
     #: (reference intraword.py:102-222); runs LAST
     shingle: tuple | None = None
+    #: StripFilter (reference filters.py:230-237): text.strip() per token;
+    #: applied right after tokenizing
+    strip: bool = False
+    #: CharsetTokenizer (reference tokenizers.py:187-290): replaces the
+    #: regex tokenizer with a translate-and-split scan; value is the
+    #: hashable form from charsets.charmap_key (ordinal -> replacement,
+    #: absent = token break). Faithfully keeps the reference quirk that the
+    #: FINAL token (at end of string) is emitted UNTRANSLATED.
+    charmap: tuple | None = None
+    #: TeeFilter (reference filters.py:147-198): tuple of branch Analyzers;
+    #: tokens are tokenized ONCE by this analyzer's tokenizer, then each
+    #: branch's post-tokenize chain runs on a copy and the branch outputs
+    #: are interleaved round-robin (next() round-robin over branch
+    #: generators, exhausted branches skipped — reference semantics). The
+    #: outer analyzer's own post-chain then continues on the merged stream.
+    tee: tuple | None = None
 
     # ---- driver-side (query analysis, tests) ----
 
@@ -133,19 +149,61 @@ class Analyzer:
                         out.append((t[start:start + size], start))
         return out
 
+    def _charmap_tokens(self, text: str) -> list[tuple[str, int]]:
+        """CharsetTokenizer scan (reference tokenizers.py:256-290): chars
+        mapping to a replacement accumulate into the token (translated);
+        unmapped chars break tokens. Reference quirk kept bit-for-bit: the
+        final token, when the text does not end on a break char, is the RAW
+        text slice (tokenizers.py:283 uses value[startchar:currentchar])."""
+        cm = _charmap_dict(self.charmap)
+        out: list[tuple[str, int]] = []
+        buf = ""
+        pos = 0
+        startchar = 0
+        current = 0
+        for ch in text:
+            t = cm.get(ord(ch))
+            if t:
+                buf += t
+            else:
+                if current > startchar:
+                    out.append((buf, pos))
+                    pos += 1
+                startchar = current + 1
+                buf = ""
+            current += 1
+        if current > startchar:
+            out.append((text[startchar:current], pos))
+        return out
+
+    def _tokenize(self, text: str) -> list[tuple[str, int]]:
+        if self.charmap is not None:
+            pairs = self._charmap_tokens(text)
+        elif self.path_mode:
+            pairs = [(text[: m.end()], i) for i, m in enumerate(self._pat().finditer(text))]
+        else:
+            pairs = [(m.group(0), i) for i, m in enumerate(self._pat().finditer(text))]
+        if self.strip:
+            pairs = [(t.strip(), p) for t, p in pairs]
+        return pairs
+
     def tokens(self, text: str) -> list[tuple[str, int]]:
         """Kept (term, position) pairs — the ONE pipeline shared by query
         analysis, the Spark analyzer UDF, and the index-build kernels:
 
-        tokenize -> intraword -> lowercase -> accent_fold -> substitutions
-        -> reverse -> stop (with the reference renumbering quirk) -> stem
+        tokenize [-> strip] [-> tee] -> intraword -> lowercase ->
+        accent_fold -> substitutions -> reverse -> stop (with the reference
+        renumbering quirk) -> stem -> shingle
         """
         if self.ngram is not None:
             return self._ngram_tokens(text)
-        if self.path_mode:
-            pairs = [(text[: m.end()], i) for i, m in enumerate(self._pat().finditer(text))]
-        else:
-            pairs = [(m.group(0), i) for i, m in enumerate(self._pat().finditer(text))]
+        pairs = self._tokenize(text)
+        if self.tee is not None:
+            pairs = _interleave([b._post_pairs(pairs) for b in self.tee])
+        return self._post_pairs(pairs)
+
+    def _post_pairs(self, pairs: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        """The post-tokenize chain; tee branches run this on shared input."""
         if self.intraword is not None:
             from whoosh_spark.analysis.intraword import intraword_pairs
 
@@ -187,7 +245,9 @@ class Analyzer:
         return (self.ngram is None and self.intraword is None
                 and self.compound_words is None and self.shingle is None
                 and not self.path_mode and not self.accent_fold
-                and not self.substitutions and not self.reverse)
+                and not self.substitutions and not self.reverse
+                and not self.strip and self.charmap is None
+                and self.tee is None)
 
     def kept_count(self, text: str) -> int:
         """Field length (number of kept tokens) without materializing the
@@ -217,8 +277,10 @@ class Analyzer:
         removestops=False) (qparser/common.py + analysis tokenize=False):
         the whole string passes through the filter chain as ONE token —
         lowercase/fold/substitute/reverse/stem apply, stop words are kept —
-        used for range endpoints (syntax.py RangeNode.query:486-491)."""
-        pairs = [(text, 0)]
+        used for range endpoints (syntax.py RangeNode.query:486-491).
+        charmap/tee don't apply: CharsetTokenizer's tokenize=False mode
+        yields the raw value, and TeeFilter branches are index-side."""
+        pairs = [(text.strip() if self.strip else text, 0)]
         if self.intraword is not None:
             from whoosh_spark.analysis.intraword import intraword_pairs
 
@@ -328,6 +390,34 @@ class Analyzer:
     def apply(self, df, text_col: str, out_col: str = "_analysis"):
         """df -> df + struct column with per-doc (terms, length)."""
         return df.withColumn(out_col, self.tokens_udf()(F.col(text_col)))
+
+
+_CHARMAP_CACHE: dict = {}
+
+
+def _charmap_dict(charmap: tuple) -> dict:
+    d = _CHARMAP_CACHE.get(charmap)
+    if d is None:
+        d = _CHARMAP_CACHE[charmap] = dict(charmap)
+    return d
+
+
+def _interleave(streams: list[list]) -> list:
+    """Round-robin merge, skipping exhausted streams — exactly what the
+    reference TeeFilter's repeated next() loop produces
+    (filters.py:182-198)."""
+    out = []
+    idx = [0] * len(streams)
+    remaining = [len(s) for s in streams]
+    live = sum(1 for r in remaining if r > 0)
+    while live:
+        for i, s in enumerate(streams):
+            if idx[i] < remaining[i]:
+                out.append(s[idx[i]])
+                idx[i] += 1
+                if idx[i] == remaining[i]:
+                    live -= 1
+    return out
 
 
 def _compound_subwords(s, wordset, memo):

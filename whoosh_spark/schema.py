@@ -152,6 +152,9 @@ def _analyzer_to_dict(a: Analyzer | None) -> dict | None:
         "compound_words": sorted(a.compound_words) if a.compound_words else None,
         "compound_keep": a.compound_keep,
         "shingle": list(a.shingle) if a.shingle else None,
+        "strip": a.strip,
+        "charmap": [list(x) for x in a.charmap] if a.charmap else None,
+        "tee": [_analyzer_to_dict(b) for b in a.tee] if a.tee else None,
     }
 
 
@@ -176,6 +179,9 @@ def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
         compound_words=frozenset(a["compound_words"]) if a.get("compound_words") else None,
         compound_keep=a.get("compound_keep", True),
         shingle=tuple(a["shingle"]) if a.get("shingle") else None,
+        strip=a.get("strip", False),
+        charmap=tuple((int(o), s) for o, s in a["charmap"]) if a.get("charmap") else None,
+        tee=tuple(_analyzer_from_dict(b) for b in a["tee"]) if a.get("tee") else None,
     )
 
 
