@@ -475,6 +475,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return op(_emb(spark, sf), tau=0.4)
 
+    def bm25_token_boost(spark, sf):
+        # DelimitedAttributeFilter -> posting WEIGHT channel: deterministic
+        # boost-marked corpus (alpha^{1+doc_id%3} beta [gamma^2.5 on evens]),
+        # BM25 Or(alpha, gamma) top-50; the oracle recomputes the same
+        # weights/lengths/df straight from doc_id arithmetic
+        from whoosh_spark.analysis.tokenize import Analyzer
+        from whoosh_spark.schema import FieldType
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id",
+            F.concat(
+                F.lit("alpha^"), (F.lit(1) + F.col("doc_id") % 3).cast("int").cast("string"),
+                F.lit(" beta"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(" gamma^2.5")).otherwise(F.lit("")),
+            ).alias("btext"),
+        )
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"boost_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            ana = Analyzer(pattern=r"\S+", lowercase=True, use_stopfilter=False,
+                           delimited_boost="^")
+            schema = IndexSchema.of(
+                btext=FieldType(analyzer=ana, indexed=True, scorable=True, kind="text")
+            )
+            build_index(spark, docs, schema, idx_dir, sha_col=None)
+        s = Searcher(Index(spark, idx_dir), exact_scores=False, cache_postings=False)
+        q = Q.Or([Q.Term("btext", "alpha"), Q.Term("btext", "gamma")])
+        return _topk(s, q, 50)
+
     def media_features(spark, sf):
         # REAL stdlib decode of PNG/WAV payloads (video = documented stub);
         # decoded width/height/sample_rate are invariant-checked against the
@@ -532,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_exact": embedding_neardup_exact,
+        "bm25_token_boost": bm25_token_boost,
         "media_features": media_features,
     }
 
@@ -775,6 +815,35 @@ sc AS (
     sql["embedding_neardup"] = embedding_neardup_lsh_sql(tau=0.4, dim=64)
     sql["embedding_neardup_exact"] = embedding_neardup_sql(tau=0.4)
     sql["ann_lsh_topk"] = lsh_cosine_topk_sql(n_queries=3, k=5, dim=64)
+    # token-boost BM25: weights/lengths/df derive from doc_id arithmetic
+    # (mirrors bm25_token_boost's synthesized corpus exactly)
+    sql["bm25_token_boost"] = f"""
+WITH lenq(lo, hi, q) AS (VALUES {sql_quantize_cases()}),
+base AS (
+  SELECT doc_id,
+         1.0 + CAST(doc_id % 3 AS DOUBLE) AS w_alpha,
+         CASE WHEN doc_id % 2 = 0 THEN 2.5 ELSE NULL END AS w_gamma,
+         2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS fl
+  FROM documents
+),
+nstats AS (SELECT count(*) AS n, sum(fl) AS total_len FROM base),
+postings AS (
+  SELECT doc_id, 'alpha' AS term, w_alpha AS w, fl FROM base
+  UNION ALL
+  SELECT doc_id, 'gamma' AS term, w_gamma AS w, fl FROM base WHERE w_gamma IS NOT NULL
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         sum((ln((SELECT CAST(n AS DOUBLE) FROM nstats) / (d.df + 1)) + 1)
+             * (p.w * {_K1 + 1!r}) / (p.w + {_K1!r} * ({1 - _B!r} + {_B!r} * CAST(l.q AS DOUBLE)
+                 / ((SELECT CAST(total_len AS DOUBLE) FROM nstats) / (SELECT CAST(n AS DOUBLE) FROM nstats))))) AS score
+  FROM postings p JOIN dfs d USING (term) JOIN lenq l ON p.fl BETWEEN l.lo AND l.hi
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY round(score, 6) DESC, doc_id LIMIT 50
+""".strip()
     # media_features stays rows-only (real stdlib PNG/WAV decode is
     # invariant-checked vs generator metadata in tests/test_functions.py;
     # binary decode has no SQL equivalent)

@@ -341,3 +341,88 @@ def test_charset_tee_strip_schema_roundtrip():
     schema = IndexSchema.of(body=ft)
     back = schema_from_dict(schema_to_dict(schema))
     assert back["body"].analyzer == ana
+
+
+def test_delimited_boost_tokens_match_reference(whoosh_ref):
+    from whoosh.analysis import DelimitedAttributeFilter, LowercaseFilter, RegexTokenizer
+
+    chain = RegexTokenizer(r"\S+") | DelimitedAttributeFilter() | LowercaseFilter()
+    ours = Analyzer(pattern=r"\S+", lowercase=True, use_stopfilter=False,
+                    delimited_boost="^")
+    for text in ["image render^2 file^0.5", "plain words", "a^3 b^4 c"]:
+        want = [(t.text, t.pos, t.boost) for t in chain(text, positions=True)]
+        got = ours.tokens_boosts(text)
+        assert got == want, (text, got, want)
+        # tokens() sees the same terms/positions, boosts stripped
+        assert ours.tokens(text) == [(t, p) for t, p, _ in want]
+
+
+def test_delimited_boost_scoring_matches_reference(spark, whoosh_ref, tmp_path):
+    """Token boosts flow into posting weights: BM25 top-k (doc, score)
+    identical to reference whoosh with DelimitedAttributeFilter, through
+    build AND merge (weights survive re-encode)."""
+    from pyspark.sql import Row
+
+    import whoosh_spark.query as Q
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.index.merge import apply_merge_policy
+    from whoosh_spark.schema import FieldType, IndexSchema
+    from whoosh_spark.search import Searcher
+
+    docs = [
+        (0, "alpha^3 beta gamma"),
+        (1, "alpha beta^2 delta"),
+        (2, "alpha alpha^0.5 beta"),
+        (3, "gamma delta epsilon"),
+        (4, "alpha^10 solo"),
+    ]
+
+    from whoosh import fields
+    from whoosh.analysis import DelimitedAttributeFilter, LowercaseFilter, RegexTokenizer
+    from whoosh.filedb.filestore import RamStorage
+
+    ref_ana = RegexTokenizer(r"\S+") | DelimitedAttributeFilter() | LowercaseFilter()
+    wix = RamStorage().create_index(fields.Schema(text=fields.TEXT(analyzer=ref_ana)))
+    w = wix.writer()
+    for _, t in docs:
+        w.add_document(text=t)
+    w.commit()
+
+    ana = Analyzer(pattern=r"\S+", lowercase=True, use_stopfilter=False,
+                   delimited_boost="^")
+    ft = FieldType(analyzer=ana, indexed=True, scorable=True, kind="text")
+    schema = IndexSchema.of(text=ft)
+    d = str(tmp_path / "daf")
+    # two segments so the merge below has real work
+    from whoosh_spark.index.build import build_segment
+
+    df1 = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs[:3]])
+    df2 = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs[3:]])
+    build_index(spark, df1, schema, d, sha_col=None)
+    build_segment(spark, df2, schema, d, sha_col=None)
+
+    def ours_topk(ixdir, q):
+        s = Searcher(Index(spark, ixdir))
+        out = [(r["doc_id"], r["score"]) for r in s.search(q, limit=10).collect()]
+        s.clear_cache()
+        return out
+
+    for term in ["alpha", "beta", "gamma"]:
+        with wix.searcher() as ws:
+            from whoosh.query import Term as WTerm
+
+            want = [(h.docnum, h.score) for h in ws.search(WTerm("text", term), limit=10)]
+        got = ours_topk(d, Q.Term("text", term))
+        assert [x[0] for x in got] == [x[0] for x in want], term
+        for (d1, s1), (_, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, rel=1e-12), (term, d1)
+
+    apply_merge_policy(spark, d, policy="OPTIMIZE")
+    got = ours_topk(d, Q.Term("text", "alpha"))
+    with wix.searcher() as ws:
+        from whoosh.query import Term as WTerm
+
+        want = [(h.docnum, h.score) for h in ws.search(WTerm("text", "alpha"), limit=10)]
+    assert [x[0] for x in got] == [x[0] for x in want]
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12), ("post-merge", d1)

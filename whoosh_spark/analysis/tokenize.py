@@ -107,6 +107,13 @@ class Analyzer:
     #: absent = token break). Faithfully keeps the reference quirk that the
     #: FINAL token (at end of string) is emitted UNTRANSLATED.
     charmap: tuple | None = None
+    #: DelimitedAttributeFilter(delimiter, attribute="boost", type=float)
+    #: (reference filters.py:375-436): token text after the delimiter is the
+    #: token's boost; the boost flows into the posting WEIGHT (reference
+    #: Frequency format sums token boosts, formats.py:162-263). Applied
+    #: right after tokenizing. Only 1:1-or-drop chains are supported
+    #: (no ngram/intraword/compound/shingle/tee), enforced at build time.
+    delimited_boost: str | None = None
     #: TeeFilter (reference filters.py:147-198): tuple of branch Analyzers;
     #: tokens are tokenized ONCE by this analyzer's tokenizer, then each
     #: branch's post-tokenize chain runs on a copy and the branch outputs
@@ -204,6 +211,10 @@ class Analyzer:
 
     def _post_pairs(self, pairs: list[tuple[str, int]]) -> list[tuple[str, int]]:
         """The post-tokenize chain; tee branches run this on shared input."""
+        if self.delimited_boost is not None:
+            # term side only; tokens_boosts() carries the boost values
+            d = self.delimited_boost
+            pairs = [(t.split(d, 1)[0] if d in t else t, p) for t, p in pairs]
         if self.intraword is not None:
             from whoosh_spark.analysis.intraword import intraword_pairs
 
@@ -239,6 +250,74 @@ class Analyzer:
             kept = _shingle_pairs(kept, *self.shingle)
         return kept
 
+    def tokens_boosts(self, text: str) -> list[tuple[str, int, float]]:
+        """(term, position, boost) triples for delimited_boost analyzers —
+        same kept terms/positions as tokens() (tested invariant), plus the
+        per-token boost. Restricted to 1:1-or-drop chains: tokenize ->
+        strip -> boost split -> lowercase -> fold -> substitutions ->
+        reverse -> stop -> stem. Like the reference filter, a non-numeric
+        suffix after the delimiter raises ValueError."""
+        if (self.ngram is not None or self.intraword is not None
+                or self.compound_words is not None or self.shingle is not None
+                or self.tee is not None):
+            raise ValueError(
+                "delimited_boost requires a 1:1-or-drop analyzer chain "
+                "(no ngram/intraword/compound/shingle/tee)"
+            )
+        d = self.delimited_boost
+        triples: list[tuple[str, int, float]] = []
+        for t, p in self._tokenize(text):
+            if d is not None and d in t:
+                t, _, suffix = t.partition(d)
+                triples.append((t, p, float(suffix)))
+            else:
+                triples.append((t, p, 1.0))
+        if self.lowercase:
+            triples = [(t.lower(), p, b) for t, p, b in triples]
+        if self.accent_fold:
+            from whoosh_spark.analysis.intraword import fold_accents
+
+            triples = [(fold_accents(t), p, b) for t, p, b in triples]
+        for pat, repl in self.substitutions:
+            rx = _compiled(pat)
+            triples = [(rx.sub(repl, t), p, b) for t, p, b in triples]
+        if self.reverse:
+            triples = [(t[::-1], p, b) for t, p, b in triples]
+        if self.use_stopfilter:
+            kept = []
+            first_pos = None
+            for t, pos, b in triples:
+                if len(t) >= self.minsize and (self.maxsize is None or len(t) <= self.maxsize) and t not in self.stopwords:
+                    if first_pos is None:
+                        first_pos = pos
+                    kept.append((t, first_pos + len(kept), b))
+        else:
+            kept = triples
+        if self.stem:
+            from whoosh_spark.analysis.morph import porter_stem
+
+            kept = [(porter_stem(t), pos, b) for t, pos, b in kept]
+        return kept
+
+    def doc_kernel_boost(self):
+        """Build-side kernel for delimited_boost fields:
+        ``text -> ({term: (positions, weight_sum)}, field_length)``."""
+        tokens_boosts = self.tokens_boosts
+
+        def kern(text):
+            kept = tokens_boosts(text)
+            agg: dict[str, tuple[list[int], float]] = {}
+            for term, pos, boost in kept:
+                cur = agg.get(term)
+                if cur is None:
+                    agg[term] = ([pos], boost)
+                else:
+                    cur[0].append(pos)
+                    agg[term] = (cur[0], cur[1] + boost)
+            return agg, len(kept)
+
+        return kern
+
     def _is_simple(self) -> bool:
         """True when the chain is tokenize->lower->stop->stem only — the fused
         fast paths below then skip the intermediate (term, pos) list."""
@@ -247,7 +326,7 @@ class Analyzer:
                 and not self.path_mode and not self.accent_fold
                 and not self.substitutions and not self.reverse
                 and not self.strip and self.charmap is None
-                and self.tee is None)
+                and self.tee is None and self.delimited_boost is None)
 
     def kept_count(self, text: str) -> int:
         """Field length (number of kept tokens) without materializing the

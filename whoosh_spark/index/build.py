@@ -72,6 +72,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("tfs", T.BinaryType()),
         T.StructField("len_bytes", T.BinaryType()),
         T.StructField("positions", T.BinaryType()),
+        # token-boost weight channel (delimited_boost analyzers): sum of
+        # per-posting weights; `weights` is a float64 array, NULL whenever
+        # every weight equals its tf (the common case costs one NULL column)
+        T.StructField("sum_w", T.DoubleType()),
+        T.StructField("weights", T.BinaryType()),
     ]
 )
 
@@ -85,6 +90,12 @@ EXPLODED_SCHEMA = T.StructType(
         T.StructField("length", T.IntegerType()),
         T.StructField("len_byte", T.IntegerType()),
     ]
+)
+
+# only used when some field's analyzer carries token boosts — the common
+# case never pays for the extra float column in the heavy shuffle
+EXPLODED_SCHEMA_W = T.StructType(
+    EXPLODED_SCHEMA.fields + [T.StructField("weight", T.DoubleType())]
 )
 
 LENGTHS_SCHEMA = T.StructType(
@@ -115,38 +126,51 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
     ]
 
+    has_boost = any(ana.delimited_boost is not None for _, ana, _ in cfgs)
+
     def kernel(batches):
-        kernels = [(name, ana.doc_kernel(), phrase) for name, ana, phrase in cfgs]
+        kernels = [
+            (name, ana.doc_kernel_boost() if ana.delimited_boost is not None else ana.doc_kernel(),
+             phrase, ana.delimited_boost is not None)
+            for name, ana, phrase in cfgs
+        ]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
-            for name, doc_kernel, phrase in kernels:
+            w_out: list = []
+            for name, doc_kernel, phrase, boosted in kernels:
                 texts = pdf[name]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
                     if text is None:
                         continue
                     agg, k = doc_kernel(text)
-                    for t, ps in agg.items():
+                    for t, val in agg.items():
+                        ps, w = val if boosted else (val, None)
                         f_out.append(name)
                         t_out.append(t)
                         d_out.append(did)
                         tf_out.append(len(ps))
                         p_out.append(ps if phrase else None)
                         l_out.append(k)
+                        if has_boost:
+                            w_out.append(w if w is not None else float(len(ps)))
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "field": f_out,
-                    "term": t_out,
-                    "doc_id": d_out,
-                    "tf": tf_out,
-                    "positions": p_out,
-                    "length": l_out,
-                    "len_byte": length_to_byte_np(lens).astype(np.int32),
-                }
-            )
+            out = {
+                "field": f_out,
+                "term": t_out,
+                "doc_id": d_out,
+                "tf": tf_out,
+                "positions": p_out,
+                "length": l_out,
+                "len_byte": length_to_byte_np(lens).astype(np.int32),
+            }
+            if has_boost:
+                out["weight"] = w_out
+            yield pd.DataFrame(out)
 
-    return docs.select(*cols).mapInPandas(kernel, EXPLODED_SCHEMA)
+    return docs.select(*cols).mapInPandas(
+        kernel, EXPLODED_SCHEMA_W if has_boost else EXPLODED_SCHEMA
+    )
 
 
 def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
@@ -187,9 +211,12 @@ _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
 def _encode_group(rows: list, field: str, term: str, bucket: int,
                   ids: np.ndarray, tfs: np.ndarray, lbs: np.ndarray,
-                  pos_lists) -> None:
+                  pos_lists, ws: np.ndarray | None = None) -> None:
     """Append ≤128-posting block rows for one (field, term, bucket) group.
-    Inputs are doc_id-sorted numpy slices — no per-group DataFrames."""
+    Inputs are doc_id-sorted numpy slices — no per-group DataFrames.
+    ``ws`` (token-boost weights) is encoded only for blocks where some
+    weight differs from its tf; max_tf is then the block-max WEIGHT so WAND
+    bounds stay admissible."""
     n = ids.size
     for start in range(0, n, BLOCK_SIZE):
         end = min(start + BLOCK_SIZE, n)
@@ -204,15 +231,27 @@ def _encode_group(rows: list, field: str, term: str, bucket: int,
             pos_bin = codec.encode_position_lists(plists)
         else:
             pos_bin = None
+        if ws is not None:
+            bws = ws[start:end]
+            boosted = bool((bws != btfs).any())
+            sum_w = float(bws.sum())
+            max_w = float(bws.max())
+            w_bin = bws.astype(np.float64).tobytes() if boosted else None
+        else:
+            sum_w = float(btfs.sum())
+            max_w = float(btfs.max())
+            w_bin = None
         rows.append(
             (
                 field, term, bucket, start // BLOCK_SIZE, end - start,
-                int(bids[0]), int(bids[-1]), int(btfs.sum()), float(btfs.max()),
+                int(bids[0]), int(bids[-1]), int(btfs.sum()), max_w,
                 int(blbs.min()), int(blbs.max()),
                 codec.delta_encode(bids),
                 codec.varint_encode(btfs.astype(np.uint64)),
                 blbs.astype(np.uint8).tobytes(),
                 pos_bin,
+                sum_w,
+                w_bin,
             )
         )
 
@@ -253,6 +292,7 @@ def _encode_rows(pdf: pd.DataFrame, starts: np.ndarray, total: int) -> pd.DataFr
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     lbs = pdf["len_byte"].to_numpy(dtype=np.int64)
+    ws = pdf["weight"].to_numpy(dtype=np.float64) if "weight" in pdf.columns else None
     has_pos = "positions" in pdf.columns
     pos_all = pdf["positions"].to_list() if has_pos else None
     bounds = np.concatenate((starts[1:], [total])).astype(np.int64)
@@ -262,6 +302,7 @@ def _encode_rows(pdf: pd.DataFrame, starts: np.ndarray, total: int) -> pd.DataFr
             rows, fields[s], terms[s], int(buckets[s]),
             ids[s:e], tfs[s:e], lbs[s:e],
             pos_all[s:e] if has_pos else None,
+            ws[s:e] if ws is not None else None,
         )
     return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
@@ -309,8 +350,8 @@ def build_segment(
     needs_positions = any(schema[f].phrase for f in schema.indexed_fields())
     with_bucket = postings.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
     in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte"] + (
-        ["positions"] if needs_positions else []
-    )
+        ["weight"] if "weight" in postings.columns else []
+    ) + (["positions"] if needs_positions else [])
     nparts = max(1, spark.sparkContext.defaultParallelism)
     blocks = (
         with_bucket.select(*in_cols)
@@ -328,6 +369,7 @@ def build_segment(
         F.sum("count").alias("df"),
         F.sum("sum_tf").alias("total_tf"),
         F.max("max_tf").alias("max_tf"),
+        F.sum("sum_w").alias("total_w"),
         F.min("min_len_byte").alias("min_len_byte"),
         F.max("max_len_byte").alias("max_len_byte"),
         F.min("min_id").alias("min_id"),

@@ -33,6 +33,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("term", T.StringType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("tf", T.LongType()),
+        # scoring weight: the token-boost sum when the block carries a
+        # weights payload, else == tf (reference matcher.weight() semantics)
+        T.StructField("weight", T.DoubleType()),
         T.StructField("len_byte", T.IntegerType()),
         # dequantized field length, looked up in the decode kernel (a JVM-side
         # 256-element array-literal lookup would be rebuilt per row)
@@ -75,10 +78,20 @@ class Index:
         return self._df_cache[table]
 
     def postings_blocks(self) -> DataFrame:
-        return self._read("postings.parquet")
+        # pre-weight-channel segments have no sum_w/weights columns; padding
+        # them keeps old indexes readable (weights NULL == weight=tf)
+        df = self._read("postings.parquet")
+        if "weights" not in df.columns:
+            df = df.withColumn("sum_w", F.col("sum_tf").cast("double")).withColumn(
+                "weights", F.lit(None).cast("binary")
+            )
+        return df
 
     def termstats(self) -> DataFrame:
-        return self._read("termstats.parquet")
+        df = self._read("termstats.parquet")
+        if "total_w" not in df.columns:
+            df = df.withColumn("total_w", F.col("total_tf").cast("double"))
+        return df
 
     def lengths(self) -> DataFrame:
         df = self._read("lengths.parquet")
@@ -154,6 +167,7 @@ class Index:
                 F.sum("df").alias("df"),
                 F.sum("total_tf").alias("total_tf"),
                 F.max("max_tf").alias("max_tf"),
+                F.sum("total_w").alias("total_w"),
                 F.min("min_len_byte").alias("min_len_byte"),
                 F.max("max_len_byte").alias("max_len_byte"),
                 F.min("min_id").alias("min_id"),
@@ -200,6 +214,7 @@ class Index:
                 F.sum("df").alias("df"),
                 F.sum("total_tf").alias("total_tf"),
                 F.max("max_tf").alias("max_tf"),
+                F.sum("total_w").alias("total_w"),
                 F.min("min_len_byte").alias("min_len_byte"),
                 F.max("max_len_byte").alias("max_len_byte"),
                 F.min("min_id").alias("min_id"),
@@ -283,7 +298,7 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
             out_schema.fields
             + [T.StructField("bucket", T.LongType()), T.StructField("block_no", T.IntegerType())]
         )
-    cols = ["field", "term", "count", "ids", "tfs", "len_bytes"] + (
+    cols = ["field", "term", "count", "ids", "tfs", "len_bytes", "weights"] + (
         ["positions"] if with_positions else []
     ) + (["bucket", "block_no"] if with_block_id else [])
 
@@ -292,16 +307,20 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
     def decode_iter(batches):
         for pdf in batches:
             fields, terms, doc_ids, tfs, lbs, poss = [], [], [], [], [], []
+            wss = []
             buckets, blocknos = [], []
             for row in pdf.itertuples(index=False):
                 n = int(row.count)
                 ids = codec.delta_decode(row.ids, n)
                 tf = codec.varint_decode(row.tfs, n)
                 lb = np.frombuffer(row.len_bytes, dtype=np.uint8).astype(np.int32)
+                ws = (np.frombuffer(row.weights, dtype=np.float64)
+                      if row.weights is not None else tf.astype(np.float64))
                 fields.append(np.full(n, row.field, dtype=object))
                 terms.append(np.full(n, row.term, dtype=object))
                 doc_ids.append(ids)
                 tfs.append(tf)
+                wss.append(ws)
                 lbs.append(lb)
                 if with_positions:
                     poss.extend(codec.decode_position_lists(row.positions, n))
@@ -317,6 +336,7 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
                     "term": np.concatenate(terms),
                     "doc_id": np.concatenate(doc_ids),
                     "tf": np.concatenate(tfs),
+                    "weight": np.concatenate(wss),
                     "len_byte": lb_all,
                     "fl": BYTE_TO_LENGTH[lb_all],
                 }

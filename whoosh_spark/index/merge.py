@@ -116,9 +116,8 @@ def merge_segments(
     decoded = decode_blocks(blocks, with_positions=has_positions)
     decoded = drop_deleted(decoded)
     with_bucket = decoded.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
-    in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte"] + (
-        ["positions"] if has_positions else []
-    )
+    in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte",
+               "weight"] + (["positions"] if has_positions else [])
     # decoded postings lack len_byte? decode provides len_byte; tf long -> ok
     nparts = max(1, spark.sparkContext.defaultParallelism)
     merged = (
@@ -136,6 +135,7 @@ def merge_segments(
         F.sum("count").alias("df"),
         F.sum("sum_tf").alias("total_tf"),
         F.max("max_tf").alias("max_tf"),
+        F.sum("sum_w").alias("total_w"),
         F.min("min_len_byte").alias("min_len_byte"),
         F.max("max_len_byte").alias("max_len_byte"),
         F.min("min_id").alias("min_id"),

@@ -153,6 +153,7 @@ def _analyzer_to_dict(a: Analyzer | None) -> dict | None:
         "compound_keep": a.compound_keep,
         "shingle": list(a.shingle) if a.shingle else None,
         "strip": a.strip,
+        "delimited_boost": a.delimited_boost,
         "charmap": [list(x) for x in a.charmap] if a.charmap else None,
         "tee": [_analyzer_to_dict(b) for b in a.tee] if a.tee else None,
     }
@@ -180,6 +181,7 @@ def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
         compound_keep=a.get("compound_keep", True),
         shingle=tuple(a["shingle"]) if a.get("shingle") else None,
         strip=a.get("strip", False),
+        delimited_boost=a.get("delimited_boost"),
         charmap=tuple((int(o), s) for o, s in a["charmap"]) if a.get("charmap") else None,
         tee=tuple(_analyzer_from_dict(b) for b in a["tee"]) if a.get("tee") else None,
     )

@@ -413,7 +413,10 @@ class _PlanContext:
         )
         meta = self.spark.createDataFrame(meta_rows, meta_schema)
         joined = decoded.join(F.broadcast(meta), on=["field", "term"])
-        weight = F.col("tf").cast("double") * F.col("fboost")
+        # decoded `weight` is the token-boost sum (== tf unless the field's
+        # analyzer carries delimited boosts); reference Frequency-format
+        # weight semantics (formats.py:162-263)
+        weight = F.col("weight") * F.col("fboost")
         fl = F.col("fl").cast("double")  # dequantized in the decode kernel
         score = w.score_col(
             weight, fl, F.col("idf"), F.col("avgfl"), F.col("b"),

@@ -68,6 +68,16 @@ def _has_not(q) -> bool:
     return any(_has_not(c) for c in q.children())
 
 
+def _first_parquet_file(path: str) -> str:
+    """A Spark parquet 'file' is a directory of part files; pyarrow's
+    read_schema needs one actual file."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+    return path
+
+
 class _LocalIndex:
     """Driver-side posting access for one query's term set."""
 
@@ -83,18 +93,26 @@ class _LocalIndex:
         deleted = self._deleted_ids()
         for field, terms in by_field.items():
             need_pos = {t for f, t in positional if f == field}
-            cols = ["field", "term", "count", "ids", "tfs", "len_bytes", "positions"]
+            cols = ["field", "term", "count", "ids", "tfs", "len_bytes",
+                    "weights", "positions"]
             for seg in ix.manifest.segments:
                 path = os.path.join(seg.path(ix.index_dir), "postings.parquet")
+                # pre-weight-channel segments lack the weights column
+                avail = set(pq.read_schema(_first_parquet_file(path)).names)
                 tbl = pq.read_table(
-                    path, columns=cols,
+                    path, columns=[c for c in cols if c in avail],
                     filters=[("field", "==", field), ("term", "in", list(terms))],
                 )
                 for row in tbl.to_pylist():
                     key = (field, row["term"])
                     n = int(row["count"])
                     ids = codec.delta_decode(row["ids"], n)
-                    tfs = codec.varint_decode(row["tfs"], n)
+                    # tfs here are the scoring WEIGHTS: the token-boost sum
+                    # when the block carries a weights payload, else tf
+                    if row.get("weights") is not None:
+                        tfs = np.frombuffer(row["weights"], dtype=np.float64)
+                    else:
+                        tfs = codec.varint_decode(row["tfs"], n)
                     lbs = np.frombuffer(row["len_bytes"], dtype=np.uint8)
                     if deleted is not None:
                         keep = ~np.isin(ids, deleted)
