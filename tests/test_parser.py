@@ -273,3 +273,138 @@ def test_dismax_parser_matches_reference(pair, whoosh_ref, qs):
     got = [(r["doc_id"], round(r["score"], 9)) for r in srch.search(oq, limit=10).collect()]
     srch.clear_cache()
     assert got == want, f"{qs!r}: ours={oq!r}\n{got}\n{want}"
+
+
+def _run_pair(pair, wq, oq, limit=10):
+    ix, wix = pair
+    with wix.searcher() as s:
+        want = [(h.docnum, h.score) for h in s.search(wq, limit=limit)]
+    srch = Searcher(ix)
+    got = [(r["doc_id"], r["score"]) for r in srch.search(oq, limit=limit).collect()]
+    srch.clear_cache()
+    assert [d for d, _ in got] == [d for d, _ in want], f"{got} != {want}"
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12), d1
+    return got
+
+
+def test_fieldalias_plugin_matches_reference(pair, whoosh_ref):
+    from whoosh import qparser as wqp
+
+    ix, wix = pair
+    wp = wqp.QueryParser("value", wix.schema)
+    wp.add_plugin(wqp.FieldAliasPlugin({"name": ("title", "caption")}))
+    op = QueryParser("value", ix.schema,
+                     fieldaliases={"name": ("title", "caption")})
+    for qs in ["title:yellow", "red caption:uptown", "title:(yellow brown)"]:
+        _run_pair(pair, wp.parse(qs), op.parse(qs))
+
+
+@pytest.mark.parametrize("group", ["or", "andmaybe", "require", None])
+def test_copyfield_plugin_matches_reference(pair, whoosh_ref, group):
+    from whoosh import qparser as wqp
+    from whoosh.qparser import syntax as wsyn
+
+    wgroups = {"or": wsyn.OrGroup, "andmaybe": wsyn.AndMaybeGroup,
+               "require": wsyn.RequireGroup, None: None}
+    ix, wix = pair
+    wp = wqp.QueryParser("value", wix.schema)
+    wp.add_plugin(wqp.CopyFieldPlugin({"name": "value"}, wgroups[group]))
+    op = QueryParser("value", ix.schema, copyfields={"name": "value"},
+                     copyfield_group=group)
+    for qs in ["red name:yellow", "name:uptown", "red (green OR name:town)"]:
+        _run_pair(pair, wp.parse(qs), op.parse(qs))
+
+
+def test_copyfield_mirror_and_default_field(pair, whoosh_ref):
+    from whoosh import qparser as wqp
+
+    ix, wix = pair
+    # copy applies to the DEFAULT field too (fname = node.fieldname or
+    # parser.fieldname), and mirror adds the reverse mapping
+    wp = wqp.QueryParser("name", wix.schema)
+    wp.add_plugin(wqp.CopyFieldPlugin({"name": "value"}, mirror=True))
+    op = QueryParser("name", ix.schema, copyfields={"name": "value"},
+                     copyfield_mirror=True)
+    for qs in ["red", "value:town yellow"]:
+        _run_pair(pair, wp.parse(qs), op.parse(qs))
+
+
+def test_pseudofield_plugin_matches_reference(pair, whoosh_ref):
+    from whoosh import qparser as wqp
+
+    import whoosh_spark.query as Q
+
+    ix, wix = pair
+
+    def ref_rev(node):
+        if node.has_text:
+            n = wqp.WordNode(node.text[::-1])
+            n.set_fieldname("value")
+            return n
+
+    wp = wqp.QueryParser("value", wix.schema)
+    wp.add_plugin(wqp.PseudoFieldPlugin({"rev": ref_rev}))
+
+    def our_rev(q):
+        return Q.Term("value", q.text[::-1]) if isinstance(q, Q.Term) else q
+
+    op = QueryParser("value", ix.schema, pseudofields={"rev": our_rev})
+    for qs in ["rev:der", "yellow rev:nwot"]:
+        _run_pair(pair, wp.parse(qs), op.parse(qs))
+
+
+def test_function_plugin_matches_reference(pair, whoosh_ref):
+    from whoosh import qparser as wqp
+    from whoosh.query import FuzzyTerm as WFuzzy
+    from whoosh.query.spans import SpanFirst as WSpanFirst
+
+    import whoosh_spark.query as Q
+    from whoosh_spark.query.spans import SpanFirst
+
+    ix, wix = pair
+
+    def w_first(qs):
+        return WSpanFirst(qs[0])
+
+    def w_fuzzy(qs, prefix=0, maxdist=2):
+        return WFuzzy(qs[0].fieldname, qs[0].text, prefixlength=int(prefix),
+                      maxdist=int(maxdist))
+
+    wp = wqp.QueryParser("value", wix.schema)
+    wp.add_plugin(wqp.FunctionPlugin({"first": w_first, "fuzzy": w_fuzzy}))
+
+    def o_first(qs):
+        return SpanFirst(qs[0])
+
+    def o_fuzzy(qs, prefix=0, maxdist=2, boost=None):
+        return Q.FuzzyTerm(qs[0].field, qs[0].text, prefixlength=int(prefix),
+                           maxdist=int(maxdist))
+
+    op = QueryParser("value", ix.schema,
+                     functions={"first": o_first, "fuzzy": o_fuzzy})
+    # structural parity for #first (the reference's own searcher cannot run
+    # a bare SpanFirst: its estimate_size raises NotImplementedError; our
+    # SpanFirst eval is diff-verified in tests/test_spans.py)
+    wq = wp.parse("alfa #first(red) delta")
+    oq = op.parse("alfa #first(red) delta")
+    assert isinstance(wq[1], WSpanFirst) and isinstance(oq.subqueries[1], SpanFirst)
+    assert wq[1].q.text == oq.subqueries[1].q.text == "red"
+    # args/kwargs/boost plumbing + searchable result for #fuzzy
+    for qs in ["#fuzzy[maxdist=2](bender) red", "#fuzzy[2](binder)",
+               "yellow #fuzzy[maxdist=1](rod)"]:
+        _run_pair(pair, wp.parse(qs), op.parse(qs))
+
+
+def test_sequence_plugin_matches_reference(pair, whoosh_ref):
+    from whoosh import qparser as wqp
+
+    ix, wix = pair
+    wp = wqp.QueryParser("value", wix.schema)
+    wp.remove_plugin_class(wqp.plugins.PhrasePlugin)
+    wp.add_plugin(wqp.FuzzyTermPlugin())
+    wp.add_plugin(wqp.SequencePlugin())
+    op = QueryParser("value", ix.schema, sequence=True, fuzzy=True)
+    for qs in ['"red town"', 'yellow "red (green OR town)"',
+               '"red rod~1 town"~2', 'green "red town']:
+        _run_pair(pair, wp.parse(qs), op.parse(qs))

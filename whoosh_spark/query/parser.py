@@ -27,20 +27,49 @@ import re
 from whoosh_spark.query import nodes as Q
 from whoosh_spark.schema import IndexSchema
 
-_TOKEN_RE = re.compile(
-    r"""
+_BASE_BRANCHES = r"""
     (?P<lparen>\() |
     (?P<rparen>\)(?:\^(?P<gboost>\d+(?:\.\d+)?))?) |
     (?P<rgx>r"(?P<rgxpat>[^"]*)"(?:\^(?P<rgxboost>\d+(?:\.\d+)?))?) |
-    (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<phboost>\d+(?:\.\d+)?))?) |
-    (?P<range>(?P<lb>[\[{])(?P<rstart>('[^']*?'\s+)|([^\]}]+?(?=[Tt][Oo])))?[Tt][Oo](?P<rend>(\s+'[^']*?')|([^\]}]+?))?(?P<rb>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
-    (?P<squote>(?:^|(?<=\W))'(?P<sqtext>.*?)'(?=\s|\]|[)}]|$)) |
+    {phrase_branch}
+    (?P<range>(?P<lb>[\[{{])(?P<rstart>('[^']*?'\s+)|([^\]}}]+?(?=[Tt][Oo])))?[Tt][Oo](?P<rend>(\s+'[^']*?')|([^\]}}]+?))?(?P<rb>[\]}}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
+    (?P<squote>(?:^|(?<=\W))'(?P<sqtext>.*?)'(?=\s|\]|[)}}]|$)) |
+    {func_branch}
     (?P<field>[\w*]+): |
-    (?P<word>[^\s()]+) |
+    {word_branch}
     (?P<ws>\s+)
-    """,
-    re.VERBOSE,
-)
+"""
+
+_WORD_BRANCH = r"(?P<word>[^\s()]+) |"
+#: sequence mode: a double quote always terminates a word (the reference's
+#: interstitial-text model makes any tagger match break a word)
+_WORD_BRANCH_SEQ = r'(?P<word>[^\s()"]+) |'
+
+#: reference PhrasePlugin expr (plugins.py:677) vs SequencePlugin marker
+#: (plugins.py:765: the same double-quote char tags BOTH ends; slop attaches
+#: to whichever quote it follows — the END quote's slop wins)
+_PHRASE_BRANCH = r"""(?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<phboost>\d+(?:\.\d+)?))?) |"""
+_QUOTE_BRANCH = r"""(?P<quote>"(?:~(?P<qslop>[1-9][0-9]*))?) |"""
+#: reference FunctionPlugin expr (plugins.py:567-575): #name[args]
+_FUNC_BRANCH = r"""(?P<func>\#(?P<fname>[A-Za-z_][A-Za-z0-9._]*)(?:\[(?P<fargs>.*?)\])?) |"""
+
+_LEX_CACHE: dict = {}
+
+
+def _token_re(functions: bool, sequence: bool):
+    key = (functions, sequence)
+    rx = _LEX_CACHE.get(key)
+    if rx is None:
+        pattern = _BASE_BRANCHES.format(
+            phrase_branch=_QUOTE_BRANCH if sequence else _PHRASE_BRANCH,
+            func_branch=_FUNC_BRANCH if functions else "",
+            word_branch=_WORD_BRANCH_SEQ if sequence else _WORD_BRANCH,
+        )
+        rx = _LEX_CACHE[key] = re.compile(pattern, re.VERBOSE)
+    return rx
+
+
+_TOKEN_RE = _token_re(False, False)
 
 _OPERATORS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
 
@@ -57,11 +86,43 @@ class _Tok:
         return f"_Tok({self.kind},{self.value!r})"
 
 
-def _lex(text: str) -> list[_Tok]:
+def _parse_fn_args(argstring: str) -> tuple[list, dict]:
+    """FunctionPlugin arg syntax (reference plugins.py:621-643): args split
+    on commas; name=value makes a kwarg; values stay STRINGS with optional
+    single quotes stripped."""
+    args: list = []
+    kwargs: dict = {}
+    for part in argstring.split(","):
+        if "=" in part:
+            name, value = part.split("=", 1)
+            name = name.strip()
+        else:
+            name, value = None, part
+        value = value.strip()
+        if value.startswith("'") and value.endswith("'"):
+            value = value[1:-1]
+        if name:
+            kwargs[name] = value
+        else:
+            args.append(value)
+    return args, kwargs
+
+
+def _lex(text: str, functions: bool = False, sequence: bool = False) -> list[_Tok]:
     toks = []
-    for m in _TOKEN_RE.finditer(text):
+    for m in _token_re(functions, sequence).finditer(text):
         kind = m.lastgroup
         if kind == "ws":
+            continue
+        if kind == "func":
+            argstring = m.group("fargs")
+            args, kwargs = _parse_fn_args(argstring) if argstring else ((), {})
+            toks.append(_Tok("func", m.group("fname"),
+                             {"args": tuple(args), "kwargs": dict(kwargs)}))
+            continue
+        if kind == "quote":
+            toks.append(_Tok("quote", '"',
+                             {"slop": int(m.group("qslop")) if m.group("qslop") else None}))
             continue
         if kind == "rgx":
             toks.append(_Tok("rgx", m.group("rgxpat"),
@@ -115,6 +176,11 @@ def _lex(text: str) -> list[_Tok]:
     return toks
 
 
+class _Inline(list):
+    """CopyFieldPlugin group=None: the original and copied leaves join the
+    ENCLOSING group side by side (reference plugins.py:1283-1285)."""
+
+
 class QueryParser:
     def __init__(self, default_field: str | None, schema: IndexSchema,
                  gtlt: bool = False, plusminus: bool = False,
@@ -122,7 +188,14 @@ class QueryParser:
                  operators: bool = True, group: str = "and",
                  multifield: list[str] | None = None,
                  fieldboosts: dict | None = None,
-                 multifield_group: str = "or"):
+                 multifield_group: str = "or",
+                 fieldaliases: dict | None = None,
+                 copyfields: dict | None = None,
+                 copyfield_group: str | None = "or",
+                 copyfield_mirror: bool = False,
+                 pseudofields: dict | None = None,
+                 functions: dict | None = None,
+                 sequence: bool = False):
         """Optional syntaxes mirror the reference's opt-in plugins:
         gtlt (field:>x, qparser/plugins.py:1064), plusminus (+a -b, :1001),
         fuzzy (word~2/p, :449), regex (r"pat", :202).
@@ -131,7 +204,29 @@ class QueryParser:
         ``group`` is the implicit-adjacency group ("and"|"or");
         ``multifield`` fans unfielded clauses across several fields with
         optional per-field boosts, related by ``multifield_group``
-        ("or"|"dismax") — the MultifieldPlugin (plugins.py:1141-1199)."""
+        ("or"|"dismax") — the MultifieldPlugin (plugins.py:1141-1199).
+
+        Further opt-in plugins:
+        - ``fieldaliases``: {real: [alias, ...]} — FieldAliasPlugin
+          (plugins.py:1189-1224); alias field names rewrite to the real one.
+        - ``copyfields``: {from: to} — CopyFieldPlugin (plugins.py:1227-1290);
+          a leaf in field `from` (explicit or default) becomes a group with
+          its copy in field `to`, related by ``copyfield_group``
+          ("or"|"andmaybe"|"require"|None=inline into the enclosing group);
+          ``copyfield_mirror`` adds the reversed mappings.
+        - ``pseudofields``: {name: fn} — PseudoFieldPlugin
+          (plugins.py:1293-1352); `name:unit` parses the unit unfielded and
+          returns fn(query) (fn may return None to drop it). Our fn operates
+          on the built Query (the reference's operates on syntax nodes).
+        - ``functions``: {name: fn} — FunctionPlugin (plugins.py:560-668);
+          `#name[a,b,k=v](subqueries)` calls fn(list_of_subqueries, *args,
+          **kwargs); args/kwarg values are strings; a trailing ^boost on the
+          consumed group becomes kwargs['boost'].
+        - ``sequence``: SequencePlugin (plugins.py:748-823); double quotes
+          group arbitrary sub-queries into query.spans.Sequence (replaces
+          plain-phrase parsing, as in the reference where PhrasePlugin must
+          be removed); slop from the closing quote's ~N.
+        """
         self.default_field = default_field
         self.schema = schema
         self.gtlt = gtlt
@@ -143,12 +238,24 @@ class QueryParser:
         self.multifield = multifield
         self.fieldboosts = fieldboosts or {}
         self.multifield_group = multifield_group
+        self._aliases = {}
+        for real, aliases in (fieldaliases or {}).items():
+            for alias in aliases:
+                self._aliases[alias] = real
+        self.copyfields = dict(copyfields) if copyfields else None
+        if self.copyfields and copyfield_mirror:
+            self.copyfields.update({v: k for k, v in list(self.copyfields.items())})
+        self.copyfield_group = copyfield_group
+        self.pseudofields = pseudofields or {}
+        self.functions = functions
+        self.sequence = sequence
         self.basedate = None  # for dateparse 'today'/'now' (tests inject)
 
     # --------------------------------------------------------------- parse
 
     def parse(self, text: str) -> Q.Query:
-        toks = _lex(text)
+        toks = _lex(text, functions=self.functions is not None,
+                    sequence=self.sequence)
         self._toks = toks
         self._pos = 0
         q = self._parse_group(None)  # None = unfielded (default/multifield)
@@ -163,8 +270,12 @@ class QueryParser:
             self._pos += 1
         return t
 
-    def _parse_group(self, field: str, stop_at_rparen: bool = False) -> Q.Query:
-        """Parse a sequence of units with infix operators; adjacency = And."""
+    def _parse_group(self, field: str, stop_at_rparen: bool = False,
+                     as_list: bool = False):
+        """Parse a sequence of units with infix operators; adjacency = And.
+        ``as_list`` returns the operator-resolved item list WITHOUT the
+        implicit adjacency wrap (FunctionPlugin group consumption: adjacent
+        units stay separate sub-queries, reference plugins.py:596-599)."""
         if self.plusminus and not stop_at_rparen:
             return self._parse_plusminus(field)
         items: list = []  # mix of Query and operator strings
@@ -186,9 +297,42 @@ class QueryParser:
                 else:
                     items.append(t.value)
                 continue
+            if t.kind == "quote":
+                # SequencePlugin do_quotes (plugins.py:786-823): buffer
+                # units until the closing quote -> Sequence(slop from the
+                # END marker); an unbalanced quote dumps the buffer inline
+                self._next()
+                seq_items: list = []
+                end_slop = None
+                closed = False
+                while True:
+                    t2 = self._peek()
+                    if t2 is None or t2.kind == ")":
+                        break
+                    if t2.kind == "quote":
+                        self._next()
+                        end_slop = t2.extra.get("slop")
+                        closed = True
+                        break
+                    sub = self._parse_unit(field)
+                    if isinstance(sub, _Inline):
+                        seq_items.extend(sub)
+                    elif sub is not None:
+                        seq_items.append(sub)
+                if closed and seq_items:
+                    from whoosh_spark.query.spans import Sequence as SequenceQ
+
+                    items.append(SequenceQ(seq_items, slop=end_slop or 1))
+                else:
+                    items.extend(seq_items)
+                continue
             sub = self._parse_unit(field)
-            if sub is not None:
+            if isinstance(sub, _Inline):
+                items.extend(sub)
+            elif sub is not None:
                 items.append(sub)
+        if as_list:
+            return self._structure_items(items)
         return self._structure(items)
 
     def _parse_plusminus(self, field: str) -> Q.Query:
@@ -219,17 +363,16 @@ class QueryParser:
             core = Q.AndNot(core, Q.Or(prohibited))
         return core
 
-    def _structure(self, items: list) -> Q.Query:
-        """Resolve infix operators (binary ops bind tighter than OR; OR
-        tighter than implicit AND adjacency — empirically matching the
-        reference's OperatorsPlugin output on the supported subset)."""
+    def _structure_items(self, items: list) -> list:
+        """Operator resolution only — the item list with ops folded, no
+        implicit adjacency wrap."""
         # drop leading/trailing dangling operators
         while items and isinstance(items[0], str):
             items.pop(0)
         while items and isinstance(items[-1], str):
             items.pop()
         if not items:
-            return Q.NullQuery
+            return []
 
         # binary word operators first
         for opname, cls in (("ANDNOT", Q.AndNot), ("ANDMAYBE", Q.AndMaybe), ("REQUIRE", Q.Require)):
@@ -256,7 +399,15 @@ class QueryParser:
                 items[i - 1 : i + 2] = [merged]
             else:
                 i += 1
-        items = [x for x in items if not isinstance(x, str)]
+        return [x for x in items if not isinstance(x, str)]
+
+    def _structure(self, items: list) -> Q.Query:
+        """Resolve infix operators (binary ops bind tighter than OR; OR
+        tighter than implicit AND adjacency — empirically matching the
+        reference's OperatorsPlugin output on the supported subset)."""
+        items = self._structure_items(items)
+        if not items:
+            return Q.NullQuery
         if len(items) == 1:
             return items[0]
         return Q.Or(items) if self.group == "or" else Q.And(items)
@@ -266,7 +417,23 @@ class QueryParser:
         the multifield list (each with its field boost), grouped by
         multifield_group."""
         if field is not None or self.multifield is None:
-            return make(field if field is not None else self.default_field, 1.0)
+            f = field if field is not None else self.default_field
+            if self.copyfields and f in self.copyfields:
+                # CopyFieldPlugin: the copy re-analyzes with the TARGET
+                # field's analyzer (reference copies the pre-analysis node)
+                q1 = make(f, 1.0)
+                q2 = make(self.copyfields[f], 1.0)
+                if q1 is None or q2 is None:
+                    return q1 if q1 is not None else q2
+                g = self.copyfield_group
+                if g is None:
+                    return _Inline([q1, q2])
+                if g == "andmaybe":
+                    return Q.AndMaybe(q1, q2)
+                if g == "require":
+                    return Q.Require(q1, q2)
+                return Q.Or([q1, q2])
+            return make(f, 1.0)
         subs = []
         for f in self.multifield:
             q = make(f, float(self.fieldboosts.get(f, 1.0)))
@@ -284,8 +451,34 @@ class QueryParser:
         t = self._next()
         if t is None:
             return None
+        if t.kind == "func":
+            # FunctionPlugin: consume the immediately-following group (if
+            # any) as the sub-query list; its ^boost becomes kwargs['boost']
+            fn = (self.functions or {}).get(t.value)
+            if fn is None:
+                return self._fan(field, lambda f, fb: self._make_word(f, "#" + t.value, fb))
+            qs: list = []
+            gboost = None
+            nxt = self._peek()
+            if nxt is not None and nxt.kind == "(":
+                self._next()
+                qs = self._parse_group(field, stop_at_rparen=True, as_list=True)
+                closing = self._next()
+                if closing is not None and closing.kind == ")":
+                    gboost = closing.extra.get("boost")
+            kwargs = dict(t.extra["kwargs"])
+            if "boost" not in kwargs and gboost is not None:
+                kwargs["boost"] = gboost
+            return fn(qs, *t.extra["args"], **kwargs)
         if t.kind == "field":
-            fieldname = t.value
+            fieldname = self._aliases.get(t.value, t.value)
+            if fieldname in self.pseudofields:
+                # PseudoFieldPlugin: the node parses UNFIELDED, then the
+                # user fn transforms it (may return None to drop)
+                sub = self._parse_unit(None)
+                if isinstance(sub, _Inline) or sub is None:
+                    return sub
+                return self.pseudofields[fieldname](sub)
             nxt = self._peek()
             if nxt is not None and nxt.kind == "(":
                 self._next()

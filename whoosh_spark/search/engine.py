@@ -251,7 +251,7 @@ class _PlanContext:
             return self._complement(c.df)
         return c.df
 
-    def _resolve_multiterms(self, q: Q.Query) -> Q.Query:
+    def _resolve_multiterms(self, q: Q.Query, in_span: bool = False) -> Q.Query:
         """Resolve Prefix/Wildcard/Regex/FuzzyTerm/TermRange.
 
         Constant-score multiterms (the reference default for pattern/range
@@ -281,6 +281,27 @@ class _PlanContext:
             if flt is not None:
                 lex = lex.filter(flt)
             lex = lex.filter(q.spark_exact_predicate())
+            if q.constantscore and in_span:
+                # span context needs POSITIONS, so the ids-only doc-set plan
+                # is out: expand to terms and wrap with the constant score
+                # (reference: the multiterm matcher's spans come from its
+                # per-term union, score from ConstantScoreMatcher)
+                if cached is not None:
+                    terms = sorted(t for t, _ in cached)
+                else:
+                    cap = self.s.max_expansion
+                    rows = lex.select("term").orderBy("term").limit(cap + 1).collect()
+                    terms = [r["term"] for r in rows]
+                    if len(terms) > cap:
+                        raise ValueError(
+                            f"{type(q).__name__} inside a span query expands to "
+                            f"more than max_expansion={cap} terms"
+                        )
+                if not terms:
+                    return Q.NullQuery
+                if len(terms) == 1:
+                    return Q.Term(q.field, terms[0], boost=q.boost)
+                return Q.ConstantScore(Q.Or([Q.Term(q.field, t) for t in terms]), 1.0)
             if q.constantscore:
                 if cached is not None:
                     n = len(cached)
@@ -327,15 +348,43 @@ class _PlanContext:
             return Q.Or([Q.Term(q.field, t) for t in terms], boost=q.boost)
         # recurse
         if isinstance(q, Q.CompoundQuery):
-            return q._rebuild([self._resolve_multiterms(c) for c in q.subqueries])
+            return q._rebuild([self._resolve_multiterms(c, in_span) for c in q.subqueries])
         if isinstance(q, Q.Not):
-            return Q.Not(self._resolve_multiterms(q.query), boost=q.boost)
+            return Q.Not(self._resolve_multiterms(q.query, in_span), boost=q.boost)
         if isinstance(q, Q.BinaryQuery):
             return type(q)(
-                self._resolve_multiterms(q.a), self._resolve_multiterms(q.b), boost=q.boost
+                self._resolve_multiterms(q.a, in_span),
+                self._resolve_multiterms(q.b, in_span), boost=q.boost
             )
         if isinstance(q, Q.ConstantScore):
-            return Q.ConstantScore(self._resolve_multiterms(q.child), q.score, boost=q.boost)
+            return Q.ConstantScore(self._resolve_multiterms(q.child, in_span), q.score, boost=q.boost)
+        from whoosh_spark.query import spans as SQ
+
+        if isinstance(q, SQ.SpanNear2):  # incl. Sequence
+            import copy as _copy
+
+            clone = _copy.copy(q)
+            clone.qs = [self._resolve_multiterms(c, True) for c in q.qs]
+            return clone
+        if isinstance(q, SQ.SpanOr):
+            import copy as _copy
+
+            clone = _copy.copy(q)
+            clone.subqs = [self._resolve_multiterms(c, True) for c in q.subqs]
+            return clone
+        if isinstance(q, SQ.SpanFirst):
+            import copy as _copy
+
+            clone = _copy.copy(q)
+            clone.q = self._resolve_multiterms(q.q, True)
+            return clone
+        if isinstance(q, (SQ.SpanNear, SQ._SpanBi)):
+            import copy as _copy
+
+            clone = _copy.copy(q)
+            clone.a = self._resolve_multiterms(q.a, True)
+            clone.b = self._resolve_multiterms(q.b, True)
+            return clone
         return q
 
     def _collect_terms(self, q: Q.Query, plain: set, positional: set,

@@ -127,6 +127,12 @@ class SpanEval:
             spans = F.transform(F.col("positions"), lambda p: F.struct(p.alias("start"), p.alias("end")))
             score = F.col("score") * F.lit(float(q.boost)) if q.boost != 1.0 else F.col("score")
             return df.select("doc_id", spans.alias("spans"), score.alias("score"))
+        if isinstance(q, Q.ConstantScore):
+            # constant-score multiterm expansion inside a span: positions
+            # from the child union, score pinned (engine.py ConstantScore
+            # semantics; boost NOT applied, as the reference multiterm quirk)
+            child = self.frame(q.child)
+            return child.select("doc_id", "spans", F.lit(float(q.score)).alias("score"))
         if isinstance(q, Q.Or):
             # UnionMatcher spans: sorted dedup union, scores sum (binary.py:221-234)
             return self._fold(q.subqueries, "full_outer", merge=False)
