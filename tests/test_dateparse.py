@@ -39,6 +39,17 @@ QUERIES = [
     "date:[20100523 TO 20110101]",
     "date:[TO 2010]",
     "date:[2011 TO]",
+    # relative forms (round 3): daynames and plusminus offsets
+    "date:'next tuesday'",
+    "date:'last friday'",
+    "date:'last mon'",
+    "date:'next monday'",  # basedate IS a Monday -> jumps a full week
+    "date:'-3 weeks'",
+    "date:'+1 year'",
+    "date:'-1 month'",
+    "date:'+2 months 10 days'",
+    "date:['last tuesday' TO 'next friday']",
+    "date:[-2 weeks TO now]",
 ]
 
 

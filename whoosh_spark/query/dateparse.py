@@ -11,9 +11,16 @@ in tests/test_dateparse.py):
   20100523 / 2010-05-23 / 23 may 2010   whole day
   2010052310[30[15]] / 2010-05-23 10:30[:15]  hour / minute / second
   today / yesterday / tomorrow / now
+  next tuesday / last fri      dayname relative to basedate (same weekday
+                               jumps a full week, reference
+                               util/times.py relative_days)
+  -3 weeks / +1 year 2 months  plusminus offsets from basedate (reference
+                               dateparse.py PlusMinus:497-526; month
+                               arithmetic clamps to month end first, then
+                               the sub-month parts apply)
   [<span> TO <span>]           range: floor(start) .. ceil(end)
 
-Relative expressions ("next tuesday", "-3 weeks") are not implemented.
+Time-only forms (midnight/noon/3pm) are not implemented.
 """
 
 from __future__ import annotations
@@ -43,6 +50,59 @@ _NAMED_RE = re.compile(r"^(?:(\d{1,2})\s+)?([a-z]+)(?:\s+(\d{4}))?$")
 
 class DateParseError(ValueError):
     pass
+
+
+# unit synonym sets from the reference English grammar (dateparse.py:649-655)
+_UNITS = [
+    ("years", r"years|year|yrs|yr|ys|y"),
+    ("months", r"months|month|mons|mon|mos|mo"),
+    ("weeks", r"weeks|week|wks|wk|ws|w"),
+    ("days", r"days|day|dys|dy|ds|d"),
+    ("hours", r"hours|hour|hrs|hr|hs|h"),
+    ("minutes", r"minutes|minute|mins|min|ms|m"),
+    ("seconds", r"seconds|second|secs|sec|s"),
+]
+_PLUSMINUS_RE = re.compile(
+    "^(?P<dir>[+-]) *"
+    + " *".join(f"(?:(?P<{name}>[0-9]+) *(?:{pat}))?" for name, pat in _UNITS)
+    + "$",
+    re.IGNORECASE,
+)
+_DAYNAME_PATTERNS = [
+    "monday|mon|mo", "tuesday|tues|tue|tu", "wednesday|wed|we",
+    "thursday|thur|thu|th", "friday|fri|fr", "saturday|sat|sa",
+    "sunday|sun|su",
+]
+_DAYNAME_RE = re.compile(
+    r"^(?P<dir>next|last) +(?P<day>" + "|".join(_DAYNAME_PATTERNS) + r")$",
+    re.IGNORECASE,
+)
+
+
+def _relative_days(current_wday: int, wday: int, direction: int) -> int:
+    """reference util/times.py:39-60: same weekday jumps a full week."""
+    if current_wday == wday:
+        return 7 * direction
+    if direction == 1:
+        return (wday + 7 - current_wday) % 7
+    return (current_wday + 7 - wday) % 7 * -1
+
+
+def _add_relative(dt: datetime, years: int, months: int, weeks: int, days: int,
+                  hours: int, minutes: int, seconds: int) -> datetime:
+    """relativedelta semantics (the reference vendors dateutil's): year and
+    month arithmetic first, clamping the day to the target month's end, then
+    the exact sub-month offsets."""
+    from calendar import monthrange
+
+    y = dt.year + years
+    m = dt.month + months
+    y += (m - 1) // 12
+    m = (m - 1) % 12 + 1
+    d = min(dt.day, monthrange(y, m)[1])
+    return dt.replace(year=y, month=m, day=d) + timedelta(
+        weeks=weeks, days=days, hours=hours, minutes=minutes, seconds=seconds
+    )
 
 
 def _month_end(year: int, month: int) -> datetime:
@@ -84,6 +144,27 @@ def parse_timespan(text: str, basedate: datetime | None = None) -> tuple[datetim
         d = basedate + timedelta(days=delta)
         s = datetime(d.year, d.month, d.day)
         return s, s + timedelta(days=1) - timedelta(microseconds=1)
+
+    m = _DAYNAME_RE.match(t)
+    if m:
+        direction = -1 if m.group("dir").lower() == "last" else 1
+        day_text = m.group("day")
+        daynum = next(
+            i for i, pat in enumerate(_DAYNAME_PATTERNS)
+            if re.fullmatch(pat, day_text, re.IGNORECASE)
+        )
+        d = basedate + timedelta(
+            days=_relative_days(basedate.weekday(), daynum, direction)
+        )
+        s = datetime(d.year, d.month, d.day)
+        return s, s + timedelta(days=1) - timedelta(microseconds=1)
+
+    m = _PLUSMINUS_RE.match(t)
+    if m and any(m.group(name) for name, _ in _UNITS):
+        direction = -1 if m.group("dir") == "-" else 1
+        vals = {name: int(m.group(name) or 0) * direction for name, _ in _UNITS}
+        dt = _add_relative(basedate, **vals)
+        return dt, dt
 
     m = _DIGITS_RE.match(t)
     if m:
