@@ -87,3 +87,68 @@ def test_final_hook_matches_reference(pair, whoosh_ref):
         for r in srch.search(Q.Term("text", "alfa"), limit=None).collect()
     ]
     assert got == want, (got, want)
+
+
+DOCS2 = [
+    (0, "alfa bravo alfa", "alfa charlie"),
+    (1, "bravo charlie", "alfa alfa bravo"),
+    (2, "alfa alfa alfa", "bravo"),
+    (3, "delta echo", "charlie charlie alfa"),
+]
+
+
+@pytest.fixture(scope="module")
+def pair2(spark, whoosh_ref, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mwix"))
+    schema = IndexSchema.of(name=TEXT(), value=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, name=n, value=v) for i, n, v in DOCS2])
+    build_index(spark, df, schema, d, sha_col=None)
+
+    from whoosh import fields
+    from whoosh.filedb.filestore import RamStorage
+
+    wschema = fields.Schema(name=fields.TEXT(), value=fields.TEXT())
+    wix = RamStorage().create_index(wschema)
+    w = wix.writer()
+    for _, n, v in DOCS2:
+        w.add_document(name=n, value=v)
+    w.commit()
+    return Index(spark, d), wix
+
+
+def _diff(pair, wweighting, oweighting, wq, oq, whoosh_ref):
+    ix, wix = pair
+    with wix.searcher(weighting=wweighting) as s:
+        want = [(h.docnum, round(h.score, 9)) for h in s.search(wq, limit=None)]
+    srch = Searcher(ix, weighting=oweighting)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in srch.search(oq, limit=None).collect()]
+    srch.clear_cache()
+    assert got == want, (got, want)
+
+
+def test_multiweighting_matches_reference(pair2, whoosh_ref):
+    """Per-field model dispatch (reference scoring.py:547-571): BM25 on
+    'value', Frequency on 'name', TF_IDF override exercised too."""
+    from whoosh import scoring as wscoring
+    from whoosh.query import Or as WOr, Term as WTerm
+
+    from whoosh_spark.search.scoring import BM25F, Frequency, MultiWeighting, TF_IDF
+
+    wq = WOr([WTerm("name", "alfa"), WTerm("value", "alfa"), WTerm("value", "bravo")])
+    oq = Q.Or([Q.Term("name", "alfa"), Q.Term("value", "alfa"), Q.Term("value", "bravo")])
+    _diff(pair2, wscoring.MultiWeighting(wscoring.BM25F(), name=wscoring.Frequency()),
+          MultiWeighting(BM25F(), name=Frequency()), wq, oq, whoosh_ref)
+    _diff(pair2, wscoring.MultiWeighting(wscoring.BM25F(), name=wscoring.TF_IDF()),
+          MultiWeighting(BM25F(), name=TF_IDF()), wq, oq, whoosh_ref)
+
+
+def test_reverseweighting_matches_reference(pair2, whoosh_ref):
+    from whoosh import scoring as wscoring
+    from whoosh.query import Or as WOr, Term as WTerm
+
+    from whoosh_spark.search.scoring import BM25F, ReverseWeighting
+
+    wq = WOr([WTerm("value", "alfa"), WTerm("value", "charlie")])
+    oq = Q.Or([Q.Term("value", "alfa"), Q.Term("value", "charlie")])
+    _diff(pair2, wscoring.ReverseWeighting(wscoring.BM25F()),
+          ReverseWeighting(BM25F()), wq, oq, whoosh_ref)

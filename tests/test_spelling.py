@@ -87,3 +87,39 @@ def test_correct_query_string_matches_whoosh(pair, whoosh_ref):
         correct_query_string(ix, 'rendar AND "blender rendar"', "value")
         == 'render AND "blender render"'
     )
+
+
+def test_spelling_word_graph_matches_reference(spark, whoosh_ref, tmp_path):
+    """spelling=True on a STEMMED field: suggestions come from the separate
+    spell_* lexicon of UNSTEMMED words (reference subfields/spell_ prefix,
+    fields.py:1132-1148) — so 'rendering'/'renders' survive as suggestions
+    even though the scoring index only holds the stem 'render'."""
+    from whoosh import fields
+    from whoosh.analysis import StemmingAnalyzer
+    from whoosh.filedb.filestore import RamStorage
+
+    from whoosh_spark.analysis.tokenize import stemming_analyzer
+
+    d = str(tmp_path / "spellix")
+    df = spark.createDataFrame([Row(doc_id=i, value=t) for i, t in enumerate(DOCS)])
+    schema = IndexSchema.of(value=TEXT(analyzer=stemming_analyzer(), spelling=True))
+    build_index(spark, df, schema, d, sha_col=None)
+    ix = Index(spark, d)
+
+    wix = RamStorage().create_index(
+        fields.Schema(value=fields.TEXT(analyzer=StemmingAnalyzer(), spelling=True))
+    )
+    w = wix.writer()
+    for t in DOCS:
+        w.add_document(value=t)
+    w.commit()
+
+    # the spell lexicon holds unstemmed forms
+    terms = {r["term"] for r in ix.termstats().filter("field = 'spell_value'").collect()}
+    assert "rendering" in terms and "renders" in terms
+
+    for text, limit, maxdist, prefix in CASES:
+        with wix.searcher() as s:
+            want = s.suggest("value", text, limit=limit, maxdist=maxdist, prefix=prefix)
+        got = suggest(ix, "value", text, limit=limit, maxdist=maxdist, prefix=prefix)
+        assert got == want, f"{text}: {got} != {want}"

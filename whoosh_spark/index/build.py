@@ -120,25 +120,41 @@ def _field_configs(schema: IndexSchema) -> list[tuple]:
 
 def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
     """docs -> long postings DF: one Arrow pass tokenizes ALL indexed fields
-    (reference emits per-field postings per doc, writing.py:737-767)."""
+    (reference emits per-field postings per doc, writing.py:737-767).
+
+    spelling=True morphic fields additionally emit a ``spell_<name>``
+    lexicon of UNSTEMMED words, tf=1 per (doc, word) — the reference's
+    separate spelling subfield (fields.py:1132-1148, writing.py:762-767;
+    spellable_words is a per-doc set, so the spell term's total weight is
+    its doc frequency)."""
+    import dataclasses
+
     cfgs = _field_configs(schema)
     cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
     ]
+    # (out_field, src_col, analyzer, phrase, spell)
+    out_cfgs = [(name, name, ana, phrase, False) for name, ana, phrase in cfgs]
+    for name, ana, _phrase in cfgs:
+        if schema[name].separate_spelling():
+            out_cfgs.append(
+                ("spell_" + name, name, dataclasses.replace(ana, stem=False), False, True)
+            )
 
-    has_boost = any(ana.delimited_boost is not None for _, ana, _ in cfgs)
+    has_boost = any(ana.delimited_boost is not None for _, _, ana, _, _ in out_cfgs)
 
     def kernel(batches):
         kernels = [
-            (name, ana.doc_kernel_boost() if ana.delimited_boost is not None else ana.doc_kernel(),
-             phrase, ana.delimited_boost is not None)
-            for name, ana, phrase in cfgs
+            (out, src,
+             ana.doc_kernel_boost() if ana.delimited_boost is not None else ana.doc_kernel(),
+             phrase, ana.delimited_boost is not None, spell)
+            for out, src, ana, phrase, spell in out_cfgs
         ]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
             w_out: list = []
-            for name, doc_kernel, phrase, boosted in kernels:
-                texts = pdf[name]
+            for out, src, doc_kernel, phrase, boosted, spell in kernels:
+                texts = pdf[src]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
                     if text is None:
@@ -146,14 +162,16 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
                     agg, k = doc_kernel(text)
                     for t, val in agg.items():
                         ps, w = val if boosted else (val, None)
-                        f_out.append(name)
+                        if spell:
+                            ps = ps[:1]  # unique word per doc: tf=1
+                        f_out.append(out)
                         t_out.append(t)
                         d_out.append(did)
                         tf_out.append(len(ps))
                         p_out.append(ps if phrase else None)
                         l_out.append(k)
                         if has_boost:
-                            w_out.append(w if w is not None else float(len(ps)))
+                            w_out.append(w if w is not None and not spell else float(len(ps)))
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
             out = {
                 "field": f_out,

@@ -27,12 +27,23 @@ class FieldType:
     scorable: bool = False  # record lengths + use BM25
     phrase: bool = False  # record positions
     vector: bool = False  # store per-doc term vectors (reference vector=True)
+    #: index unstemmed words into a separate ``spell_<name>`` lexicon when
+    #: the analyzer is morphic (reference fields.py:1132-1148 subfields/
+    #: separate_spelling); suggest() then reads original word forms
+    spelling: bool = False
     field_boost: float = 1.0
     kind: str = "text"
 
+    def separate_spelling(self) -> bool:
+        return bool(self.spelling and self.analyzer is not None and self.analyzer.stem)
+
+    def spelling_fieldname(self, name: str) -> str:
+        return ("spell_" + name) if self.separate_spelling() else name
+
 
 def TEXT(stored: bool = False, phrase: bool = True, analyzer: Analyzer | None = None,
-         field_boost: float = 1.0, vector: bool = False) -> FieldType:
+         field_boost: float = 1.0, vector: bool = False,
+         spelling: bool = False) -> FieldType:
     return FieldType(
         analyzer=analyzer or standard_analyzer(),
         indexed=True,
@@ -40,6 +51,7 @@ def TEXT(stored: bool = False, phrase: bool = True, analyzer: Analyzer | None = 
         scorable=True,
         phrase=phrase,
         vector=vector,
+        spelling=spelling,
         field_boost=field_boost,
         kind="text",
     )
@@ -199,6 +211,7 @@ def schema_to_dict(schema: IndexSchema) -> dict:
             "scorable": f.scorable,
             "phrase": f.phrase,
             "vector": f.vector,
+            "spelling": f.spelling,
             "field_boost": f.field_boost,
             "kind": f.kind,
         }
@@ -217,6 +230,7 @@ def schema_from_dict(d: dict) -> IndexSchema:
             scorable=fd["scorable"],
             phrase=fd["phrase"],
             vector=fd.get("vector", False),
+            spelling=fd.get("spelling", False),
             field_boost=fd["field_boost"],
             kind=fd["kind"],
         )

@@ -30,7 +30,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from whoosh_spark.index.catalog import Index
 from whoosh_spark.query import nodes as Q
-from whoosh_spark.search.scoring import BM25F, WeightingModel
+from whoosh_spark.search.scoring import BM25F, MultiWeighting, WeightingModel
 
 NEG_INF = float("-inf")
 
@@ -422,12 +422,14 @@ class _PlanContext:
             ftype = self.s.schema[field] if field in self.s.schema else None
             scorable = bool(ftype and ftype.scorable)
             fboost = float(ftype.field_boost) if ftype else 1.0
-            B = w.field_B(field) if hasattr(w, "field_B") else 0.0
+            # MultiWeighting: the FIELD's model supplies idf and B
+            fm = w.for_field(field) if isinstance(w, MultiWeighting) else w
+            B = fm.field_B(field) if hasattr(fm, "field_B") else 0.0
             meta_rows.append(
                 {
                     "field": field,
                     "term": term,
-                    "idf": w.idf(dc, df_count) if df_count else 0.0,
+                    "idf": fm.idf(dc, df_count) if df_count else 0.0,
                     "avgfl": self.ix.avg_field_length(field) or 1.0,
                     "b": B,
                     "one_minus_b": 1 - B,
@@ -467,11 +469,21 @@ class _PlanContext:
         # weight semantics (formats.py:162-263)
         weight = F.col("weight") * F.col("fboost")
         fl = F.col("fl").cast("double")  # dequantized in the decode kernel
-        score = w.score_col(
+        score_args = (
             weight, fl, F.col("idf"), F.col("avgfl"), F.col("b"),
             F.col("one_minus_b"), F.col("scorable"),
-            cf_col=F.col("cf"), fl_total_col=F.col("fl_total"), dc_col=F.col("dc"),
         )
+        score_kw = dict(cf_col=F.col("cf"), fl_total_col=F.col("fl_total"),
+                        dc_col=F.col("dc"))
+        if isinstance(w, MultiWeighting):
+            # CASE chain only over the few OVERRIDDEN fields present (the
+            # reverted O(n_terms) literal-CASE issue doesn't apply: this is
+            # O(n_overridden_fields), typically 1-2)
+            score = w.score_col_dispatch(
+                F.col("field"), sorted({f for f, _ in terms}), *score_args, **score_kw
+            )
+        else:
+            score = w.score_col(*score_args, **score_kw)
         cols = ["field", "term", "doc_id"]
         if keep_positions:
             cols.append("positions")

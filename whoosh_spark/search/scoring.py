@@ -143,6 +143,66 @@ class PL2(WeightingModel):
         return float("inf")
 
 
+class MultiWeighting(WeightingModel):
+    """Per-field model dispatch (reference scoring.py:547-571): the default
+    model scores every field except those overridden by keyword, e.g.
+    ``MultiWeighting(BM25F(), id=Frequency(), keys=TF_IDF())``. The engine
+    builds a small CASE chain over the handful of overridden fields — the
+    per-term meta constants (idf, B) already come from the field's model."""
+
+    def __init__(self, default: WeightingModel, **weightings: WeightingModel):
+        self.default = default
+        self.weightings = dict(weightings)
+
+    def for_field(self, fieldname: str) -> WeightingModel:
+        return self.weightings.get(fieldname, self.default)
+
+    def field_B(self, fieldname: str) -> float:
+        m = self.for_field(fieldname)
+        return m.field_B(fieldname) if hasattr(m, "field_B") else 0.0
+
+    def idf(self, doc_count_all: int, df: int) -> float:
+        # per-term idf is computed through for_field() in the engine; this
+        # default exists for field-agnostic callers
+        return self.default.idf(doc_count_all, df)
+
+    def score_col_dispatch(self, field_col: Column, fields: list[str], *args, **kw) -> Column:
+        expr = self.default.score_col(*args, **kw)
+        for f in sorted(fields):
+            if f in self.weightings:
+                expr = F.when(field_col == f,
+                              self.weightings[f].score_col(*args, **kw)).otherwise(expr)
+        return expr
+
+    def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
+        return float("inf")  # mixed models: no single admissible bound
+
+
+class ReverseWeighting(WeightingModel):
+    """0 - wrapped model's score (reference scoring.py:574-602): lowest
+    scores rank first. Block-max pruning is not offered (bounds invert)."""
+
+    def __init__(self, weighting: WeightingModel):
+        self.weighting = weighting
+
+    def field_B(self, fieldname: str) -> float:
+        w = self.weighting
+        return w.field_B(fieldname) if hasattr(w, "field_B") else 0.0
+
+    def idf(self, doc_count_all: int, df: int) -> float:
+        return self.weighting.idf(doc_count_all, df)
+
+    def score_col(self, w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+                  cf_col=None, fl_total_col=None, dc_col=None):
+        return F.lit(0.0) - self.weighting.score_col(
+            w, fl, idf_col, avgfl_col, b_col, one_minus_b_col, scorable,
+            cf_col=cf_col, fl_total_col=fl_total_col, dc_col=dc_col,
+        )
+
+    def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
+        return float("inf")
+
+
 class FunctionWeighting(WeightingModel):
     """Custom per-posting scoring plug point (reference scoring.py:503-544
     FunctionWeighting, whose fn sees the matcher's weight and the searcher).

@@ -21,12 +21,31 @@ from whoosh_spark.index.catalog import Index
 
 def suggest(ix: Index, field: str, text: str, limit: int = 5,
             maxdist: int = 2, prefix: int = 0) -> list[str]:
-    lex = (
-        ix.termstats()
-        .filter(F.col("field") == field)
-        .groupBy("term")
-        .agg(F.sum("total_tf").alias("freq"))
-    )
+    # spelling=True morphic fields keep original word forms in a separate
+    # spell_<name> lexicon (reference fields.py spelling_fieldname).
+    # ReaderCorrector (reference spelling.py:103-115) draws CANDIDATES from
+    # the spell lexicon but ranks by the word's frequency in the MAIN field
+    # (absent -> 1), so stems still outrank never-indexed surface forms.
+    sugfield = ix.schema[field].spelling_fieldname(field) if field in ix.schema else field
+    if sugfield != field:
+        cand = (
+            ix.termstats().filter(F.col("field") == sugfield)
+            .select("term").distinct()
+        )
+        freqs = (
+            ix.termstats().filter(F.col("field") == field)
+            .groupBy("term").agg(F.sum("total_tf").alias("_f"))
+        )
+        lex = cand.join(freqs, on="term", how="left").select(
+            "term", F.coalesce(F.col("_f"), F.lit(1)).alias("freq")
+        )
+    else:
+        lex = (
+            ix.termstats()
+            .filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("total_tf").alias("freq"))
+        )
     cond = F.levenshtein(F.col("term"), F.lit(text)) <= maxdist
     if prefix:
         cond = cond & F.col("term").startswith(text[:prefix])
