@@ -463,6 +463,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lsh_cosine_topk(emb, queries, dim=dim, k=5)
 
+    def ann_ivf_topk(spark, sf):
+        # IVF inverted-list ANN (deterministic pseudo-centroids), the
+        # bucketed-scan alternative to LSH; DuckDB-mirrored
+        from whoosh_spark.functions.similarity import ivf_cosine_topk
+
+        emb = _emb(spark, sf)
+        dim = len(emb.first()["embedding"])
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_cosine_topk(emb, queries, dim=dim, k=5)
+
+    def kmeans_1d(spark, sf):
+        # Lloyd's k-means on documents.n_chars, EXACTLY 3 assignment rounds
+        # (t<0 disables the tolerance stop) so the oracle can unroll the
+        # same rounds in SQL; integer inputs keep every float op exact
+        from whoosh_spark.functions.cluster import kmeans
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("n_chars").cast("double").alias("x")
+        )
+        out, _ = kmeans(docs, "x", 3, centers=[500.0, 1500.0, 2500.0],
+                        t=-1.0, maxiter=2, id_col="doc_id")
+        return out.select("doc_id", "label").orderBy("doc_id")
+
     def embedding_neardup(spark, sf):
         # the production path: LSH bucket candidates + exact cosine verify
         from whoosh_spark.functions.dedup import embedding_neardup as op
@@ -569,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "kmeans_1d": kmeans_1d,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_exact": embedding_neardup_exact,
         "bm25_token_boost": bm25_token_boost,
@@ -815,6 +842,39 @@ sc AS (
     sql["embedding_neardup"] = embedding_neardup_lsh_sql(tau=0.4, dim=64)
     sql["embedding_neardup_exact"] = embedding_neardup_sql(tau=0.4)
     sql["ann_lsh_topk"] = lsh_cosine_topk_sql(n_queries=3, k=5, dim=64)
+    from whoosh_spark.functions.similarity import ivf_cosine_topk_sql
+
+    sql["ann_ivf_topk"] = ivf_cosine_topk_sql(n_queries=3, k=5, dim=64)
+
+    def _kmeans_sql(k=3, iters=3, centers=(500.0, 1500.0, 2500.0)):
+        # unroll `iters` Lloyd rounds: assignment = row_number over
+        # per-cell squared distances (ties -> lowest cell, like the
+        # engine's array_min struct); centroid update keeps empty cells
+        # at 0.0 (reference classify.py:326 quirk)
+        parts = ["base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents)"]
+        parts.append("c0(cell, cx) AS (VALUES "
+                     + ", ".join(f"({i}, {float(c)!r})" for i, c in enumerate(centers)) + ")")
+        parts.append("cells(cell) AS (VALUES "
+                     + ", ".join(f"({i})" for i in range(k)) + ")")
+        for r in range(1, iters + 1):
+            parts.append(
+                f"a{r} AS (SELECT doc_id, x, cell AS label FROM ("
+                f"SELECT b.doc_id, b.x, c.cell, "
+                f"row_number() OVER (PARTITION BY b.doc_id "
+                f"ORDER BY (b.x - c.cx)*(b.x - c.cx), c.cell) AS rn "
+                f"FROM base b CROSS JOIN c{r-1} c) WHERE rn = 1)"
+            )
+            if r < iters:
+                parts.append(
+                    f"c{r}(cell, cx) AS (SELECT cells.cell, "
+                    f"coalesce(s.sx / s.n, 0.0) FROM cells LEFT JOIN "
+                    f"(SELECT label, sum(x) AS sx, count(*) AS n FROM a{r} "
+                    f"GROUP BY label) s ON s.label = cells.cell)"
+                )
+        return ("WITH " + ",\n".join(parts)
+                + f"\nSELECT doc_id, label FROM a{iters} ORDER BY doc_id")
+
+    sql["kmeans_1d"] = _kmeans_sql()
     # token-boost BM25: weights/lengths/df derive from doc_id arithmetic
     # (mirrors bm25_token_boost's synthesized corpus exactly)
     sql["bm25_token_boost"] = f"""

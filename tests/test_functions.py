@@ -243,3 +243,45 @@ def test_multimodal_real_decode(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media, decoder="pillow").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_kmeans_1d_matches_reference(spark, whoosh_ref):
+    """Same data + same initial centers -> identical labels and centroids
+    as the reference's Lloyd's loop (classify.py:265-332)."""
+    from whoosh.classify import kmeans as ref_kmeans
+
+    from whoosh_spark.functions.cluster import kmeans
+
+    data = [float(x) for x in
+            [1, 2, 3, 10, 11, 12, 50, 52, 55, 100, 101, 99, 3, 9, 51, 97]]
+    centers = [0.0, 20.0, 60.0, 90.0]
+    want_labels, want_c = ref_kmeans(data, 4, centers=list(centers))
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(data)], "i long, x double")
+    got, got_c = kmeans(df, "x", 4, centers=list(centers), id_col="i")
+    got_labels = [r["label"] for r in got.orderBy("i").collect()]
+    assert got_labels == want_labels
+    assert got_c == pytest.approx(want_c, rel=1e-12)
+
+
+def test_kmeans_vectors_and_ivf(spark):
+    from whoosh_spark.functions.cluster import kmeans
+    from whoosh_spark.functions.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    seeds = [r["embedding"] for r in emb.orderBy("vec_id").limit(4).collect()]
+    labeled, centers = kmeans(emb.select(F.col("embedding").cast("array<double>").alias("embedding")),
+                              "embedding", 4, centers=seeds, maxiter=5)
+    assert len(centers) == 4 and len(centers[0]) == dim
+    counts = {r["label"]: r["n"] for r in labeled.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()
+
+    # IVF self-query: every query must find itself at rank 1 (cosine 1.0 in
+    # its own cell, which is always probed first)
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_cosine_topk(emb, queries, dim=dim, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid in range(5):
+        assert by_q[qid][0] == (qid, 1.0)

@@ -326,6 +326,151 @@ def lsh_cosine_topk(
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _pseudo_centroid(i: int, dim: int) -> list[float]:
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"centroid:{i}:{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / float(1 << 31)) - 1.0)
+    return out
+
+
+def _argmax_cell(v: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid. array_max over (score, -cell)
+    structs: highest score, ties -> smallest cell — mirrored in SQL by
+    row_number ordered (score DESC, cell ASC). (A when-chain would
+    duplicate each dim-term dot-product subtree O(k^2) times.)"""
+    import math
+
+    def cos(c):
+        nrm = math.sqrt(sum(x * x for x in c))
+        arr = F.array(*[F.lit(x) for x in c])
+        return _dot(v, arr) / (F.sqrt(_dot(v, v)) * F.lit(nrm))
+
+    entries = F.array(*[
+        F.struct(cos(c).alias("s"), F.lit(-i).alias("negcell"))
+        for i, c in enumerate(centroids)
+    ])
+    return -F.array_max(entries)["negcell"]
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are inverted-listed under their max-cosine
+    centroid; a query probes its ``nprobe`` best cells and exact-cosine
+    re-ranks only those lists. The cell assignment is a when-chain over
+    broadcastable centroid literals — NO shuffle on the 100 TB corpus side
+    beyond the final cell-equi-join, and lists can be written bucketed by
+    cell for static pruning. ``centroids`` defaults to deterministic
+    md5-derived pseudo-centroids (DuckDB-mirrored by ivf_cosine_topk_sql);
+    pass cluster.kmeans(...) centers for trained cells."""
+    cs = centroids if centroids is not None else [
+        _pseudo_centroid(i, dim) for i in range(n_centroids)
+    ]
+    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("cell", _argmax_cell(F.col("v"), cs))
+    qs = queries.select("query_id", _as_double(F.col(vec_col)).alias("qv"))
+
+    import math
+
+    probe_scores = []
+    for i, c in enumerate(cs):
+        nrm = math.sqrt(sum(x * x for x in c))
+        arr = F.array(*[F.lit(x) for x in c])
+        probe_scores.append(F.struct(
+            (_dot(F.col("qv"), arr) / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.lit(nrm))).alias("s"),
+            F.lit(i).alias("cell"),
+        ))
+    probes = (
+        qs.select("query_id", "qv", F.explode(F.array(*probe_scores)).alias("p"))
+        .select("query_id", "qv", F.col("p.s").alias("s"), F.col("p.cell").alias("cell"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cell"))
+    probes = (
+        probes.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    qn = probes.withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    scored = (
+        base.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .join(F.broadcast(qn), on="cell")
+        .select(
+            "query_id", "vec_id",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def _sql_centroid_literal(i: int, dim: int) -> str:
+    return "[" + ", ".join(repr(c) for c in _pseudo_centroid(i, dim)) + "]"
+
+
+def ivf_cosine_topk_sql(n_queries: int = 3, k: int = 5, dim: int = 64,
+                        n_centroids: int = IVF_CENTROIDS,
+                        nprobe: int = IVF_NPROBE) -> str:
+    """DuckDB mirror of ivf_cosine_topk (pseudo-centroid default) with
+    queries = vec_id < n_queries."""
+    import math
+
+    cell_rows = []
+    for i in range(n_centroids):
+        c = _pseudo_centroid(i, dim)
+        nrm = repr(math.sqrt(sum(x * x for x in c)))
+        lit = _sql_centroid_literal(i, dim)
+        cell_rows.append(
+            f"SELECT vec_id, {i} AS cell, "
+            f"list_dot_product(v, {lit}) / (sqrt(list_dot_product(v, v)) * {nrm}) AS s "
+            f"FROM base"
+        )
+    cells_sql = " UNION ALL ".join(cell_rows)
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+cellscores AS ({cells_sql}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM cellscores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM cellscores WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(x.v, q.v) / (x.nrm * q.nrm), 6) AS cosine
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  JOIN n x ON x.vec_id = a.vec_id JOIN n q ON q.vec_id = p.query_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+""".strip()
+
+
 def lsh_cosine_topk_sql(n_queries: int = 3, k: int = 5, dim: int = 64,
                         n_tables: int = N_TABLES, n_planes: int = N_PLANES) -> str:
     """DuckDB mirror of lsh_cosine_topk with queries = vec_id < n_queries:
