@@ -426,3 +426,100 @@ def test_delimited_boost_scoring_matches_reference(spark, whoosh_ref, tmp_path):
     assert [x[0] for x in got] == [x[0] for x in want]
     for (d1, s1), (_, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, rel=1e-12), ("post-merge", d1)
+
+
+def test_double_metaphone_function_matches_reference(whoosh_ref):
+    import random
+
+    from whoosh.lang.dmetaphone import double_metaphone as ref_dm
+
+    from whoosh_spark.analysis.dmetaphone import double_metaphone
+
+    curated = [
+        "smith", "schmidt", "aghast", "high", "night", "jose", "san jacinto",
+        "wasserman", "filipowicz", "caesar", "chianti", "michael", "orchestra",
+        "mcclellan", "bacchus", "accident", "succeed", "edge", "ghislane",
+        "hugh", "laugh", "mclaughlin", "cagney", "tagliaro", "thames", "sugar",
+        "island", "school", "schenker", "resnais", "rogier", "dumb",
+        "campbell", "cabrillo", "breaux", "zhao", "czerny", "focaccia", "",
+    ]
+    for w in curated:
+        assert double_metaphone(w) == ref_dm(w), w
+    rng = random.Random(99)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    for _ in range(5000):
+        w = "".join(rng.choice(letters) for _ in range(rng.randint(1, 12)))
+        assert double_metaphone(w) == ref_dm(w), w
+
+
+@pytest.mark.parametrize("combine", [False, True])
+def test_double_metaphone_filter_matches_reference(whoosh_ref, combine):
+    from whoosh.analysis import DoubleMetaphoneFilter, LowercaseFilter, RegexTokenizer
+
+    chain = (RegexTokenizer(r"\S+") | LowercaseFilter()
+             | DoubleMetaphoneFilter(combine=combine))
+    ours = Analyzer(pattern=r"\S+", lowercase=True, use_stopfilter=False,
+                    dmetaphone=(1.0, 0.5, combine))
+    for text in ["spruce view", "john smith", "jose wasserman", "aghast night"]:
+        want = [(t.text, t.pos, t.boost) for t in chain(text, positions=True)]
+        got = ours.tokens_boosts(text)
+        assert got == want, (text, got, want)
+        assert ours.tokens(text) == [(t, p) for t, p, _ in want]
+
+
+def test_phonetic_field_search_matches_reference(spark, whoosh_ref, tmp_path):
+    """The reference's canonical phonetic setup (test_parse_plugins
+    test_copyfield tail): KEYWORD name + dmetaphone copy field with
+    multitoken_query='or', CopyFieldPlugin fans words into both; top-k
+    (doc, score) identical — exercising the dmetaphone BOOST weights
+    (secondary codes at 0.5) through the posting weight channel."""
+    from pyspark.sql import Row
+
+    from whoosh import fields, qparser
+    from whoosh.analysis import DoubleMetaphoneFilter, RegexAnalyzer
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh import formats
+
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.query.parser import QueryParser
+    from whoosh_spark.schema import FieldType, IndexSchema, KEYWORD
+    from whoosh_spark.search import Searcher
+
+    names = ["spruce view", "spruse vue", "bruce hill", "john smith",
+             "jon schmidt", "juan smythe"]
+
+    ref_ana = RegexAnalyzer(r"\w+") | DoubleMetaphoneFilter()
+    ft = fields.FieldType(formats.Frequency(), ref_ana, multitoken_query="or",
+                          scorable=True)
+    wix = RamStorage().create_index(
+        fields.Schema(name=fields.KEYWORD(scorable=True), name_phone=ft)
+    )
+    w = wix.writer()
+    for n in names:
+        w.add_document(name=n, name_phone=n)
+    w.commit()
+
+    our_phone = FieldType(
+        analyzer=Analyzer(pattern=r"\w+", lowercase=False, use_stopfilter=False,
+                          dmetaphone=(1.0, 0.5, False)),
+        indexed=True, scorable=True, multitoken_query="or", kind="text",
+    )
+    schema = IndexSchema.of(name=KEYWORD(scorable=True), name_phone=our_phone)
+    d = str(tmp_path / "phon")
+    df = spark.createDataFrame([Row(doc_id=i, name=n, name_phone=n)
+                                for i, n in enumerate(names)])
+    build_index(spark, df, schema, d, sha_col=None)
+
+    wp = qparser.QueryParser("name", wix.schema)
+    wp.add_plugin(qparser.CopyFieldPlugin({"name": "name_phone"}))
+    op = QueryParser("name", Index(spark, d).schema,
+                     copyfields={"name": "name_phone"})
+    s = Searcher(Index(spark, d))
+    for qs in ["spruce view", "john smith", "smythe"]:
+        wq = wp.parse(qs)
+        with wix.searcher() as ws:
+            want = [(h.docnum, round(h.score, 9)) for h in ws.search(wq, limit=10)]
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in s.search(op.parse(qs), limit=10).collect()]
+        assert got == want, (qs, got, want)
+    s.clear_cache()

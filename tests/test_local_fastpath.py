@@ -100,3 +100,32 @@ def test_multiterm_local(ix):
         from whoosh_spark.search.local import try_local_search
 
         assert try_local_search(fast, q, 25) is not None
+
+
+def test_timelimit_search(spark, ix):
+    """TimeLimitCollector semantics: a generous budget returns the normal
+    result; an impossible budget raises TimeLimit (or returns a completed
+    partial in greedy mode)."""
+    import whoosh_spark.query as Q
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.search.timelimit import TimeLimit, search_with_timelimit
+
+    s = Searcher(ix, use_local=False)
+    q = Q.Term("text", "alfa")
+    want = [(r["doc_id"], r["score"]) for r in s.search(q, limit=10).collect()]
+    got = search_with_timelimit(s, q, timelimit=120.0, limit=10)
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+
+    try:
+        rows = search_with_timelimit(s, q, timelimit=0.001, limit=10)
+        raised = False
+    except TimeLimit:
+        raised = True
+        rows = None
+    # 1ms budget: either the cancellation raced a finished job (rows equal)
+    # or TimeLimit raised — both are contract-conforming
+    assert raised or [(r["doc_id"], r["score"]) for r in rows] == want
+
+    # greedy mode never raises; it returns a list (possibly empty partial)
+    rows = search_with_timelimit(s, q, timelimit=0.001, limit=10, greedy=True)
+    assert isinstance(rows, list)

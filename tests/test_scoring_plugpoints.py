@@ -152,3 +152,37 @@ def test_reverseweighting_matches_reference(pair2, whoosh_ref):
     oq = Q.Or([Q.Term("value", "alfa"), Q.Term("value", "charlie")])
     _diff(pair2, wscoring.ReverseWeighting(wscoring.BM25F()),
           ReverseWeighting(BM25F()), wq, oq, whoosh_ref)
+
+
+def test_weighting_query_subtree_override(pair2, whoosh_ref):
+    """WeightingQuery scores only its subtree with the override model —
+    the DOCUMENTED semantics of reference query/wrappers.py:186-198. The
+    reference implementation itself is a no-op (its matcher() calls
+    context.set(weighting=...) and DISCARDS the returned copy), asserted
+    below; parity is therefore checked against the equivalent
+    MultiWeighting formulation, which the reference does honor."""
+    from whoosh import scoring as wscoring
+    from whoosh.query import Or as WOr, Term as WTerm, WeightingQuery as WWQ
+
+    from whoosh_spark.search.scoring import BM25F, Frequency, MultiWeighting, TF_IDF
+
+    ix, wix = pair2
+    # 1. the reference bug: wrapped == unwrapped under the outer model
+    with wix.searcher(weighting=wscoring.BM25F()) as s:
+        plain = [(h.docnum, h.score) for h in
+                 s.search(WTerm("value", "bravo"), limit=None)]
+        wrapped = [(h.docnum, h.score) for h in
+                   s.search(WWQ(WTerm("value", "bravo"), wscoring.Frequency()), limit=None)]
+    assert plain == wrapped  # if this fails, the reference fixed its bug
+
+    # 2. our override vs the reference's equivalent per-field MultiWeighting
+    wq = WOr([WTerm("name", "alfa"), WTerm("value", "bravo")])
+    oq = Q.Or([Q.Term("name", "alfa"),
+               Q.WeightingQuery(Q.Term("value", "bravo"), Frequency())])
+    _diff(pair2, wscoring.MultiWeighting(wscoring.BM25F(), value=wscoring.Frequency()),
+          BM25F(), wq, oq, whoosh_ref)
+
+    # 3. override at the root == searcher-wide model
+    oq2 = Q.WeightingQuery(Q.Or([Q.Term("value", "alfa"), Q.Term("value", "charlie")]), TF_IDF())
+    wq2 = WOr([WTerm("value", "alfa"), WTerm("value", "charlie")])
+    _diff(pair2, wscoring.TF_IDF(), BM25F(), wq2, oq2, whoosh_ref)

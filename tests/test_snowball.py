@@ -1,0 +1,55 @@
+"""Differential tests: our snowball stem functions vs the reference's
+bundled stemmer classes, over curated words + large random word lists."""
+
+import random
+
+import pytest
+
+from whoosh_spark.analysis.snowball import stem_da, stem_de, stem_no, stem_sv
+
+LANGS = [
+    ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
+     ["hedens", "erendes", "kagerne", "løst", "igst", "hoppende", "bakker"]),
+    ("no", stem_no, "NorwegianStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
+     ["hetenes", "snakkerte", "husene", "vakkert", "hetslov", "billig"]),
+    ("sv", stem_sv, "SwedishStemmer", "abcdefghijklmnopqrstuvwxyzäåö",
+     ["heterna", "flickorna", "löst", "vackert", "klokast", "mobiltelefonerna"]),
+    ("de", stem_de, "GermanStemmer", "abcdefghijklmnopqrstuvwxyzäöüß",
+     ["aufeinander", "möglichkeit", "freundlichkeiten", "stücke",
+      "verständnisse", "häuser", "bezirksregierung", "tagung",
+      "billigst", "größte", "feuer", "bauern"]),
+]
+
+
+@pytest.mark.parametrize("code,ours,refname,alphabet,samples",
+                         LANGS, ids=[l[0] for l in LANGS])
+def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, samples):
+    import whoosh.lang.snowball as snow
+
+    ref = getattr(snow, refname)().stem
+    for w in samples:
+        assert ours(w) == ref(w), w
+    # random words weighted toward real suffixes so every step fires
+    suffixes = ["", "en", "er", "es", "s", "et", "ene", "heter", "heten",
+                "erendes", "keit", "ung", "lich", "isch", "igst", "løst",
+                "löst", "erte", "dt", "gt", "nn", "tt", "niss", "nisse"]
+    rng = random.Random(1234 + hash(code) % 1000)
+    for _ in range(20000):
+        stemlen = rng.randint(1, 9)
+        w = "".join(rng.choice(alphabet) for _ in range(stemlen)) + rng.choice(suffixes)
+        assert ours(w) == ref(w), (code, w)
+
+
+def test_lang_stem_analyzer_and_language_analyzer(whoosh_ref):
+    """Analyzer(lang_stem=...) == reference chain with a language
+    StemFilter; language_analyzer('de') == reference LanguageAnalyzer."""
+    from whoosh.analysis import LanguageAnalyzer
+
+    from whoosh_spark.analysis.tokenize import Analyzer, language_analyzer
+
+    text = ("Die Möglichkeiten der Bezirksregierungen wurden "
+            "freundlicherweise dargestellt und die häuser bleiben bestehen")
+    ref = LanguageAnalyzer("de")
+    want = [(t.text, t.pos) for t in ref(text, positions=True)]
+    ours = language_analyzer("de")
+    assert ours.tokens(text) == want

@@ -78,6 +78,10 @@ class Analyzer:
     #: Porter-stem kept tokens (reference StemFilter, analysis/morph.py:35-149;
     #: applied after the stop filter, like StemmingAnalyzer's chain order)
     stem: bool = False
+    #: Snowball language stemmer code ("da"|"no"|"sv"|"de") — the reference
+    #: StemFilter(lang=...) (morph.py stemfn path); applied where `stem`
+    #: would be, mutually exclusive with it
+    lang_stem: str | None = None
     #: IntraWordFilter options (delims, splitwords, splitnums, mergewords,
     #: mergenums) — None disables. Runs BEFORE lowercasing, like the
     #: reference chain order (analysis/analyzers.py FancyAnalyzer).
@@ -107,6 +111,13 @@ class Analyzer:
     #: absent = token break). Faithfully keeps the reference quirk that the
     #: FINAL token (at end of string) is emitted UNTRANSLATED.
     charmap: tuple | None = None
+    #: DoubleMetaphoneFilter (reference analysis/morph.py:219-281):
+    #: (primary_boost, secondary_boost, combine). Each token becomes
+    #: [original if combine] + primary code (boost x primary_boost) +
+    #: secondary code (boost x secondary_boost), all at the token's
+    #: position. Runs LAST (it is the reference's is_morph end-of-chain
+    #: filter). The boosts flow into posting weights like delimited_boost.
+    dmetaphone: tuple | None = None
     #: DelimitedAttributeFilter(delimiter, attribute="boost", type=float)
     #: (reference filters.py:375-436): token text after the delimiter is the
     #: token's boost; the boost flows into the posting WEIGHT (reference
@@ -242,12 +253,14 @@ class Analyzer:
                     kept.append((t, first_pos + len(kept)))
         else:
             kept = pairs
-        if self.stem:
-            from whoosh_spark.analysis.morph import porter_stem
-
-            kept = [(porter_stem(t), pos) for t, pos in kept]
+        stem_fn = self._stem_fn()
+        if stem_fn is not None:
+            kept = [(stem_fn(t), pos) for t, pos in kept]
         if self.shingle is not None:
             kept = _shingle_pairs(kept, *self.shingle)
+        if self.dmetaphone is not None:
+            kept = [(t, p) for t, p, _ in
+                    _dmetaphone_triples(((t, p, 1.0) for t, p in kept), *self.dmetaphone)]
         return kept
 
     def tokens_boosts(self, text: str) -> list[tuple[str, int, float]]:
@@ -293,10 +306,11 @@ class Analyzer:
                     kept.append((t, first_pos + len(kept), b))
         else:
             kept = triples
-        if self.stem:
-            from whoosh_spark.analysis.morph import porter_stem
-
-            kept = [(porter_stem(t), pos, b) for t, pos, b in kept]
+        stem_fn = self._stem_fn()
+        if stem_fn is not None:
+            kept = [(stem_fn(t), pos, b) for t, pos, b in kept]
+        if self.dmetaphone is not None:
+            kept = _dmetaphone_triples(kept, *self.dmetaphone)
         return kept
 
     def doc_kernel_boost(self):
@@ -318,6 +332,19 @@ class Analyzer:
 
         return kern
 
+    def _stem_fn(self):
+        """The morph function: Porter (stem=True) or a Snowball language
+        stemmer (lang_stem=code); None when the chain is unmorphic."""
+        if self.stem:
+            from whoosh_spark.analysis.morph import porter_stem
+
+            return porter_stem
+        if self.lang_stem is not None:
+            from whoosh_spark.analysis.snowball import stemmer_for
+
+            return stemmer_for(self.lang_stem)
+        return None
+
     def _is_simple(self) -> bool:
         """True when the chain is tokenize->lower->stop->stem only — the fused
         fast paths below then skip the intermediate (term, pos) list."""
@@ -326,7 +353,8 @@ class Analyzer:
                 and not self.path_mode and not self.accent_fold
                 and not self.substitutions and not self.reverse
                 and not self.strip and self.charmap is None
-                and self.tee is None and self.delimited_boost is None)
+                and self.tee is None and self.delimited_boost is None
+                and self.dmetaphone is None)
 
     def kept_count(self, text: str) -> int:
         """Field length (number of kept tokens) without materializing the
@@ -377,10 +405,9 @@ class Analyzer:
             pairs = [(rx.sub(repl, t), p) for t, p in pairs]
         if self.reverse:
             pairs = [(t[::-1], p) for t, p in pairs]
-        if self.stem:
-            from whoosh_spark.analysis.morph import porter_stem
-
-            pairs = [(porter_stem(t), p) for t, p in pairs]
+        stem_fn = self._stem_fn()
+        if stem_fn is not None:
+            pairs = [(stem_fn(t), p) for t, p in pairs]
         return pairs[0][0] if pairs else text
 
     def doc_kernel(self):
@@ -403,10 +430,7 @@ class Analyzer:
         pat = self._pat()
         finditer = pat.finditer
         lower = self.lowercase
-        if self.stem:
-            from whoosh_spark.analysis.morph import porter_stem as stem_fn
-        else:
-            stem_fn = None
+        stem_fn = self._stem_fn()
         if self.use_stopfilter:
             minsize, maxsize, stops = self.minsize, self.maxsize, self.stopwords
 
@@ -529,6 +553,24 @@ def _compound_pairs(pairs, wordset, keep):
     return out
 
 
+def _dmetaphone_triples(triples, primary_boost, secondary_boost, combine):
+    """DoubleMetaphoneFilter expansion over (term, pos, boost) triples
+    (reference morph.py:248-267): original kept only when ``combine``;
+    empty primary code drops the token."""
+    from whoosh_spark.analysis.dmetaphone import double_metaphone
+
+    out = []
+    for t, p, b in triples:
+        if combine:
+            out.append((t, p, b))
+        primary, secondary = double_metaphone(t)
+        if primary:
+            out.append((primary, p, b * primary_boost))
+        if secondary:
+            out.append((secondary, p, b * secondary_boost))
+    return out
+
+
 def _shingle_pairs(pairs, size, sep):
     """Adjacent-token shingles; pos = first token's pos; streams shorter
     than ``size`` emit one shingle of everything (reference
@@ -579,6 +621,18 @@ def path_analyzer() -> Analyzer:
     """PathTokenizer: each prefix of a /-separated path is a token."""
     return Analyzer(pattern=r"[^/]+", lowercase=False, use_stopfilter=False,
                     path_mode=True)
+
+
+def language_analyzer(lang: str, minsize: int = 2) -> Analyzer:
+    """RegexTokenizer | Lowercase | StopFilter(lang) | StemFilter(lang) —
+    the reference LanguageAnalyzer (analysis/analyzers.py:256-296) for the
+    languages with a bundled Snowball stemmer (da/no/sv/de)."""
+    from whoosh_spark.analysis.snowball import STEMMERS
+    from whoosh_spark.analysis.stopwords_data import STOPWORDS
+
+    if lang not in STEMMERS:
+        raise ValueError(f"no bundled stemmer for language {lang!r}")
+    return Analyzer(stopwords=STOPWORDS[lang], minsize=minsize, lang_stem=lang)
 
 
 def id_analyzer(lowercase: bool = False) -> Analyzer:

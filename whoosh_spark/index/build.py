@@ -138,16 +138,23 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     for name, ana, _phrase in cfgs:
         if schema[name].separate_spelling():
             out_cfgs.append(
-                ("spell_" + name, name, dataclasses.replace(ana, stem=False), False, True)
+                ("spell_" + name, name,
+                 dataclasses.replace(ana, stem=False, lang_stem=None, dmetaphone=None),
+                 False, True)
             )
 
-    has_boost = any(ana.delimited_boost is not None for _, _, ana, _, _ in out_cfgs)
+    def _boosted(ana):
+        # delimited boosts AND dmetaphone secondary codes carry per-token
+        # boosts into posting weights
+        return ana.delimited_boost is not None or ana.dmetaphone is not None
+
+    has_boost = any(_boosted(ana) for _, _, ana, _, _ in out_cfgs)
 
     def kernel(batches):
         kernels = [
             (out, src,
-             ana.doc_kernel_boost() if ana.delimited_boost is not None else ana.doc_kernel(),
-             phrase, ana.delimited_boost is not None, spell)
+             ana.doc_kernel_boost() if _boosted(ana) else ana.doc_kernel(),
+             phrase, _boosted(ana), spell)
             for out, src, ana, phrase, spell in out_cfgs
         ]
         for pdf in batches:

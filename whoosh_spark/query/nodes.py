@@ -825,6 +825,41 @@ class ConstantScore(Query):
         return self.child.estimate_size(stats)
 
 
+class WeightingQuery(Query):
+    """Scores the wrapped subtree with a SPECIFIC weighting model instead
+    of the searcher's (reference query/wrappers.py:186-198, which swaps the
+    context weighting for the child's matcher). The engine compiles the
+    child in a sub-plan whose searcher carries the override."""
+
+    def __init__(self, child: Query, weighting, boost: float = 1.0):
+        self.child = child
+        self.weighting = weighting
+        self.boost = boost
+
+    def __repr__(self):
+        return f"WeightingQuery({self.child!r}, {type(self.weighting).__name__})"
+
+    def __eq__(self, other):
+        return (isinstance(other, WeightingQuery)
+                and (self.child, self.weighting, self.boost)
+                == (other.child, other.weighting, other.boost))
+
+    def __hash__(self):
+        return hash((WeightingQuery, hash(self.child), id(self.weighting), self.boost))
+
+    def children(self):
+        return [self.child]
+
+    def normalize(self):
+        c = self.child.normalize()
+        if c is NullQuery:
+            return NullQuery
+        return WeightingQuery(c, self.weighting, boost=self.boost)
+
+    def estimate_size(self, stats):
+        return self.child.estimate_size(stats)
+
+
 class _MultiTermDocs(Query):
     """Internal plan node: the distributed constant-score doc set of a
     multiterm expansion that matched >1 lexicon term. Matches every doc

@@ -644,7 +644,16 @@ class QueryParser:
             return None
         if len(terms) == 1:
             return Q.Term(field, terms[0], boost=boost)
-        # multitoken_query "default": group with the parser's default group
+        # multitoken_query (reference fields.py:304-312 + default.py
+        # multitoken handling): the FIELD decides how several analyzed
+        # tokens combine; "default" keeps the historical And grouping
+        mtq = self.schema[field].multitoken_query if field in self.schema else "default"
+        if mtq == "or":
+            return Q.Or([Q.Term(field, t) for t in terms], boost=boost)
+        if mtq == "phrase":
+            return Q.Phrase(field, terms, boost=boost).normalize()
+        if mtq == "first":
+            return Q.Term(field, terms[0], boost=boost)
         return Q.And([Q.Term(field, t) for t in terms], boost=boost)
 
     def _lowercases(self, field: str) -> bool:

@@ -31,11 +31,17 @@ class FieldType:
     #: the analyzer is morphic (reference fields.py:1132-1148 subfields/
     #: separate_spelling); suggest() then reads original word forms
     spelling: bool = False
+    #: how a single query word that ANALYZES to several tokens becomes a
+    #: query (reference fields.py multitoken_query): "default" = the
+    #: parser's group, "and", "or", "phrase", "first"
+    multitoken_query: str = "default"
     field_boost: float = 1.0
     kind: str = "text"
 
     def separate_spelling(self) -> bool:
-        return bool(self.spelling and self.analyzer is not None and self.analyzer.stem)
+        return bool(self.spelling and self.analyzer is not None
+                    and (self.analyzer.stem or self.analyzer.lang_stem
+                         or self.analyzer.dmetaphone))
 
     def spelling_fieldname(self, name: str) -> str:
         return ("spell_" + name) if self.separate_spelling() else name
@@ -156,6 +162,7 @@ def _analyzer_to_dict(a: Analyzer | None) -> dict | None:
         "ngram": list(a.ngram) if a.ngram else None,
         "ngram_words": a.ngram_words,
         "stem": a.stem,
+        "lang_stem": a.lang_stem,
         "intraword": list(a.intraword) if a.intraword else None,
         "accent_fold": a.accent_fold,
         "substitutions": [list(x) for x in a.substitutions],
@@ -166,6 +173,7 @@ def _analyzer_to_dict(a: Analyzer | None) -> dict | None:
         "shingle": list(a.shingle) if a.shingle else None,
         "strip": a.strip,
         "delimited_boost": a.delimited_boost,
+        "dmetaphone": list(a.dmetaphone) if a.dmetaphone else None,
         "charmap": [list(x) for x in a.charmap] if a.charmap else None,
         "tee": [_analyzer_to_dict(b) for b in a.tee] if a.tee else None,
     }
@@ -184,6 +192,7 @@ def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
         ngram=tuple(a["ngram"]) if a.get("ngram") else None,
         ngram_words=a.get("ngram_words", False),
         stem=a.get("stem", False),
+        lang_stem=a.get("lang_stem"),
         intraword=tuple(a["intraword"]) if a.get("intraword") else None,
         accent_fold=a.get("accent_fold", False),
         substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
@@ -194,6 +203,7 @@ def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
         shingle=tuple(a["shingle"]) if a.get("shingle") else None,
         strip=a.get("strip", False),
         delimited_boost=a.get("delimited_boost"),
+        dmetaphone=tuple(a["dmetaphone"]) if a.get("dmetaphone") else None,
         charmap=tuple((int(o), s) for o, s in a["charmap"]) if a.get("charmap") else None,
         tee=tuple(_analyzer_from_dict(b) for b in a["tee"]) if a.get("tee") else None,
     )
@@ -212,6 +222,7 @@ def schema_to_dict(schema: IndexSchema) -> dict:
             "phrase": f.phrase,
             "vector": f.vector,
             "spelling": f.spelling,
+            "multitoken_query": f.multitoken_query,
             "field_boost": f.field_boost,
             "kind": f.kind,
         }
@@ -231,6 +242,7 @@ def schema_from_dict(d: dict) -> IndexSchema:
             phrase=fd["phrase"],
             vector=fd.get("vector", False),
             spelling=fd.get("spelling", False),
+            multitoken_query=fd.get("multitoken_query", "default"),
             field_boost=fd["field_boost"],
             kind=fd["kind"],
         )

@@ -571,6 +571,16 @@ class _PlanContext:
             child = self._realize(self._compile(q.child))
             df = child.select("doc_id").withColumn("score", F.lit(float(q.score)))
             return _Compiled(self._boosted(df, q.boost))
+        if isinstance(q, Q.WeightingQuery):
+            # subtree weighting override (reference wrappers.py:186-198):
+            # compile the child in a sub-plan whose searcher carries the
+            # override model; stats/bases re-collect for just that subtree
+            import copy as _copy
+
+            sub_searcher = _copy.copy(self.s)
+            sub_searcher.weighting = q.weighting
+            sub = _PlanContext(sub_searcher)
+            return _Compiled(self._boosted(sub.compile_root(q.child), q.boost))
         if isinstance(q, Q._MultiTermDocs):
             return _Compiled(self._compile_multiterm_docs(q))
         if isinstance(q, (Q.ColumnRange, Q.ColumnTerm)):
