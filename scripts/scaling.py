@@ -2,9 +2,10 @@
 parallelism on the same input, efficiency >= 0.8).
 
 No real cluster exists in this sandbox, so parallelism levels are
-local[8] vs local[32] in separate JVM subprocesses over identical parquet
-input, per the driver's instructions. Also produces the reference
-(single-process Whoosh) baseline on the same corpus.
+local[N] vs local[4N] in separate JVM subprocesses over identical parquet
+input, per the driver's instructions (default 2 vs 8 — capacity-fair on
+the 32-core box; see BENCH/BASELINE.md notes). Also produces the
+reference (single-process Whoosh) baseline on the same corpus.
 
 Usage:
   python scripts/scaling.py                 # full run -> BENCH/BASELINE.md

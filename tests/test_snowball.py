@@ -5,7 +5,7 @@ import random
 
 import pytest
 
-from whoosh_spark.analysis.snowball import stem_da, stem_de, stem_no, stem_sv
+from whoosh_spark.analysis.snowball import stem_da, stem_de, stem_es, stem_no, stem_sv
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -14,6 +14,9 @@ LANGS = [
      ["hetenes", "snakkerte", "husene", "vakkert", "hetslov", "billig"]),
     ("sv", stem_sv, "SwedishStemmer", "abcdefghijklmnopqrstuvwxyzäåö",
      ["heterna", "flickorna", "löst", "vackert", "klokast", "mobiltelefonerna"]),
+    ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
+     ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
+      "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
     ("de", stem_de, "GermanStemmer", "abcdefghijklmnopqrstuvwxyzäöüß",
      ["aufeinander", "möglichkeit", "freundlichkeiten", "stücke",
       "verständnisse", "häuser", "bezirksregierung", "tagung",
@@ -32,7 +35,9 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
     # random words weighted toward real suffixes so every step fires
     suffixes = ["", "en", "er", "es", "s", "et", "ene", "heter", "heten",
                 "erendes", "keit", "ung", "lich", "isch", "igst", "løst",
-                "löst", "erte", "dt", "gt", "nn", "tt", "niss", "nisse"]
+                "löst", "erte", "dt", "gt", "nn", "tt", "niss", "nisse",
+                "selas", "ándoselo", "amente", "ación", "logía", "ución",
+                "encia", "idades", "yeron", "aríamos", "ó"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)
@@ -53,3 +58,10 @@ def test_lang_stem_analyzer_and_language_analyzer(whoosh_ref):
     want = [(t.text, t.pos) for t in ref(text, positions=True)]
     ours = language_analyzer("de")
     assert ours.tokens(text) == want
+
+    # the reference docstring's own example
+    es_text = "Por el mar corren las liebres"
+    ref_es = LanguageAnalyzer("es")
+    want_es = [(t.text, t.pos) for t in ref_es(es_text, positions=True)]
+    assert [t for t, _ in want_es] == ["mar", "corr", "liebr"]
+    assert language_analyzer("es").tokens(es_text) == want_es

@@ -263,7 +263,176 @@ def stem_de(word: str) -> str:
             .replace("\xfc", "u").replace("U", "u").replace("Y", "y"))
 
 
-STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de}
+def _rv_standard(word: str, vowels: str) -> str:
+    """Standard RV (reference bases.py:97-133) — QUIRK KEPT: the
+    'first two letters are vowels' test is literally ``word[:2] in
+    vowels``, i.e. a SUBSTRING check against the vowel string, so e.g.
+    'ea' (not contiguous in 'aeiou...') falls through to the word[3:]
+    branch."""
+    rv = ""
+    if len(word) >= 2:
+        if word[1] not in vowels:
+            for i in range(2, len(word)):
+                if word[i] in vowels:
+                    rv = word[i + 1:]
+                    break
+        elif word[:2] in vowels:
+            for i in range(2, len(word)):
+                if word[i] not in vowels:
+                    rv = word[i + 1:]
+                    break
+        else:
+            rv = word[3:]
+    return rv
+
+
+# ---------------------------------------------------------------- spanish
+
+_ES_VOWELS = "aeiou\xe1\xe9\xed\xf3\xfa\xfc"
+_ES_STEP0 = ("selas", "selos", "sela", "selo", "las", "les", "los",
+             "nos", "me", "se", "la", "le", "lo")
+_ES_STEP1 = ("amientos", "imientos", "amiento", "imiento", "aciones",
+             "uciones", "adoras", "adores", "ancias", "log\xedas",
+             "encias", "amente", "idades", "anzas", "ismos", "ables",
+             "ibles", "istas", "adora", "aci\xf3n", "antes", "ancia",
+             "log\xeda", "uci\xf3n", "encia", "mente", "anza", "icos",
+             "icas", "ismo", "able", "ible", "ista", "osos", "osas",
+             "ador", "ante", "idad", "ivas", "ivos", "ico", "ica",
+             "oso", "osa", "iva", "ivo")
+_ES_STEP2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+              "yes", "ya", "ye", "yo", "y\xf3")
+_ES_STEP2B = ("ar\xedamos", "er\xedamos", "ir\xedamos", "i\xe9ramos",
+              "i\xe9semos", "ar\xedais", "aremos", "er\xedais", "eremos",
+              "ir\xedais", "iremos", "ierais", "ieseis", "asteis",
+              "isteis", "\xe1bamos", "\xe1ramos", "\xe1semos", "ar\xedan",
+              "ar\xedas", "ar\xe9is", "er\xedan", "er\xedas", "er\xe9is",
+              "ir\xedan", "ir\xedas", "ir\xe9is", "ieran", "iesen",
+              "ieron", "iendo", "ieras", "ieses", "abais", "arais",
+              "aseis", "\xe9amos", "ar\xe1n", "ar\xe1s", "ar\xeda",
+              "er\xe1n", "er\xe1s", "er\xeda", "ir\xe1n", "ir\xe1s",
+              "ir\xeda", "iera", "iese", "aste", "iste", "aban", "aran",
+              "asen", "aron", "ando", "abas", "adas", "idas", "aras",
+              "ases", "\xedais", "ados", "idos", "amos", "imos", "emos",
+              "ar\xe1", "ar\xe9", "er\xe1", "er\xe9", "ir\xe1", "ir\xe9",
+              "aba", "ada", "ida", "ara", "ase", "\xedan", "ado", "ido",
+              "\xedas", "\xe1is", "\xe9is", "\xeda", "ad", "ed", "id",
+              "an", "i\xf3", "ar", "er", "ir", "as", "\xeds", "en", "es")
+_ES_STEP3 = ("os", "a", "e", "o", "\xe1", "\xe9", "\xed", "\xf3")
+
+
+def _es_deaccent(s: str) -> str:
+    return s.replace("\xe1", "a").replace("\xe9", "e").replace("\xed", "i")
+
+
+def stem_es(word: str) -> str:
+    word = word.lower()
+    step1_success = False
+    r1, r2 = _r1r2_standard(word, _ES_VOWELS)
+    rv = _rv_standard(word, _ES_VOWELS)
+
+    # STEP 0: attached pronoun
+    for suffix in _ES_STEP0:
+        if word.endswith(suffix):
+            if rv.endswith(suffix):
+                n = len(suffix)
+                if rv[:-n].endswith(("i\xe9ndo", "\xe1ndo", "\xe1r", "\xe9r", "\xedr")):
+                    word = _es_deaccent(word[:-n])
+                    r1 = _es_deaccent(r1[:-n])
+                    r2 = _es_deaccent(r2[:-n])
+                    rv = _es_deaccent(rv[:-n])
+                elif rv[:-n].endswith(("ando", "iendo", "ar", "er", "ir")):
+                    word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+                elif rv[:-n].endswith("yendo") and word[:-n].endswith("uyendo"):
+                    word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+            break
+
+    # STEP 1: standard suffixes
+    for suffix in _ES_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "amente" and r1.endswith(suffix):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic", "ad")):
+                    word, rv = word[:-2], rv[:-2]
+            elif r2.endswith(suffix):
+                step1_success = True
+                if suffix in ("adora", "ador", "aci\xf3n", "adoras",
+                              "adores", "aciones", "ante", "antes",
+                              "ancia", "ancias"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("ic"):
+                        word, rv = word[:-2], rv[:-2]
+                elif suffix in ("log\xeda", "log\xedas"):
+                    # the port uses str.replace (ALL occurrences) — kept
+                    word = word.replace(suffix, "log")
+                    rv = rv.replace(suffix, "log")
+                elif suffix in ("uci\xf3n", "uciones"):
+                    word = word.replace(suffix, "u")
+                    rv = rv.replace(suffix, "u")
+                elif suffix in ("encia", "encias"):
+                    word = word.replace(suffix, "ente")
+                    rv = rv.replace(suffix, "ente")
+                elif suffix == "mente":
+                    word, r2, rv = word[:-5], r2[:-5], rv[:-5]
+                    if r2.endswith(("ante", "able", "ible")):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("idad", "idades"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    for pre in ("abil", "ic", "iv"):
+                        if r2.endswith(pre):
+                            word, rv = word[:-len(pre)], rv[:-len(pre)]
+                elif suffix in ("ivo", "iva", "ivos", "ivas"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEPS 2a/2b: verb suffixes. QUIRK KEPT from the port: 2b runs even
+    # when 2a already stripped (the published algorithm gates 2b on 2a
+    # failing; the port only gates both on step 1 failing)
+    if not step1_success:
+        for suffix in _ES_STEP2A:
+            if rv.endswith(suffix) and word[-len(suffix) - 1:-len(suffix)] == "u":
+                word, rv = word[:-len(suffix)], rv[:-len(suffix)]
+                break
+        for suffix in _ES_STEP2B:
+            if rv.endswith(suffix):
+                n = len(suffix)
+                if suffix in ("en", "es", "\xe9is", "emos"):
+                    word, rv = word[:-n], rv[:-n]
+                    if word.endswith("gu"):
+                        word = word[:-1]
+                    if rv.endswith("gu"):
+                        rv = rv[:-1]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+                break
+
+    # STEP 3: residual suffix
+    for suffix in _ES_STEP3:
+        if rv.endswith(suffix):
+            if suffix in ("e", "\xe9"):
+                word, rv = word[:-len(suffix)], rv[:-len(suffix)]
+                if (len(word) >= 2 and word[-2:] == "gu"
+                        and len(rv) > 0 and rv[-1] == "u"):
+                    word = word[:-1]
+            else:
+                word = word[:-len(suffix)]
+            break
+
+    return (word.replace("\xe1", "a").replace("\xe9", "e")
+            .replace("\xed", "i").replace("\xf3", "o").replace("\xfa", "u"))
+
+
+STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
+            "es": stem_es}
 
 
 def stemmer_for(lang: str):
