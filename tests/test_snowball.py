@@ -5,7 +5,7 @@ import random
 
 import pytest
 
-from whoosh_spark.analysis.snowball import stem_da, stem_de, stem_es, stem_no, stem_sv
+from whoosh_spark.analysis.snowball import stem_da, stem_de, stem_es, stem_nl, stem_no, stem_sv
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -14,6 +14,9 @@ LANGS = [
      ["hetenes", "snakkerte", "husene", "vakkert", "hetslov", "billig"]),
     ("sv", stem_sv, "SwedishStemmer", "abcdefghijklmnopqrstuvwxyzäåö",
      ["heterna", "flickorna", "löst", "vackert", "klokast", "mobiltelefonerna"]),
+    ("nl", stem_nl, "DutchStemmer", "abcdefghijklmnopqrstuvwxyzèäëïöü",
+     ["lichamelijkheden", "mogelijkheid", "praatjes", "koeien",
+      "belangrijkste", "draaiing", "gekkigheid", "luttele"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -37,7 +40,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "erendes", "keit", "ung", "lich", "isch", "igst", "løst",
                 "löst", "erte", "dt", "gt", "nn", "tt", "niss", "nisse",
                 "selas", "ándoselo", "amente", "ación", "logía", "ución",
-                "encia", "idades", "yeron", "aríamos", "ó"]
+                "encia", "idades", "yeron", "aríamos", "ó",
+                "heden", "heid", "baar", "lijk", "kken", "ieë"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)

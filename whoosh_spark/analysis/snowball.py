@@ -431,8 +431,109 @@ def stem_es(word: str) -> str:
             .replace("\xed", "i").replace("\xf3", "o").replace("\xfa", "u"))
 
 
+# ------------------------------------------------------------------ dutch
+
+_NL_VOWELS = "aeiouy\xe8"
+_NL_STEP1 = ("heden", "ene", "en", "se", "s")
+_NL_STEP3B = ("baar", "lijk", "bar", "end", "ing", "ig")
+
+
+def stem_nl(word: str) -> str:
+    word = word.lower()
+    step2_success = False
+    word = (word.replace("\xe4", "a").replace("\xe1", "a")
+            .replace("\xeb", "e").replace("\xe9", "e")
+            .replace("\xed", "i").replace("\xef", "i")
+            .replace("\xf6", "o").replace("\xf3", "o")
+            .replace("\xfc", "u").replace("\xfa", "u"))
+    # initial y, y after vowel, intervocalic i -> uppercase (consonants)
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    for i in range(1, len(word)):
+        if word[i - 1] in _NL_VOWELS and word[i] == "y":
+            word = word[:i] + "Y" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if (word[i - 1] in _NL_VOWELS and word[i] == "i"
+                and word[i + 1] in _NL_VOWELS):
+            word = word[:i] + "I" + word[i + 1:]
+    r1, r2 = _r1r2_standard(word, _NL_VOWELS)
+    for i in range(1, len(word)):
+        if word[i] not in _NL_VOWELS and word[i - 1] in _NL_VOWELS:
+            if i + 1 < 3:
+                r1 = word[3:]
+            break
+
+    def undouble(w, a, b):
+        if w.endswith(("kk", "dd", "tt")):
+            return w[:-1], a[:-1], b[:-1]
+        return w, a, b
+
+    # STEP 1
+    for suffix in _NL_STEP1:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix == "heden":
+                word = word[:-5] + "heid"
+                r1 = r1[:-5] + "heid"
+                if r2.endswith("heden"):
+                    r2 = r2[:-5] + "heid"
+            elif (suffix in ("ene", "en") and not word.endswith("heden")
+                    and word[-n - 1] not in _NL_VOWELS
+                    and word[-n - 3:-n] != "gem"):
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                word, r1, r2 = undouble(word, r1, r2)
+            elif (suffix in ("se", "s") and word[-n - 1] not in _NL_VOWELS
+                    and word[-n - 1] != "j"):
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 2
+    if r1.endswith("e") and word[-2] not in _NL_VOWELS:
+        step2_success = True
+        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+        word, r1, r2 = undouble(word, r1, r2)
+
+    # STEP 3a
+    if r2.endswith("heid") and word[-5] != "c":
+        word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+        if (r1.endswith("en") and word[-3] not in _NL_VOWELS
+                and word[-5:-2] != "gem"):
+            word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            word, r1, r2 = undouble(word, r1, r2)
+
+    # STEP 3b
+    for suffix in _NL_STEP3B:
+        if r2.endswith(suffix):
+            if suffix in ("end", "ing"):
+                word, r2 = word[:-3], r2[:-3]
+                if r2.endswith("ig") and word[-3] != "e":
+                    word = word[:-2]
+                elif word.endswith(("kk", "dd", "tt")):
+                    word = word[:-1]
+            elif suffix == "ig" and word[-3] != "e":
+                word = word[:-2]
+            elif suffix == "lijk":
+                word, r1 = word[:-4], r1[:-4]
+                if r1.endswith("e") and word[-2] not in _NL_VOWELS:
+                    word = word[:-1]
+                    if word.endswith(("kk", "dd", "tt")):
+                        word = word[:-1]
+            elif suffix == "baar":
+                word = word[:-4]
+            elif suffix == "bar" and step2_success:
+                word = word[:-3]
+            break
+
+    # STEP 4: undouble vowel
+    if len(word) >= 4 and word[-1] not in _NL_VOWELS and word[-1] != "I":
+        if word[-3:-1] in ("aa", "ee", "oo", "uu") and word[-4] not in _NL_VOWELS:
+            word = word[:-3] + word[-3] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
-            "es": stem_es}
+            "es": stem_es, "nl": stem_nl}
 
 
 def stemmer_for(lang: str):
