@@ -5,7 +5,8 @@ import random
 
 import pytest
 
-from whoosh_spark.analysis.snowball import stem_da, stem_de, stem_es, stem_nl, stem_no, stem_sv
+from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
+                                            stem_it, stem_nl, stem_no, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -17,6 +18,9 @@ LANGS = [
     ("nl", stem_nl, "DutchStemmer", "abcdefghijklmnopqrstuvwxyzèäëïöü",
      ["lichamelijkheden", "mogelijkheid", "praatjes", "koeien",
       "belangrijkste", "draaiing", "gekkigheid", "luttele"]),
+    ("it", stem_it, "ItalianStemmer", "abcdefghijklmnopqrstuvwxyzàèìòùáé",
+     ["abbandonata", "pronunciarglielo", "rapidamente", "psicologia",
+      "soluzione", "qualità", "mangiavano", "finiscono", "città"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -41,7 +45,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "löst", "erte", "dt", "gt", "nn", "tt", "niss", "nisse",
                 "selas", "ándoselo", "amente", "ación", "logía", "ución",
                 "encia", "idades", "yeron", "aríamos", "ó",
-                "heden", "heid", "baar", "lijk", "kken", "ieë"]
+                "heden", "heid", "baar", "lijk", "kken", "ieë",
+                "glielo", "azione", "ità", "erebbero", "iscono", "chi"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)

@@ -532,8 +532,141 @@ def stem_nl(word: str) -> str:
     return word.replace("I", "i").replace("Y", "y")
 
 
+# ---------------------------------------------------------------- italian
+
+_IT_VOWELS = "aeiou\xe0\xe8\xec\xf2\xf9"
+_IT_STEP0 = ("gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+             "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+             "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+             "cene", "vela", "vele", "veli", "velo", "vene", "gli",
+             "ci", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi")
+_IT_STEP1 = ("atrice", "atrici", "azione", "azioni", "uzione", "uzioni",
+             "usione", "usioni", "amento", "amenti", "imento", "imenti",
+             "amente", "abile", "abili", "ibile", "ibili", "mente",
+             "atore", "atori", "logia", "logie", "anza", "anze", "iche",
+             "ichi", "ismo", "ismi", "ista", "iste", "isti", "ist\xe0",
+             "ist\xe8", "ist\xec", "ante", "anti", "enza", "enze", "ico",
+             "ici", "ica", "ice", "oso", "osi", "osa", "ose", "it\xe0",
+             "ivo", "ivi", "iva", "ive")
+_IT_STEP2 = ("erebbero", "irebbero", "assero", "assimo", "eranno",
+             "erebbe", "eremmo", "ereste", "eresti", "essero", "iranno",
+             "irebbe", "iremmo", "ireste", "iresti", "iscano", "iscono",
+             "issero", "arono", "avamo", "avano", "avate", "eremo",
+             "erete", "erono", "evamo", "evano", "evate", "iremo",
+             "irete", "irono", "ivamo", "ivano", "ivate", "ammo",
+             "ando", "asse", "assi", "emmo", "enda", "ende", "endi",
+             "endo", "erai", "erei", "Yamo", "iamo", "immo", "irai",
+             "irei", "isca", "isce", "isci", "isco", "ano", "are",
+             "ata", "ate", "ati", "ato", "ava", "avi", "avo", "er\xe0",
+             "ere", "er\xf2", "ete", "eva", "evi", "evo", "ir\xe0",
+             "ire", "ir\xf2", "ita", "ite", "iti", "ito", "iva", "ivi",
+             "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir")
+
+
+def stem_it(word: str) -> str:
+    word = word.lower()
+    step1_success = False
+    # acute accents -> grave
+    word = (word.replace("\xe1", "\xe0").replace("\xe9", "\xe8")
+            .replace("\xed", "\xec").replace("\xf3", "\xf2")
+            .replace("\xfa", "\xf9"))
+    for i in range(1, len(word)):
+        if word[i - 1] == "q" and word[i] == "u":
+            word = word[:i] + "U" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in _IT_VOWELS and word[i + 1] in _IT_VOWELS:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+    r1, r2 = _r1r2_standard(word, _IT_VOWELS)
+    rv = _rv_standard(word, _IT_VOWELS)
+
+    # STEP 0: attached pronoun
+    for suffix in _IT_STEP0:
+        if rv.endswith(suffix):
+            n = len(suffix)
+            if rv[-n - 4:-n] in ("ando", "endo"):
+                word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+            elif rv[-n - 2:-n] in ("ar", "er", "ir"):
+                word = word[:-n] + "e"
+                r1 = r1[:-n] + "e"
+                r2 = r2[:-n] + "e"
+                rv = rv[:-n] + "e"
+            break
+
+    # STEP 1: standard suffixes
+    for suffix in _IT_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "amente" and r1.endswith(suffix):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic")):
+                    word, rv = word[:-2], rv[:-2]
+                elif r2.endswith("abil"):
+                    word, rv = word[:-4], rv[:-4]
+            elif (suffix in ("amento", "amenti", "imento", "imenti")
+                    and rv.endswith(suffix)):
+                step1_success = True
+                word, rv = word[:-6], rv[:-6]
+            elif r2.endswith(suffix):
+                step1_success = True
+                if suffix in ("azione", "azioni", "atore", "atori"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("ic"):
+                        word, rv = word[:-2], rv[:-2]
+                elif suffix in ("logia", "logie"):
+                    # PORT BUG kept: rv is reset from WORD, not rv
+                    word = word[:-2]
+                    rv = word[:-2]
+                elif suffix in ("uzione", "uzioni", "usione", "usioni"):
+                    word, rv = word[:-5], rv[:-5]
+                elif suffix in ("enza", "enze"):
+                    word = word[:-2] + "te"
+                    rv = rv[:-2] + "te"
+                elif suffix == "it\xe0":
+                    word, r2, rv = word[:-3], r2[:-3], rv[:-3]
+                    if r2.endswith(("ic", "iv")):
+                        word, rv = word[:-2], rv[:-2]
+                    elif r2.endswith("abil"):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("ivo", "ivi", "iva", "ive"):
+                    word, r2, rv = word[:-3], r2[:-3], rv[:-3]
+                    if r2.endswith("at"):
+                        word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                        if r2.endswith("ic"):
+                            word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2: verb suffixes
+    if not step1_success:
+        for suffix in _IT_STEP2:
+            if rv.endswith(suffix):
+                word, rv = word[:-len(suffix)], rv[:-len(suffix)]
+                break
+
+    # STEP 3a: final vowel
+    if rv.endswith(("a", "e", "i", "o", "\xe0", "\xe8", "\xec", "\xf2")):
+        word, rv = word[:-1], rv[:-1]
+        if rv.endswith("i"):
+            word, rv = word[:-1], rv[:-1]
+
+    # STEP 3b
+    if rv.endswith(("ch", "gh")):
+        word = word[:-1]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
-            "es": stem_es, "nl": stem_nl}
+            "es": stem_es, "nl": stem_nl, "it": stem_it}
 
 
 def stemmer_for(lang: str):
