@@ -6,7 +6,7 @@ import random
 import pytest
 
 from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
-                                            stem_it, stem_nl, stem_no, stem_sv)
+                                            stem_it, stem_nl, stem_no, stem_pt, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -21,6 +21,9 @@ LANGS = [
     ("it", stem_it, "ItalianStemmer", "abcdefghijklmnopqrstuvwxyzàèìòùáé",
      ["abbandonata", "pronunciarglielo", "rapidamente", "psicologia",
       "soluzione", "qualità", "mangiavano", "finiscono", "città"]),
+    ("pt", stem_pt, "PortugueseStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúâêôãõç",
+     ["quilométricas", "corações", "felicidade", "rapidamente",
+      "construções", "proposição", "comemoração", "bebiam"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -46,7 +49,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "selas", "ándoselo", "amente", "ación", "logía", "ución",
                 "encia", "idades", "yeron", "aríamos", "ó",
                 "heden", "heid", "baar", "lijk", "kken", "ieë",
-                "glielo", "azione", "ità", "erebbero", "iscono", "chi"]
+                "glielo", "azione", "ità", "erebbero", "iscono", "chi",
+                "ação", "ações", "ência", "eira", "ássemos", "ç"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)

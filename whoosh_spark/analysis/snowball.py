@@ -665,8 +665,127 @@ def stem_it(word: str) -> str:
     return word.replace("I", "i").replace("U", "u")
 
 
+# ------------------------------------------------------------- portuguese
+
+_PT_VOWELS = "aeiou\xe1\xe9\xed\xf3\xfa\xe2\xea\xf4"
+_PT_STEP1 = ("amentos", "imentos", "uciones", "amento", "imento",
+             "adoras", "adores", "a\xe7o~es", "log\xedas", "\xeancias",
+             "amente", "idades", "ismos", "istas", "adora", "a\xe7a~o",
+             "antes", "\xe2ncia", "log\xeda", "uci\xf3n", "\xeancia",
+             "mente", "idade", "ezas", "icos", "icas", "ismo",
+             "\xe1vel", "\xedvel", "ista", "osos", "osas", "ador",
+             "ante", "ivas", "ivos", "iras", "eza", "ico", "ica",
+             "oso", "osa", "iva", "ivo", "ira")
+_PT_STEP2 = ("ar\xedamos", "er\xedamos", "ir\xedamos", "\xe1ssemos",
+             "\xeassemos", "\xedssemos", "ar\xedeis", "er\xedeis",
+             "ir\xedeis", "\xe1sseis", "\xe9sseis", "\xedsseis",
+             "\xe1ramos", "\xe9ramos", "\xedramos", "\xe1vamos",
+             "aremos", "eremos", "iremos", "ariam", "eriam", "iriam",
+             "assem", "essem", "issem", "ara~o", "era~o", "ira~o",
+             "arias", "erias", "irias", "ardes", "erdes", "irdes",
+             "asses", "esses", "isses", "astes", "estes", "istes",
+             "\xe1reis", "areis", "\xe9reis", "ereis", "\xedreis",
+             "ireis", "\xe1veis", "\xedamos", "armos", "ermos", "irmos",
+             "aria", "eria", "iria", "asse", "esse", "isse", "aste",
+             "este", "iste", "arei", "erei", "irei", "aram", "eram",
+             "iram", "avam", "arem", "erem", "irem", "ando", "endo",
+             "indo", "adas", "idas", "ar\xe1s", "aras", "er\xe1s",
+             "eras", "ir\xe1s", "avas", "ares", "eres", "ires",
+             "\xedeis", "ados", "idos", "\xe1mos", "amos", "emos",
+             "imos", "iras", "ada", "ida", "ar\xe1", "ara", "er\xe1",
+             "era", "ir\xe1", "ava", "iam", "ado", "ido", "ias", "ais",
+             "eis", "ira", "ia", "ei", "am", "em", "ar", "er", "ir",
+             "as", "es", "is", "eu", "iu", "ou")
+_PT_STEP4 = ("os", "a", "i", "o", "\xe1", "\xed", "\xf3")
+
+
+def stem_pt(word: str) -> str:
+    word = word.lower()
+    step1_success = False
+    step2_success = False
+    word = word.replace("\xe3", "a~").replace("\xf5", "o~")
+    r1, r2 = _r1r2_standard(word, _PT_VOWELS)
+    rv = _rv_standard(word, _PT_VOWELS)
+
+    # STEP 1: standard suffixes
+    for suffix in _PT_STEP1:
+        if word.endswith(suffix):
+            n = len(suffix)
+            if suffix == "amente" and r1.endswith(suffix):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic", "ad")):
+                    word, rv = word[:-2], rv[:-2]
+            elif (suffix in ("ira", "iras") and rv.endswith(suffix)
+                    and word[-n - 1:-n] == "e"):
+                step1_success = True
+                word = word[:-n] + "ir"
+                rv = rv[:-n] + "ir"
+            elif r2.endswith(suffix):
+                step1_success = True
+                if suffix in ("log\xeda", "log\xedas"):
+                    word, rv = word[:-2], rv[:-2]
+                elif suffix in ("uci\xf3n", "uciones"):
+                    word = word[:-n] + "u"
+                    rv = rv[:-n] + "u"
+                elif suffix in ("\xeancia", "\xeancias"):
+                    word = word[:-n] + "ente"
+                    rv = rv[:-n] + "ente"
+                elif suffix == "mente":
+                    word, r2, rv = word[:-5], r2[:-5], rv[:-5]
+                    if r2.endswith(("ante", "avel", "\xedvel")):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("idade", "idades"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith(("ic", "iv")):
+                        word, rv = word[:-2], rv[:-2]
+                    elif r2.endswith("abil"):
+                        word, rv = word[:-4], rv[:-4]
+                elif suffix in ("iva", "ivo", "ivas", "ivos"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2: verb suffixes
+    if not step1_success:
+        for suffix in _PT_STEP2:
+            if rv.endswith(suffix):
+                step2_success = True
+                word, rv = word[:-len(suffix)], rv[:-len(suffix)]
+                break
+
+    # STEP 3
+    if (step1_success or step2_success) and rv.endswith("i") and word[-2] == "c":
+        word, rv = word[:-1], rv[:-1]
+
+    # STEP 4: residual suffix
+    if not step1_success and not step2_success:
+        for suffix in _PT_STEP4:
+            if rv.endswith(suffix):
+                word, rv = word[:-len(suffix)], rv[:-len(suffix)]
+                break
+
+    # STEP 5
+    if rv.endswith(("e", "\xe9", "\xea")):
+        word, rv = word[:-1], rv[:-1]
+        if ((word.endswith("gu") and rv.endswith("u"))
+                or (word.endswith("ci") and rv.endswith("i"))):
+            word = word[:-1]
+    elif word.endswith("\xe7"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "\xe3").replace("o~", "\xf5")
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
-            "es": stem_es, "nl": stem_nl, "it": stem_it}
+            "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt}
 
 
 def stemmer_for(lang: str):
