@@ -6,7 +6,7 @@ import random
 import pytest
 
 from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
-                                            stem_it, stem_nl, stem_no, stem_pt, stem_sv)
+                                            stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -24,6 +24,9 @@ LANGS = [
     ("pt", stem_pt, "PortugueseStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúâêôãõç",
      ["quilométricas", "corações", "felicidade", "rapidamente",
       "construções", "proposição", "comemoração", "bebiam"]),
+    ("ro", stem_ro, "RomanianStemmer", "abcdefghijklmnopqrstuvwxyz\u0103\u00e2\u00ee\u015f\u0163",
+     ["abilitate", "creativitate", "electricitate", "copiilor",
+      "lucrează", "citeşte", "fuseseră", "naţiune", "studenţilor"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -50,7 +53,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "encia", "idades", "yeron", "aríamos", "ó",
                 "heden", "heid", "baar", "lijk", "kken", "ieë",
                 "glielo", "azione", "ità", "erebbero", "iscono", "chi",
-                "ação", "ações", "ência", "eira", "ássemos", "ç"]
+                "ação", "ações", "ência", "eira", "ássemos", "ç",
+                "ului", "aţie", "abilitate", "itoare", "eşte", "seserăţi"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)
@@ -78,3 +82,16 @@ def test_lang_stem_analyzer_and_language_analyzer(whoosh_ref):
     want_es = [(t.text, t.pos) for t in ref_es(es_text, positions=True)]
     assert [t for t, _ in want_es] == ["mar", "corr", "liebr"]
     assert language_analyzer("es").tokens(es_text) == want_es
+
+
+def test_language_analyzer_romanian_no_stoplist(whoosh_ref):
+    """Romanian has a stemmer but NO stop list in the reference — its
+    LanguageAnalyzer silently skips the StopFilter (NoStopWords fallback);
+    ours must produce the identical stream."""
+    from whoosh.analysis import LanguageAnalyzer
+
+    from whoosh_spark.analysis.tokenize import language_analyzer
+
+    text = "Studenţii citesc şi lucrează în bibliotecă"
+    want = [(t.text, t.pos) for t in LanguageAnalyzer("ro")(text, positions=True)]
+    assert language_analyzer("ro").tokens(text) == want

@@ -784,8 +784,181 @@ def stem_pt(word: str) -> str:
     return word.replace("a~", "\xe3").replace("o~", "\xf5")
 
 
+# --------------------------------------------------------------- romanian
+
+_RO_VOWELS = "aeiouă\xe2\xee"
+_RO_STEP0 = ("iilor", "ului", "elor", "iile", "ilor", "atei", "aţie",
+             "aţia", "aua", "ele", "iua", "iei", "ile", "ul", "ea", "ii")
+_RO_STEP1 = ("abilitate", "abilitati", "abilităţi", "ibilitate",
+             "abilităi", "ivitate", "ivitati", "ivităţi",
+             "icitate", "icitati", "icităţi", "icatori",
+             "ivităi", "icităi", "icator", "aţiune",
+             "atoare", "ătoare", "iţiune", "itoare", "iciva",
+             "icive", "icivi", "icivă", "icala", "icale", "icali",
+             "icală", "ativa", "ative", "ativi", "ativă",
+             "atori", "ători", "itiva", "itive", "itivi",
+             "itivă", "itori", "iciv", "ical", "ativ", "ator",
+             "ător", "itiv", "itor")
+_RO_STEP2 = ("abila", "abile", "abili", "abilă", "ibila", "ibile",
+             "ibili", "ibilă", "atori", "itate", "itati",
+             "ităţi", "abil", "ibil", "oasa", "oasă",
+             "oase", "anta", "ante", "anti", "antă", "ator",
+             "ităi", "iune", "iuni", "isme", "ista", "iste", "isti",
+             "istă", "işti", "ata", "ată", "ati", "ate",
+             "uta", "ută", "uti", "ute", "ita", "ită", "iti",
+             "ite", "ica", "ice", "ici", "ică", "osi", "oşi",
+             "ant", "iva", "ive", "ivi", "ivă", "ism", "ist", "at",
+             "ut", "it", "ic", "os", "iv")
+_RO_STEP3 = ("seserăţi", "aserăţi", "iserăţi",
+             "\xe2serăţi", "userăţi", "seserăm",
+             "aserăm", "iserăm", "\xe2serăm", "userăm",
+             "serăţi", "seseşi", "seseră",
+             "ească", "arăţi", "urăţi",
+             "irăţi", "\xe2răţi", "aseşi",
+             "aseră", "iseşi", "iseră", "\xe2seşi",
+             "\xe2seră", "useşi", "useră", "serăm",
+             "sesem", "indu", "\xe2ndu", "ează", "eşti",
+             "eşte", "ăşti", "ăşte",
+             "eaţi", "iaţi", "arăm", "urăm",
+             "irăm", "\xe2răm", "asem", "isem", "\xe2sem",
+             "usem", "seşi", "seră", "sese", "are", "ere",
+             "ire", "\xe2re", "ind", "\xe2nd", "eze", "ezi", "esc",
+             "ăsc", "eam", "eai", "eau", "iam", "iai", "iau",
+             "aşi", "ară", "uşi", "ură", "işi",
+             "iră", "\xe2şi", "\xe2ră", "ase", "ise",
+             "\xe2se", "use", "aţi", "eţi", "iţi",
+             "\xe2ţi", "sei", "ez", "am", "ai", "au", "ea", "ia",
+             "ui", "\xe2i", "ăm", "em", "im", "\xe2m", "se")
+_RO_STEP3_DROP = ("seserăţi", "seserăm", "serăţi",
+                  "seseşi", "seseră", "serăm", "sesem",
+                  "seşi", "seră", "sese", "aţi",
+                  "eţi", "iţi", "\xe2ţi", "sei",
+                  "ăm", "em", "im", "\xe2m", "se")
+
+
+def stem_ro(word: str) -> str:
+    """NOTE on fidelity: the port tests region membership with SUBSTRING
+    checks (``suffix in r1``), not endswith — kept, as are the step-3
+    rv.index() first-occurrence consonant test and the step-1 repeat loop
+    that clears step1_success when a later match falls outside R1."""
+    word = word.lower()
+    step1_success = False
+    step2_success = False
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in _RO_VOWELS and word[i + 1] in _RO_VOWELS:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+    r1, r2 = _r1r2_standard(word, _RO_VOWELS)
+    rv = _rv_standard(word, _RO_VOWELS)
+
+    # STEP 0: plurals and simplifications
+    for suffix in _RO_STEP0:
+        if word.endswith(suffix):
+            if suffix in r1:
+                n = len(suffix)
+                if suffix in ("ul", "ului"):
+                    word = word[:-n]
+                    rv = rv[:-n] if suffix in rv else ""
+                elif (suffix == "aua" or suffix == "atei"
+                        or (suffix == "ile" and word[-5:-3] != "ab")):
+                    word = word[:-2]
+                elif suffix in ("ea", "ele", "elor"):
+                    word = word[:-n] + "e"
+                    rv = (rv[:-n] + "e") if suffix in rv else ""
+                elif suffix in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                    word = word[:-n] + "i"
+                    rv = (rv[:-n] + "i") if suffix in rv else ""
+                elif suffix in ("aţie", "aţia"):
+                    word = word[:-1]
+            break
+
+    # STEP 1: combining suffixes, repeated until no replacement
+    while True:
+        replacement_done = False
+        for suffix in _RO_STEP1:
+            if word.endswith(suffix):
+                if suffix in r1:
+                    step1_success = True
+                    replacement_done = True
+                    n = len(suffix)
+                    if suffix in ("abilitate", "abilitati", "abilităi",
+                                  "abilităţi"):
+                        word = word[:-n] + "abil"
+                    elif suffix == "ibilitate":
+                        word = word[:-5]
+                    elif suffix in ("ivitate", "ivitati", "ivităi",
+                                    "ivităţi"):
+                        word = word[:-n] + "iv"
+                    elif suffix in ("icitate", "icitati", "icităi",
+                                    "icităţi", "icator", "icatori",
+                                    "iciv", "iciva", "icive", "icivi",
+                                    "icivă", "ical", "icala", "icale",
+                                    "icali", "icală"):
+                        word = word[:-n] + "ic"
+                    elif suffix in ("ativ", "ativa", "ative", "ativi",
+                                    "ativă", "aţiune", "atoare",
+                                    "ator", "atori", "ătoare",
+                                    "ător", "ători"):
+                        word = word[:-n] + "at"
+                        if suffix in r2:
+                            r2 = r2[:-n] + "at"
+                    elif suffix in ("itiv", "itiva", "itive", "itivi",
+                                    "itivă", "iţiune", "itoare",
+                                    "itor", "itori"):
+                        word = word[:-n] + "it"
+                        if suffix in r2:
+                            r2 = r2[:-n] + "it"
+                else:
+                    step1_success = False
+                break
+        if not replacement_done:
+            break
+
+    # STEP 2: standard suffixes
+    for suffix in _RO_STEP2:
+        if word.endswith(suffix):
+            if suffix in r2:
+                step2_success = True
+                if suffix in ("iune", "iuni"):
+                    if word[-5] == "ţ":
+                        word = word[:-5] + "t"
+                elif suffix in ("ism", "isme", "ist", "ista", "iste",
+                                "isti", "istă", "işti"):
+                    word = word[:-len(suffix)] + "ist"
+                else:
+                    word = word[:-len(suffix)]
+            break
+
+    # STEP 3: verb suffixes
+    if not step1_success and not step2_success:
+        for suffix in _RO_STEP3:
+            if word.endswith(suffix):
+                if suffix in rv:
+                    if suffix in _RO_STEP3_DROP:
+                        word = word[:-len(suffix)]
+                        rv = rv[:-len(suffix)]
+                    else:
+                        if (not rv.startswith(suffix)
+                                and rv[rv.index(suffix) - 1]
+                                not in "aeioă\xe2\xee"):
+                            word = word[:-len(suffix)]
+                    break
+
+    # STEP 4: final vowel
+    for suffix in ("ie", "a", "e", "i", "ă"):
+        if word.endswith(suffix):
+            if suffix in rv:
+                word = word[:-len(suffix)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
-            "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt}
+            "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt,
+            "ro": stem_ro}
 
 
 def stemmer_for(lang: str):

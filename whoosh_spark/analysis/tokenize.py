@@ -626,13 +626,18 @@ def path_analyzer() -> Analyzer:
 def language_analyzer(lang: str, minsize: int = 2) -> Analyzer:
     """RegexTokenizer | Lowercase | StopFilter(lang) | StemFilter(lang) —
     the reference LanguageAnalyzer (analysis/analyzers.py:256-296) for the
-    languages with a bundled Snowball stemmer (da/no/sv/de)."""
+    languages with a bundled Snowball stemmer. Languages without a stop
+    list (e.g. Romanian) skip the stop filter, exactly like the
+    reference's NoStopWords fallback."""
     from whoosh_spark.analysis.snowball import STEMMERS
     from whoosh_spark.analysis.stopwords_data import STOPWORDS
 
     if lang not in STEMMERS:
         raise ValueError(f"no bundled stemmer for language {lang!r}")
-    return Analyzer(stopwords=STOPWORDS[lang], minsize=minsize, lang_stem=lang)
+    stops = STOPWORDS.get(lang)
+    if stops is None:
+        return Analyzer(use_stopfilter=False, lang_stem=lang)
+    return Analyzer(stopwords=stops, minsize=minsize, lang_stem=lang)
 
 
 def id_analyzer(lowercase: bool = False) -> Analyzer:
