@@ -6,7 +6,7 @@ import random
 import pytest
 
 from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
-                                            stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
+                                            stem_fi, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -27,6 +27,9 @@ LANGS = [
     ("ro", stem_ro, "RomanianStemmer", "abcdefghijklmnopqrstuvwxyz\u0103\u00e2\u00ee\u015f\u0163",
      ["abilitate", "creativitate", "electricitate", "copiilor",
       "lucrează", "citeşte", "fuseseră", "naţiune", "studenţilor"]),
+    ("fi", stem_fi, "FinnishStemmer", "abcdefghijklmnopqrstuvwxyz\u00e4\u00f6",
+     ["kirjoissakaan", "edeltäjistään", "taloissa", "nopeasti",
+      "suurimmat", "järjestelmään", "tyttöjen", "opettajani"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -54,7 +57,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "heden", "heid", "baar", "lijk", "kken", "ieë",
                 "glielo", "azione", "ità", "erebbero", "iscono", "chi",
                 "ação", "ações", "ência", "eira", "ássemos", "ç",
-                "ului", "aţie", "abilitate", "itoare", "eşte", "seserăţi"]
+                "ului", "aţie", "abilitate", "itoare", "eşte", "seserăţi",
+                "kaan", "nsä", "siin", "seen", "impi", "aat", "ksi"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)

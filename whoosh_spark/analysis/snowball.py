@@ -956,9 +956,165 @@ def stem_ro(word: str) -> str:
     return word.replace("I", "i").replace("U", "u")
 
 
+# ---------------------------------------------------------------- finnish
+
+_FI_VOWELS = "aeiouy\xe4\xf6"
+_FI_RESTRICTED = "aeiou\xe4\xf6"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "\xe4\xe4", "\xf6\xf6")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+_FI_DOUBLES = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+               "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+               "xx", "zz")
+_FI_STEP1 = ("kaan", "k\xe4\xe4n", "sti", "kin", "han", "h\xe4n",
+             "ko", "k\xf6", "pa", "p\xe4")
+_FI_STEP2 = ("nsa", "ns\xe4", "mme", "nne", "si", "ni", "an", "\xe4n", "en")
+_FI_STEP3 = ("siin", "tten", "seen", "han", "hen", "hin", "hon",
+             "h\xe4n", "h\xf6n", "den", "tta", "tt\xe4", "ssa",
+             "ss\xe4", "sta", "st\xe4", "lla", "ll\xe4", "lta",
+             "lt\xe4", "lle", "ksi", "ine", "ta", "t\xe4", "na",
+             "n\xe4", "a", "\xe4", "n")
+_FI_STEP4 = ("impi", "impa", "imp\xe4", "immi", "imma", "imm\xe4",
+             "mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4",
+             "eja", "ej\xe4")
+
+
+def stem_fi(word: str) -> str:
+    word = word.lower()
+    step3_success = False
+    r1, r2 = _r1r2_standard(word, _FI_VOWELS)
+
+    # STEP 1: particles
+    for suffix in _FI_STEP1:
+        if r1.endswith(suffix):
+            if suffix == "sti":
+                if suffix in r2:
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            elif word[-len(suffix) - 1] in "ntaeiouy\xe4\xf6":
+                n = len(suffix)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 2: possessives
+    for suffix in _FI_STEP2:
+        if r1.endswith(suffix):
+            if suffix == "si":
+                if word[-3] != "k":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix == "ni":
+                word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+                if r1.endswith("kse"):
+                    r1 = r1[:-3] + "ksi"
+                if r2.endswith("kse"):
+                    r2 = r2[:-3] + "ksi"
+            elif suffix == "an":
+                if (word[-4:-2] in ("ta", "na")
+                        or word[-5:-2] in ("ssa", "sta", "lla", "lta")):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix == "\xe4n":
+                if (word[-4:-2] in ("t\xe4", "n\xe4")
+                        or word[-5:-2] in ("ss\xe4", "st\xe4", "ll\xe4", "lt\xe4")):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix == "en":
+                if word[-5:-2] in ("lle", "ine"):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            else:
+                word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            break
+
+    # STEP 3: cases
+    for suffix in _FI_STEP3:
+        if r1.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("han", "hen", "hin", "hon", "h\xe4n", "h\xf6n"):
+                if ((suffix == "han" and word[-4] == "a")
+                        or (suffix == "hen" and word[-4] == "e")
+                        or (suffix == "hin" and word[-4] == "i")
+                        or (suffix == "hon" and word[-4] == "o")
+                        or (suffix == "h\xe4n" and word[-4] == "\xe4")
+                        or (suffix == "h\xf6n" and word[-4] == "\xf6")):
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3_success = True
+            elif suffix in ("siin", "den", "tten"):
+                if (word[-n - 1] == "i"
+                        and word[-n - 2] in _FI_RESTRICTED):
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                    step3_success = True
+                else:
+                    continue
+            elif suffix == "seen":
+                if word[-6:-4] in _FI_LONG:
+                    word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+                    step3_success = True
+                else:
+                    continue
+            elif suffix in ("a", "\xe4"):
+                if word[-2] in _FI_VOWELS and word[-3] in _FI_CONS:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                    step3_success = True
+            elif suffix in ("tta", "tt\xe4"):
+                if word[-4] == "e":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3_success = True
+            elif suffix == "n":
+                word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                step3_success = True
+                if word[-2:] == "ie" or word[-2:] in _FI_LONG:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            else:
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                step3_success = True
+            break
+
+    # STEP 4: other endings
+    for suffix in _FI_STEP4:
+        if r2.endswith(suffix):
+            if suffix in ("mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4"):
+                if word[-5:-3] != "po":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            else:
+                n = len(suffix)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 5: plurals
+    if step3_success and len(r1) >= 1 and r1[-1] in "ij":
+        word, r1 = word[:-1], r1[:-1]
+    elif (not step3_success and len(r1) >= 2
+            and r1[-1] == "t" and r1[-2] in _FI_VOWELS):
+        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+        if r2.endswith("imma"):
+            word, r1 = word[:-4], r1[:-4]
+        elif r2.endswith("mma") and r2[-5:-3] != "po":
+            word, r1 = word[:-3], r1[:-3]
+
+    # STEP 6: tidying
+    if r1[-2:] in _FI_LONG:
+        word, r1 = word[:-1], r1[:-1]
+    if len(r1) >= 2 and r1[-2] in _FI_CONS and r1[-1] in "a\xe4ei":
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith(("oj", "uj")):
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith("jo"):
+        word, r1 = word[:-1], r1[:-1]
+    # final double consonant followed by zero or more vowels
+    for i in range(1, len(word)):
+        if word[-i] in _FI_VOWELS:
+            continue
+        if i == 1:
+            if word[-i - 1:] in _FI_DOUBLES:
+                word = word[:-1]
+        elif word[-i - 1:-i + 1] in _FI_DOUBLES:
+            word = word[:-i] + word[-i + 1:]
+        break
+
+    return word
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
             "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt,
-            "ro": stem_ro}
+            "ro": stem_ro, "fi": stem_fi}
 
 
 def stemmer_for(lang: str):
