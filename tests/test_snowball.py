@@ -6,7 +6,7 @@ import random
 import pytest
 
 from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
-                                            stem_fi, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
+                                            stem_fi, stem_fr, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -30,6 +30,10 @@ LANGS = [
     ("fi", stem_fi, "FinnishStemmer", "abcdefghijklmnopqrstuvwxyz\u00e4\u00f6",
      ["kirjoissakaan", "edeltäjistään", "taloissa", "nopeasti",
       "suurimmat", "järjestelmään", "tyttöjen", "opettajani"]),
+    ("fr", stem_fr, "FrenchStemmer", "abcdefghijklmnopqrstuvwxyzâàëéêèïîôûùç",
+     ["continuations", "majestueusement", "nationalité", "abondamment",
+      "évidemment", "chevaux", "généreuses", "conditionnelle",
+      "questionnaient", "possibilités", "appelée"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -58,7 +62,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "glielo", "azione", "ità", "erebbero", "iscono", "chi",
                 "ação", "ações", "ência", "eira", "ássemos", "ç",
                 "ului", "aţie", "abilitate", "itoare", "eşte", "seserăţi",
-                "kaan", "nsä", "siin", "seen", "impi", "aat", "ksi"]
+                "kaan", "nsä", "siin", "seen", "impi", "aat", "ksi",
+                "issements", "amment", "euse", "eaux", "ières", "èrent"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)
