@@ -6,7 +6,7 @@ import random
 import pytest
 
 from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
-                                            stem_fi, stem_fr, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
+                                            stem_fi, stem_fr, stem_hu, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -34,6 +34,9 @@ LANGS = [
      ["continuations", "majestueusement", "nationalité", "abondamment",
       "évidemment", "chevaux", "généreuses", "conditionnelle",
       "questionnaient", "possibilités", "appelée"]),
+    ("hu", stem_hu, "HungarianStemmer", "abcdefghijklmnopqrstuvwxyz\u00f6\u00fc\u00e1\u00e9\u00ed\u00f3\u00f5\u00fa\u00fb",
+     ["babakocsival", "házakban", "gyerekeknek", "asszonnyal",
+      "almákat", "széppé", "könyveim", "barátaink", "nagyobbak"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -63,7 +66,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "ação", "ações", "ência", "eira", "ássemos", "ç",
                 "ului", "aţie", "abilitate", "itoare", "eşte", "seserăţi",
                 "kaan", "nsä", "siin", "seen", "impi", "aat", "ksi",
-                "issements", "amment", "euse", "eaux", "ières", "èrent"]
+                "issements", "amment", "euse", "eaux", "ières", "èrent",
+                "képpen", "ástul", "ájuk", "jaitok", "ák", "ssz", "tty"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)

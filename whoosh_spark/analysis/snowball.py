@@ -1349,9 +1349,185 @@ def stem_fr(word: str) -> str:
     return word.replace("I", "i").replace("U", "u").replace("Y", "y")
 
 
+# --------------------------------------------------------------- hungarian
+
+_HU_VOWELS = "aeiou\xf6\xfc\xe1\xe9\xed\xf3\xf5\xfa\xfb"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "ty", "zs")
+_HU_DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+               "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+               "tt", "tty", "vv", "zz", "zzs")
+_HU_STEP2 = ("k\xe9ppen", "onk\xe9nt", "enk\xe9nt", "ank\xe9nt",
+             "k\xe9pp", "k\xe9nt", "ban", "ben", "nak", "nek", "val",
+             "vel", "t\xf3l", "t\xf5l", "r\xf3l", "r\xf5l", "b\xf3l",
+             "b\xf5l", "hoz", "hez", "h\xf6z", "n\xe1l", "n\xe9l",
+             "\xe9rt", "kor", "ba", "be", "ra", "re", "ig", "at", "et",
+             "ot", "\xf6t", "ul", "\xfcl", "v\xe1", "v\xe9", "en", "on",
+             "an", "\xf6n", "n", "t")
+_HU_STEP3 = ("\xe1nk\xe9nt", "\xe1n", "\xe9n")
+_HU_STEP4 = ("astul", "est\xfcl", "\xe1stul", "\xe9st\xfcl", "stul", "st\xfcl")
+_HU_STEP6 = ("ok\xe9", "\xf6k\xe9", "ak\xe9", "ek\xe9", "\xe1k\xe9",
+             "\xe1\xe9i", "\xe9k\xe9", "\xe9\xe9i", "k\xe9", "\xe9i",
+             "\xe9\xe9", "\xe9")
+_HU_STEP7 = ("\xe1juk", "\xe9j\xfck", "\xfcnk", "unk", "juk", "j\xfck",
+             "\xe1nk", "\xe9nk", "nk", "uk", "\xfck", "em", "om", "am",
+             "od", "ed", "ad", "\xf6d", "ja", "je", "\xe1m", "\xe1d",
+             "\xe9m", "\xe9d", "m", "d", "a", "e", "o", "\xe1", "\xe9")
+_HU_STEP8 = ("jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek",
+             "\xe1itok", "\xe9itek", "jaim", "jeim", "jaid", "jeid",
+             "eink", "aink", "itek", "jeik", "jaik", "\xe1ink",
+             "\xe9ink", "aim", "eim", "aid", "eid", "jai", "jei",
+             "ink", "aik", "eik", "\xe1im", "\xe1id", "\xe1ik",
+             "\xe9im", "\xe9id", "\xe9ik", "im", "id", "ai", "ei",
+             "ik", "\xe1i", "\xe9i", "i")
+_HU_STEP9 = ("\xe1k", "\xe9k", "\xf6k", "ok", "ek", "ak", "k")
+
+
+def _r1_hungarian(word: str) -> str:
+    """Hungarian R1 (reference hungarian.py:227-268) — QUIRK KEPT: when the
+    word starts with a vowel and contains a digraph, R1 is taken after the
+    first occurrence of the digraph's LAST LETTER anywhere in the word
+    (word.index over a single char), not after the digraph itself."""
+    if word[0] in _HU_VOWELS:
+        for digraph in _HU_DIGRAPHS:
+            if digraph in word[1:]:
+                return word[word.index(digraph[-1]) + 1:]
+        for i in range(1, len(word)):
+            if word[i] not in _HU_VOWELS:
+                return word[i + 1:]
+    else:
+        for i in range(1, len(word)):
+            if word[i] in _HU_VOWELS:
+                return word[i + 1:]
+    return ""
+
+
+def stem_hu(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_hungarian(word)
+
+    # STEP 1: instrumental case (undouble before the al/el suffix;
+    # replacement slices are fixed at [-4]/[-3] regardless of digraph size)
+    if r1.endswith(("al", "el")):
+        for dc in _HU_DOUBLES:
+            if word[-2 - len(dc):-2] == dc:
+                word = word[:-4] + word[-3]
+                if r1[-2 - len(dc):-2] == dc:
+                    r1 = r1[:-4] + r1[-3]
+                break
+
+    # STEP 2: frequent cases
+    for suffix in _HU_STEP2:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                word = word[:-len(suffix)]
+                r1 = r1[:-len(suffix)]
+                if r1.endswith("\xe1"):
+                    word = word[:-1] + "a"
+                    r1 = r1[:-1] + "a"
+                elif r1.endswith("\xe9"):
+                    word = word[:-1] + "e"
+                    r1 = r1[:-1] + "e"
+            break
+
+    # STEP 3: special cases
+    for suffix in _HU_STEP3:
+        if r1.endswith(suffix):
+            if suffix == "\xe9n":
+                word = word[:-2] + "e"
+                r1 = r1[:-2] + "e"
+            else:
+                word = word[:-len(suffix)] + "a"
+                r1 = r1[:-len(suffix)] + "a"
+            break
+
+    # STEP 4: other cases
+    for suffix in _HU_STEP4:
+        if r1.endswith(suffix):
+            if suffix == "\xe1stul":
+                word = word[:-5] + "a"
+                r1 = r1[:-5] + "a"
+            elif suffix == "\xe9st\xfcl":
+                word = word[:-5] + "e"
+                r1 = r1[:-5] + "e"
+            else:
+                word = word[:-len(suffix)]
+                r1 = r1[:-len(suffix)]
+            break
+
+    # STEP 5: factive case (undouble before final accent)
+    for suffix in ("\xe1", "\xe9"):
+        if r1.endswith(suffix):
+            for dc in _HU_DOUBLES:
+                if word[-1 - len(dc):-1] == dc:
+                    word = word[:-3] + word[-2]
+                    if r1[-1 - len(dc):-1] == dc:
+                        r1 = r1[:-3] + r1[-2]
+                    break
+
+    # STEP 6: owned
+    for suffix in _HU_STEP6:
+        if r1.endswith(suffix):
+            if suffix in ("\xe1k\xe9", "\xe1\xe9i"):
+                word = word[:-3] + "a"
+                r1 = r1[:-3] + "a"
+            elif suffix in ("\xe9k\xe9", "\xe9\xe9i", "\xe9\xe9"):
+                word = word[:-len(suffix)] + "e"
+                r1 = r1[:-len(suffix)] + "e"
+            else:
+                word = word[:-len(suffix)]
+                r1 = r1[:-len(suffix)]
+            break
+
+    # STEP 7: singular owner suffixes
+    for suffix in _HU_STEP7:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                if suffix in ("\xe1nk", "\xe1juk", "\xe1m", "\xe1d", "\xe1"):
+                    word = word[:-len(suffix)] + "a"
+                    r1 = r1[:-len(suffix)] + "a"
+                elif suffix in ("\xe9nk", "\xe9j\xfck", "\xe9m", "\xe9d", "\xe9"):
+                    word = word[:-len(suffix)] + "e"
+                    r1 = r1[:-len(suffix)] + "e"
+                else:
+                    word = word[:-len(suffix)]
+                    r1 = r1[:-len(suffix)]
+            break
+
+    # STEP 8: plural owner suffixes
+    for suffix in _HU_STEP8:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                if suffix in ("\xe1im", "\xe1id", "\xe1i", "\xe1ink",
+                              "\xe1itok", "\xe1ik"):
+                    word = word[:-len(suffix)] + "a"
+                    r1 = r1[:-len(suffix)] + "a"
+                elif suffix in ("\xe9im", "\xe9id", "\xe9i", "\xe9ink",
+                                "\xe9itek", "\xe9ik"):
+                    word = word[:-len(suffix)] + "e"
+                    r1 = r1[:-len(suffix)] + "e"
+                else:
+                    word = word[:-len(suffix)]
+                    r1 = r1[:-len(suffix)]
+            break
+
+    # STEP 9: plural suffixes
+    for suffix in _HU_STEP9:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                if suffix == "\xe1k":
+                    word = word[:-2] + "a"
+                elif suffix == "\xe9k":
+                    word = word[:-2] + "e"
+                else:
+                    word = word[:-len(suffix)]
+            break
+
+    return word
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
             "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt,
-            "ro": stem_ro, "fi": stem_fi, "fr": stem_fr}
+            "ro": stem_ro, "fi": stem_fi, "fr": stem_fr, "hu": stem_hu}
 
 
 def stemmer_for(lang: str):
