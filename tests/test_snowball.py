@@ -6,7 +6,7 @@ import random
 import pytest
 
 from whoosh_spark.analysis.snowball import (stem_da, stem_de, stem_es,
-                                            stem_fi, stem_fr, stem_hu, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_sv)
+                                            stem_fi, stem_fr, stem_hu, stem_it, stem_nl, stem_no, stem_pt, stem_ro, stem_ru, stem_sv)
 
 LANGS = [
     ("da", stem_da, "DanishStemmer", "abcdefghijklmnopqrstuvwxyzæåø",
@@ -37,6 +37,9 @@ LANGS = [
     ("hu", stem_hu, "HungarianStemmer", "abcdefghijklmnopqrstuvwxyz\u00f6\u00fc\u00e1\u00e9\u00ed\u00f3\u00f5\u00fa\u00fb",
      ["babakocsival", "házakban", "gyerekeknek", "asszonnyal",
       "almákat", "széppé", "könyveim", "barátaink", "nagyobbak"]),
+    ("ru", stem_ru, "RussianStemmer", "абвгдежзиклмнопрстуфы",
+     ["авиация", "большинство", "красивейшее", "программирование",
+      "читавшийся", "жизненный", "учившихся", "пользователями"]),
     ("es", stem_es, "SpanishStemmer", "abcdefghijklmnopqrstuvwxyzáéíóúü",
      ["liebres", "corren", "comiéndoselo", "lógicamente", "biología",
       "solución", "paciencia", "capacidades", "construyeron", "cantarían"]),
@@ -67,7 +70,8 @@ def test_snowball_matches_reference(whoosh_ref, code, ours, refname, alphabet, s
                 "ului", "aţie", "abilitate", "itoare", "eşte", "seserăţi",
                 "kaan", "nsä", "siin", "seen", "impi", "aat", "ksi",
                 "issements", "amment", "euse", "eaux", "ières", "èrent",
-                "képpen", "ástul", "ájuk", "jaitok", "ák", "ssz", "tty"]
+                "képpen", "ástul", "ájuk", "jaitok", "ák", "ssz", "tty",
+                "ывшись", "ющего", "иями", "ость", "ейше", "нн", "ться"]
     rng = random.Random(1234 + hash(code) % 1000)
     for _ in range(20000):
         stemlen = rng.randint(1, 9)

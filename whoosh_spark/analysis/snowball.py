@@ -1525,9 +1525,210 @@ def stem_hu(word: str) -> str:
     return word
 
 
+# ---------------------------------------------------------------- russian
+
+_RU_PERF_GERUND = ("ivshis'", "yvshis'", "vshis'", "ivshi", "yvshi",
+                   "vshi", "iv", "yv", "v")
+_RU_REFLEXIVE = ("si^a", "s'")
+_RU_SUPERLATIVE = ("ei`she", "ei`sh")
+_RU_DERIVATIONAL = ("ost'", "ost")
+
+
+def _ru_expand(stems, endings):
+    return tuple(s + e for s in stems for e in endings)
+
+
+# the adjectival table is the cross product the reference spells out
+# longhand (russian.py:30-100): participle stems x adjective endings, plus
+# the bare adjective endings — kept in the reference's traversal ORDER by
+# sorting longest-first like its literal listing
+_RU_ADJ_ENDINGS = ("i^ui^u", "i^ai^a", "imi", "ymi", "ego", "ogo", "emu",
+                   "omu", "ikh", "ykh", "ui^u", "ai^a", "oi^u", "ei^u",
+                   "ee", "ie", "ye", "oe", "ei`", "ii`", "yi`", "oi`",
+                   "em", "im", "ym", "om")
+_RU_PART_STEMS = ("ui^ushch", "i^ushch", "shch", "ivsh", "yvsh", "vsh",
+                  "em", "nn")
+_RU_ADJECTIVAL = tuple(sorted(
+    _ru_expand(_RU_PART_STEMS, _RU_ADJ_ENDINGS) + _RU_ADJ_ENDINGS,
+    key=len, reverse=True,
+))
+# the subset whose removal needs a preceding a / i^a (the reference's giant
+# literal list = every suffix built on the glide-less participle stems)
+_RU_ADJ_NEEDS_A = frozenset(
+    _ru_expand(("i^ushch", "shch", "vsh", "em", "nn"), _RU_ADJ_ENDINGS)
+)
+_RU_VERB = ("esh'", "ei`te", "ui`te", "ui^ut", "ish'", "ete", "i`te",
+            "i^ut", "nno", "ila", "yla", "ena", "ite", "ili", "yli",
+            "ilo", "ylo", "eno", "i^at", "uet", "eny", "it'", "yt'",
+            "ui^u", "la", "na", "li", "em", "lo", "no", "et", "ny",
+            "t'", "ei`", "ui`", "il", "yl", "im", "ym", "en", "it",
+            "yt", "i^u", "i`", "l", "n")
+_RU_VERB_NEEDS_A = frozenset(("la", "na", "ete", "i`te", "li", "i`", "l",
+                              "em", "n", "lo", "no", "et", "i^ut", "ny",
+                              "t'", "esh'", "nno"))
+_RU_NOUN = ("ii^ami", "ii^akh", "i^ami", "ii^am", "i^akh", "ami",
+            "iei`", "i^am", "iem", "akh", "ii^u", "'i^u", "ii^a",
+            "'i^a", "ev", "ov", "ie", "'e", "ei", "ii", "ei`", "oi`",
+            "ii`", "em", "am", "om", "i^u", "i^a", "a", "e", "i",
+            "i`", "o", "u", "y", "'")
+
+_RU_TO_ROMAN = [
+    ("А", "a"), ("а", "a"), ("Б", "b"), ("б", "b"),
+    ("В", "v"), ("в", "v"), ("Г", "g"), ("г", "g"),
+    ("Д", "d"), ("д", "d"), ("Е", "e"), ("е", "e"),
+    ("Ё", "e"), ("ё", "e"), ("Ж", "zh"), ("ж", "zh"),
+    ("З", "z"), ("з", "z"), ("И", "i"), ("и", "i"),
+    ("Й", "i`"), ("й", "i`"), ("К", "k"), ("к", "k"),
+    ("Л", "l"), ("л", "l"), ("М", "m"), ("м", "m"),
+    ("Н", "n"), ("н", "n"), ("О", "o"), ("о", "o"),
+    ("П", "p"), ("п", "p"), ("Р", "r"), ("р", "r"),
+    ("С", "s"), ("с", "s"), ("Т", "t"), ("т", "t"),
+    ("У", "u"), ("у", "u"), ("Ф", "f"), ("ф", "f"),
+    ("Х", "kh"), ("х", "kh"), ("Ц", "t^s"), ("ц", "t^s"),
+    ("Ч", "ch"), ("ч", "ch"), ("Ш", "sh"), ("ш", "sh"),
+    ("Щ", "shch"), ("щ", "shch"), ("Ъ", "''"), ("ъ", "''"),
+    ("Ы", "y"), ("ы", "y"), ("Ь", "'"), ("ь", "'"),
+    ("Э", "e`"), ("э", "e`"), ("Ю", "i^u"), ("ю", "i^u"),
+    ("Я", "i^a"), ("я", "i^a"),
+]
+# the reference's roman->cyrillic replace ORDER matters (multi-char tokens
+# first); kept verbatim (russian.py:393-421)
+_RU_TO_CYRILLIC = [
+    ("i^u", "ю"), ("i^a", "я"), ("shch", "щ"),
+    ("kh", "х"), ("t^s", "ц"), ("ch", "ч"),
+    ("e`", "э"), ("i`", "й"), ("sh", "ш"), ("k", "к"),
+    ("e", "е"), ("zh", "ж"), ("a", "а"), ("b", "б"),
+    ("v", "в"), ("g", "г"), ("d", "д"), ("e", "е"),
+    ("z", "з"), ("i", "и"), ("l", "л"), ("m", "м"),
+    ("n", "н"), ("o", "о"), ("p", "п"), ("r", "р"),
+    ("s", "с"), ("t", "т"), ("u", "у"), ("f", "ф"),
+    ("''", "ъ"), ("y", "ы"), ("'", "ь"),
+]
+
+
+def _ru_regions(word: str) -> tuple[str, str]:
+    """RV and R2 (reference russian.py:306-336): glides i^a/i^u/e` collapse
+    to single uppercase markers while scanning, then re-expand."""
+    vowels = ("A", "U", "E", "a", "e", "i", "o", "u", "y")
+    w = word.replace("i^a", "A").replace("i^u", "U").replace("e`", "E")
+    r1 = r2 = rv = ""
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = w[i + 1:]
+            break
+    for i in range(1, len(r1)):
+        if r1[i] not in vowels and r1[i - 1] in vowels:
+            r2 = r1[i + 1:]
+            break
+    for i in range(len(w)):
+        if w[i] in vowels:
+            rv = w[i + 1:]
+            break
+    r2 = r2.replace("A", "i^a").replace("U", "i^u").replace("E", "e`")
+    rv = rv.replace("A", "i^a").replace("U", "i^u").replace("E", "e`")
+    return rv, r2
+
+
+def stem_ru(word: str) -> str:
+    cyrillic = any(ord(ch) > 255 for ch in word)
+    if cyrillic:
+        for a, b in _RU_TO_ROMAN:
+            word = word.replace(a, b)
+    step1_success = False
+    adjectival_removed = False
+    verb_removed = False
+    undouble_success = False
+    superlative_removed = False
+    rv, r2 = _ru_regions(word)
+
+    # STEP 1
+    for suffix in _RU_PERF_GERUND:
+        if rv.endswith(suffix):
+            n = len(suffix)
+            if suffix in ("v", "vshi", "vshis'"):
+                if rv[-n - 3:-n] == "i^a" or rv[-n - 1:-n] == "a":
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    step1_success = True
+                    break
+            else:
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                step1_success = True
+                break
+
+    if not step1_success:
+        for suffix in _RU_REFLEXIVE:
+            if rv.endswith(suffix):
+                n = len(suffix)
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                break
+        for suffix in _RU_ADJECTIVAL:
+            if rv.endswith(suffix):
+                n = len(suffix)
+                if suffix in _RU_ADJ_NEEDS_A:
+                    if rv[-n - 3:-n] == "i^a" or rv[-n - 1:-n] == "a":
+                        word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                        adjectival_removed = True
+                        break
+                else:
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    adjectival_removed = True
+                    break
+        if not adjectival_removed:
+            for suffix in _RU_VERB:
+                if rv.endswith(suffix):
+                    n = len(suffix)
+                    if suffix in _RU_VERB_NEEDS_A:
+                        if rv[-n - 3:-n] == "i^a" or rv[-n - 1:-n] == "a":
+                            word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                            verb_removed = True
+                            break
+                    else:
+                        word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                        verb_removed = True
+                        break
+        if not adjectival_removed and not verb_removed:
+            for suffix in _RU_NOUN:
+                if rv.endswith(suffix):
+                    n = len(suffix)
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    break
+
+    # STEP 2
+    if rv.endswith("i"):
+        word, r2 = word[:-1], r2[:-1]
+
+    # STEP 3
+    for suffix in _RU_DERIVATIONAL:
+        if r2.endswith(suffix):
+            word = word[:-len(suffix)]
+            break
+
+    # STEP 4
+    if word.endswith("nn"):
+        word = word[:-1]
+        undouble_success = True
+    if not undouble_success:
+        for suffix in _RU_SUPERLATIVE:
+            if word.endswith(suffix):
+                word = word[:-len(suffix)]
+                superlative_removed = True
+                break
+        if word.endswith("nn"):
+            word = word[:-1]
+    if not undouble_success and not superlative_removed:
+        if word.endswith("'"):
+            word = word[:-1]
+
+    if cyrillic:
+        for a, b in _RU_TO_CYRILLIC:
+            word = word.replace(a, b)
+    return word
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
             "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt,
-            "ro": stem_ro, "fi": stem_fi, "fr": stem_fr, "hu": stem_hu}
+            "ro": stem_ro, "fi": stem_fi, "fr": stem_fr, "hu": stem_hu,
+            "ru": stem_ru}
 
 
 def stemmer_for(lang: str):
