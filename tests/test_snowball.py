@@ -112,3 +112,16 @@ def test_language_analyzer_romanian_no_stoplist(whoosh_ref):
     text = "Studenţii citesc şi lucrează în bibliotecă"
     want = [(t.text, t.pos) for t in LanguageAnalyzer("ro")(text, positions=True)]
     assert language_analyzer("ro").tokens(text) == want
+
+
+def test_pystemmer_fallback():
+    """PyStemmerFilter backend: the C library is absent here, so
+    pystemmer_for falls back to the bundled algorithm for the language."""
+    from whoosh_spark.analysis.snowball import pystemmer_for, stem_de
+
+    fn = pystemmer_for("german")
+    assert fn("freundlichkeiten") == stem_de("freundlichkeiten")
+    import pytest as _pytest
+
+    with _pytest.raises((ImportError, KeyError)):
+        pystemmer_for("klingon")

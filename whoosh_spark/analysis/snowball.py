@@ -1732,7 +1732,29 @@ STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
 
 
 def stemmer_for(lang: str):
-    """Stem function for an ISO language code (subset of the reference's
-    whoosh.lang.stemmer_for_language); raises KeyError for languages
-    without a bundled stemmer."""
+    """Stem function for an ISO language code (the reference's
+    whoosh.lang.stemmer_for_language — every language the reference
+    bundles is covered); raises KeyError for unknown codes."""
     return STEMMERS[lang]
+
+
+def pystemmer_for(lang_name: str):
+    """The reference PyStemmerFilter's backend (analysis/morph.py:152-216):
+    the C PyStemmer library when installed, else our bundled pure-Python
+    stemmer for the same language (capability-gated — this container has
+    no PyStemmer, and the bundled algorithms are the same published
+    Snowball definitions)."""
+    try:
+        import Stemmer  # the PyStemmer C extension
+
+        return Stemmer.Stemmer(lang_name).stemWord
+    except ImportError:
+        by_name = {"danish": "da", "norwegian": "no", "swedish": "sv",
+                   "german": "de", "spanish": "es", "dutch": "nl",
+                   "italian": "it", "portuguese": "pt", "romanian": "ro",
+                   "finnish": "fi", "french": "fr", "hungarian": "hu",
+                   "russian": "ru"}
+        code = by_name.get(lang_name, lang_name)
+        if code in STEMMERS:
+            return STEMMERS[code]
+        raise
