@@ -81,6 +81,13 @@ def _topk(s: Searcher, q: Q.Query, k: int = 20) -> DataFrame:
     )
 
 
+#: fixed vocabulary for the bm25_stemmed oracle — words whose Porter stems
+#: collide in interesting ways (several surface forms per stem)
+_STEM_VOCAB = ["rendering", "renders", "rendered", "connection",
+               "connections", "connected", "running", "quickly",
+               "quickness"]
+
+
 # ------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -539,6 +546,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = Q.Or([Q.Term("btext", "alpha"), Q.Term("btext", "gamma")])
         return _topk(s, q, 50)
 
+    def bm25_stemmed(spark, sf):
+        # stemming build path end-to-end: deterministic 3-word docs from a
+        # fixed vocabulary (doc_id arithmetic), indexed with the Porter
+        # StemmingAnalyzer; the oracle regenerates the same tokens and maps
+        # word->stem via a literal table (the stems themselves are verified
+        # against reference Whoosh in tests/test_stemming.py)
+        from whoosh_spark.analysis.tokenize import stemming_analyzer
+        from whoosh_spark.schema import FieldType
+
+        vocab = _STEM_VOCAB
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at(F.array(*[F.lit(w) for w in vocab]),
+                             (F.col("doc_id") % len(vocab)).cast("int") + 1),
+                F.element_at(F.array(*[F.lit(w) for w in vocab]),
+                             (F.floor(F.col("doc_id") / 3) % len(vocab)).cast("int") + 1),
+                F.lit("anchor"),
+            ).alias("stext"),
+        )
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"stem_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            schema = IndexSchema.of(stext=FieldType(
+                analyzer=stemming_analyzer(), indexed=True, scorable=True,
+                kind="text",
+            ))
+            build_index(spark, docs, schema, idx_dir, sha_col=None)
+        from whoosh_spark.analysis.morph import porter_stem
+
+        s = Searcher(Index(spark, idx_dir), exact_scores=False, cache_postings=False)
+        q = Q.Or([Q.Term("stext", porter_stem("rendering")),
+                  Q.Term("stext", porter_stem("connection"))])
+        return _topk(s, q, 50)
+
     def media_features(spark, sf):
         # REAL stdlib decode of PNG/WAV payloads (video = documented stub);
         # decoded width/height/sample_rate are invariant-checked against the
@@ -599,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_exact": embedding_neardup_exact,
         "bm25_token_boost": bm25_token_boost,
+        "bm25_stemmed": bm25_stemmed,
         "media_features": media_features,
     }
 
@@ -875,6 +929,41 @@ sc AS (
                 + f"\nSELECT doc_id, label FROM a{iters} ORDER BY doc_id")
 
     sql["kmeans_1d"] = _kmeans_sql()
+
+    from whoosh_spark.analysis.morph import porter_stem as _pstem
+
+    _stem_vals = ", ".join(
+        f"({i}, '{_pstem(w)}')" for i, w in enumerate(_STEM_VOCAB)
+    )
+    _q1, _q2 = _pstem("rendering"), _pstem("connection")
+    sql["bm25_stemmed"] = f"""
+WITH lenq(lo, hi, q) AS (VALUES {sql_quantize_cases()}),
+vocab(idx, s) AS (VALUES {_stem_vals}),
+base AS (SELECT doc_id FROM documents),
+toks AS (
+  SELECT b.doc_id, v.s AS term FROM base b JOIN vocab v ON v.idx = b.doc_id % {len(_STEM_VOCAB)}
+  UNION ALL
+  SELECT b.doc_id, v.s FROM base b JOIN vocab v ON v.idx = (b.doc_id // 3) % {len(_STEM_VOCAB)}
+  UNION ALL
+  SELECT doc_id, 'anchor' FROM base
+),
+nstats AS (SELECT count(*) AS n, 3 * count(*) AS total_len FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ('{_q1}', '{_q2}') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT f.doc_id,
+         sum((ln((SELECT CAST(n AS DOUBLE) FROM nstats) / (d.df + 1)) + 1)
+             * (f.tf * {_K1 + 1!r}) / (f.tf + {_K1!r} * ({1 - _B!r} + {_B!r} * CAST(l.q AS DOUBLE)
+                 / ((SELECT CAST(total_len AS DOUBLE) FROM nstats) / (SELECT CAST(n AS DOUBLE) FROM nstats))))) AS score
+  FROM tf f JOIN dfs d USING (term) JOIN lenq l ON 3 BETWEEN l.lo AND l.hi
+  GROUP BY f.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY round(score, 6) DESC, doc_id LIMIT 50
+""".strip()
     # token-boost BM25: weights/lengths/df derive from doc_id arithmetic
     # (mirrors bm25_token_boost's synthesized corpus exactly)
     sql["bm25_token_boost"] = f"""
