@@ -164,10 +164,30 @@ def test_path_tokenizer_matches_reference(whoosh_ref):
         assert ours.tokens(p) == want, p
 
 
-def test_variations_query(spark, tmp_path):
-    """Variations matches lexicon terms sharing the word's Porter stem,
-    scored per term (our documented engine-native strategy; the reference
-    generates rule-table suffix candidates instead)."""
+def test_morph_en_variations_match_reference(whoosh_ref):
+    """The LiteMorph_en expander: identical families for exception words,
+    identical rule expansions (incl. the reference's *-expansion no-op)."""
+    import random as _random
+
+    from whoosh.lang.morph_en import variations as ref_var
+
+    from whoosh_spark.analysis.morph_en import variations
+
+    for w in ["pull", "render", "tries", "happiness", "tokenizes", "act",
+              "crisis", "joyous", "running", "classes", "a", "was", "xyzzy"]:
+        assert set(variations(w)) == set(ref_var(w)), w
+    rng = _random.Random(5)
+    sufs = ["", "iness", "less", "ness", "ous", "ies", "sis", "es", "izes",
+            "s", "ed", "ing", "er", "est", "ly", "ment", "ful", "y", "e"]
+    for _ in range(3000):
+        w = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(1, 8))) + rng.choice(sufs)
+        assert set(variations(w)) == set(ref_var(w)), w
+
+
+def test_variations_query(spark, whoosh_ref, tmp_path):
+    """Variations top-k (doc, score) identical to the reference: morph_en
+    candidates filtered to the lexicon, each scored as its own Term."""
     from pyspark.sql import Row
 
     import whoosh_spark.query as Q
@@ -181,17 +201,32 @@ def test_variations_query(spark, tmp_path):
         (2, "rendered yesterday"),
         (3, "nothing to see"),
         (4, "render farm"),
+        (5, "it was happiness"),
     ]
     d = str(tmp_path / "varix")
     schema = IndexSchema.of(text=TEXT())
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
     build_index(spark, df, schema, d, sha_col=None)
+
+    from whoosh import fields
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.query import Variations as WVariations
+
+    wix = RamStorage().create_index(fields.Schema(text=fields.TEXT()))
+    w = wix.writer()
+    for _, t in docs:
+        w.add_document(text=t)
+    w.commit()
+
     s = Searcher(Index(spark, d))
-    hits = sorted(r["doc_id"] for r in s.search(Q.Variations("text", "render"), limit=None).collect())
-    assert hits == [0, 1, 2, 4]
-    # scored expansion: each variant scores like its own Term, summed per doc
-    scores = {r["doc_id"]: r["score"] for r in s.search(Q.Variations("text", "render"), limit=None).collect()}
-    assert all(v > 0 for v in scores.values())
+    for word in ["render", "rendering", "happy", "be"]:
+        with wix.searcher() as ws:
+            want = [(h.docnum, round(h.score, 9))
+                    for h in ws.search(WVariations("text", word), limit=10)]
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in s.search(Q.Variations("text", word), limit=10).collect()]
+        assert got == want, (word, got, want)
+    s.clear_cache()
 
 
 def test_compound_word_filter_matches_reference(whoosh_ref):

@@ -558,14 +558,14 @@ class FuzzyTerm(MultiTerm):
 
 
 class Variations(MultiTerm):
-    """Morphological variants of a word that exist in the lexicon (reference
-    query/terms.py:488-534 Variations). The reference GENERATES candidate
-    suffix forms with a 900-line rules table (lang/morph_en.py) and keeps
-    the ones present in the index; we match lexicon terms sharing the
-    word's Porter stem — same intent, engine-native. Documented divergence:
-    irregular forms from the reference's exceptions dictionary (e.g.
-    was/be) are not matched. Scored per term like the reference
-    (constantscore=False)."""
+    """Morphological variants of a word that exist in the lexicon
+    (reference query/terms.py:488-510 Variations): candidates come from
+    the LiteMorph_en rules/exception tables (analysis/morph_en.py, a
+    faithful re-expression of lang/morph_en.py incl. its irregular-form
+    exception families), and those present in the index match, each scored
+    as its own Term (constantscore=False). The candidate set is a small
+    driver-side literal, so the lexicon filter pushes down as a native
+    IN-list — no UDF, no collect."""
 
     def __init__(self, field: str, text: str, boost: float = 1.0):
         super().__init__(field, boost)
@@ -574,10 +574,18 @@ class Variations(MultiTerm):
     def __repr__(self):
         return f"Variations({self.field!r}, {self.text!r})"
 
-    def term_predicate(self, term):
-        from whoosh_spark.analysis.morph import porter_stem
+    def _candidates(self) -> frozenset:
+        from whoosh_spark.analysis.morph_en import variations
 
-        return porter_stem(term) == porter_stem(self.text)
+        return frozenset(variations(self.text))
+
+    def term_predicate(self, term):
+        return term in self._candidates()
+
+    def spark_exact_predicate(self):
+        from pyspark.sql import functions as F
+
+        return F.col("term").isin(*sorted(self._candidates()))
 
     def __eq__(self, other):
         return type(self) is type(other) and (
