@@ -210,22 +210,23 @@ def main():
     query_eff = (r32["queries_per_sec"] / r8["queries_per_sec"]) / factor
     summary = {
         "levels": [lo, hi],
-        "build_efficiency_8_to_32": round(build_eff, 3),
-        "query_efficiency_8_to_32": round(query_eff, 3),
-        "local8": r8,
-        "local32": r32,
+        "build_efficiency": round(build_eff, 3),
+        "query_efficiency": round(query_eff, 3),
+        f"local{lo}": r8,
+        f"local{hi}": r32,
         "whoosh_reference": whoosh,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
         json.dump(summary, f, indent=1)
     _write_md(summary)
-    print(json.dumps({"build_eff": summary["build_efficiency_8_to_32"],
-                      "query_eff": summary["query_efficiency_8_to_32"]}))
+    print(json.dumps({"build_eff": summary["build_efficiency"],
+                      "query_eff": summary["query_efficiency"]}))
 
 
 def _write_md(s: dict) -> None:
-    r8, r32, wref = s["local8"], s["local32"], s["whoosh_reference"]
+    lo, hi = s["levels"]
+    r8, r32, wref = s[f"local{lo}"], s[f"local{hi}"], s["whoosh_reference"]
     md = f"""# BENCH/BASELINE — measured numbers (this engine vs reference Whoosh)
 
 Method (per BASELINE.md / north_rule): the same jobs run at two
@@ -242,7 +243,7 @@ the same corpus (first {wref['n_docs']:,} docs; docs/s is size-independent).
 | whoosh_spark | local[{r32['cpus']}] | {r32['n_docs']:,} | {r32['build_sec']} | {r32['build_docs_per_sec']:,} |
 | reference Whoosh (1 proc) | 1 | {wref['n_docs']:,} | {wref['build_sec']} | {wref['build_docs_per_sec']:,} |
 
-**Build scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['build_efficiency_8_to_32']}**
+**Build scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['build_efficiency']}**
 (throughput ratio {r32['build_docs_per_sec']}/{r8['build_docs_per_sec']} over 4x cores)
 
 ## Query serving ({r8['n_queries']} BM25 term/disjunction queries, top-10)
@@ -255,7 +256,7 @@ Batch-mode serving (one job per query batch — the cluster pattern):
 | whoosh_spark (batch) | local[{r32['cpus']}] | {r32['n_queries']} | {r32['batch_sec']} | {r32['queries_per_sec']} |
 | reference Whoosh (1 proc) | 1 | {wref['n_queries']} | {wref['query_sec']} | {wref['queries_per_sec']} |
 
-**Query scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['query_efficiency_8_to_32']}**
+**Query scaling efficiency ({r8['cpus']} -> {r32['cpus']} cores): {s['query_efficiency']}**
 
 ## vs the reference at the same workload
 
