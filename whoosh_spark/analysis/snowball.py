@@ -13,6 +13,8 @@ whoosh.lang.stemmer_for_language subset).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 # ---------------------------------------------------------------- regions
 
 
@@ -58,6 +60,7 @@ _DA_STEP2 = ("gd", "dt", "gt", "kt")
 _DA_STEP3 = ("elig", "l\xf8st", "lig", "els", "ig")
 
 
+@_lru_cache(maxsize=65536)
 def stem_da(word: str) -> str:
     word = word.lower()
     r1 = _r1_scandinavian(word, _DA_VOWELS)
@@ -111,6 +114,7 @@ _NO_STEP3 = ("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig",
              "lig", "els", "lov", "ig")
 
 
+@_lru_cache(maxsize=65536)
 def stem_no(word: str) -> str:
     word = word.lower()
     r1 = _r1_scandinavian(word, _NO_VOWELS)
@@ -153,6 +157,7 @@ _SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
 _SV_STEP3 = ("fullt", "l\xf6st", "els", "lig", "ig")
 
 
+@_lru_cache(maxsize=65536)
 def stem_sv(word: str) -> str:
     word = word.lower()
     r1 = _r1_scandinavian(word, _SV_VOWELS)
@@ -191,6 +196,7 @@ _DE_STEP2 = ("est", "en", "er", "st")
 _DE_STEP3 = ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik")
 
 
+@_lru_cache(maxsize=65536)
 def stem_de(word: str) -> str:
     word = word.lower().replace("\xdf", "ss")
     # protect intervocalic u/y as uppercase (treated as consonants)
@@ -324,6 +330,7 @@ def _es_deaccent(s: str) -> str:
     return s.replace("\xe1", "a").replace("\xe9", "e").replace("\xed", "i")
 
 
+@_lru_cache(maxsize=65536)
 def stem_es(word: str) -> str:
     word = word.lower()
     step1_success = False
@@ -438,6 +445,7 @@ _NL_STEP1 = ("heden", "ene", "en", "se", "s")
 _NL_STEP3B = ("baar", "lijk", "bar", "end", "ing", "ig")
 
 
+@_lru_cache(maxsize=65536)
 def stem_nl(word: str) -> str:
     word = word.lower()
     step2_success = False
@@ -563,6 +571,7 @@ _IT_STEP2 = ("erebbero", "irebbero", "assero", "assimo", "eranno",
              "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir")
 
 
+@_lru_cache(maxsize=65536)
 def stem_it(word: str) -> str:
     word = word.lower()
     step1_success = False
@@ -699,6 +708,7 @@ _PT_STEP2 = ("ar\xedamos", "er\xedamos", "ir\xedamos", "\xe1ssemos",
 _PT_STEP4 = ("os", "a", "i", "o", "\xe1", "\xed", "\xf3")
 
 
+@_lru_cache(maxsize=65536)
 def stem_pt(word: str) -> str:
     word = word.lower()
     step1_success = False
@@ -836,6 +846,7 @@ _RO_STEP3_DROP = ("seserăţi", "seserăm", "serăţi",
                   "ăm", "em", "im", "\xe2m", "se")
 
 
+@_lru_cache(maxsize=65536)
 def stem_ro(word: str) -> str:
     """NOTE on fidelity: the port tests region membership with SUBSTRING
     checks (``suffix in r1``), not endswith — kept, as are the step-3
@@ -978,6 +989,7 @@ _FI_STEP4 = ("impi", "impa", "imp\xe4", "immi", "imma", "imm\xe4",
              "eja", "ej\xe4")
 
 
+@_lru_cache(maxsize=65536)
 def stem_fi(word: str) -> str:
     word = word.lower()
     step3_success = False
@@ -1152,6 +1164,7 @@ def _rv_french(word: str) -> str:
     return ""
 
 
+@_lru_cache(maxsize=65536)
 def stem_fr(word: str) -> str:
     word = word.lower()
     step1_success = False
@@ -1401,6 +1414,7 @@ def _r1_hungarian(word: str) -> str:
     return ""
 
 
+@_lru_cache(maxsize=65536)
 def stem_hu(word: str) -> str:
     word = word.lower()
     r1 = _r1_hungarian(word)
@@ -1629,6 +1643,7 @@ def _ru_regions(word: str) -> tuple[str, str]:
     return rv, r2
 
 
+@_lru_cache(maxsize=65536)
 def stem_ru(word: str) -> str:
     cyrillic = any(ord(ch) > 255 for ch in word)
     if cyrillic:
@@ -1734,7 +1749,16 @@ STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
 def stemmer_for(lang: str):
     """Stem function for an ISO language code (the reference's
     whoosh.lang.stemmer_for_language — every language the reference
-    bundles is covered); raises KeyError for unknown codes."""
+    bundles is covered); raises KeyError for unknown codes.
+
+    Every stem_xx is LRU-memoized at definition (64k entries, like
+    porter_stem in morph.py): build kernels call it once per token
+    OCCURRENCE and the heavier stemmers (Russian does a transliteration
+    round-trip) dominate non-English build cost without a memo. The
+    reference LRU-caches its StemFilter for the same reason
+    (src/whoosh/analysis/morph.py:35-56). Decorating the module attribute
+    (rather than wrapping here) keeps the function picklable by reference,
+    so each executor Python worker gets its own process-local memo."""
     return STEMMERS[lang]
 
 
