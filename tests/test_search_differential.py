@@ -360,3 +360,28 @@ def test_dfree_matches_formula(w100, whoosh_ref):
     assert [d for d, _ in got] == [d for d, _ in want[: len(got)]]
     for (d1, s1), (d2, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, rel=1e-12), d1
+
+
+def test_boolean_query_node(w100, whoosh_ref):
+    """Q.BooleanQuery == reference whoosh.query.BooleanQuery (the Lucene-
+    style required/should/prohibited composition, compound.py:655-657)."""
+    wq = _wq(whoosh_ref)
+    ix, wix = w100
+
+    ours_q = Q.BooleanQuery(
+        [Q.Term("text", "alfa"), Q.Term("text", "bravo")],
+        [Q.Term("text", "charlie")],
+        [Q.Term("text", "foxtrot")],
+    )
+    theirs_q = wq.BooleanQuery(
+        [wq.Term("text", "alfa"), wq.Term("text", "bravo")],
+        [wq.Term("text", "charlie")],
+        [wq.Term("text", "foxtrot")],
+    )
+    assert_identical(ours(ix, ours_q, limit=20), theirs(wix, theirs_q, limit=20),
+                     "boolean_query")
+
+    # reference quirk: empty required normalizes the whole thing to Null
+    assert Q.BooleanQuery([], [Q.Term("text", "charlie")], []) is Q.NullQuery
+    assert isinstance(wq.BooleanQuery([], [wq.Term("text", "charlie")], []),
+                      wq.qcore._NullQuery)

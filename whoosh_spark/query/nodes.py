@@ -305,6 +305,17 @@ class AndMaybe(BinaryQuery):
     """a's docs; add b's score where b matches (compound.py:627-652)."""
 
 
+def BooleanQuery(required, should, prohibited) -> "Query":
+    """Lucene-style boolean composition (reference compound.py:655-657):
+    ``AndNot(AndMaybe(And(required), Or(should)), Or(prohibited))``,
+    normalized. Faithfully keeps the reference quirk that an empty
+    ``required`` list normalizes the whole query to NullQuery (And([]) ->
+    NullQuery propagates through AndMaybe) — should-only boolean queries
+    need an explicit Or."""
+    return AndNot(AndMaybe(And(list(required)), Or(list(should))),
+                  Or(list(prohibited))).normalize()
+
+
 class Otherwise(BinaryQuery):
     """b only if a matches nothing (compound.py:576-587)."""
 

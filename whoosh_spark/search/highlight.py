@@ -108,6 +108,100 @@ def context_fragments(text: str, tokens, maxchars: int = 200, surround: int = 20
         yield _mkfrag(text, tks, first, endchar)
 
 
+def sentence_fragments(text: str, tokens, maxchars: int = 200,
+                       sentencechars: str = ".!?",
+                       charlimit: int = DEFAULT_CHARLIMIT):
+    """SentenceFragmenter semantics (reference highlight.py:343-417): a
+    sentence ends when the char AFTER a token is in ``sentencechars``
+    (runs of punctuation like "..." do not end it); sentences with matches
+    and length <= maxchars are emitted, spanning first-token start to
+    last-token end (trailing punctuation excluded). Use with an analyzer
+    that keeps stop words (our retokenizer always does)."""
+    sentenceset = frozenset(sentencechars)
+    textlen = len(text)
+    first = None
+    tks: list = []
+    endchar = None
+    currentlen = 0
+
+    for t in tokens:
+        startchar = t.startchar
+        endchar = t.endchar
+        if charlimit and endchar > charlimit:
+            break
+        if first is None:
+            first = startchar
+            currentlen = 0
+        currentlen += endchar - startchar
+        if t.matched:
+            tks.append(t)
+        if endchar < textlen and text[endchar] in sentenceset:
+            if endchar + 1 < textlen and text[endchar + 1] in sentenceset:
+                continue  # "..." — not a sentence end
+            if tks and currentlen <= maxchars:
+                yield _mkfrag(text, tks, first, endchar)
+            tks = []
+            first = None
+            currentlen = 0
+
+    if tks:
+        yield _mkfrag(text, tks, first, endchar)
+
+
+def pinpoint_fragments(text: str, tokens, maxchars: int = 200, surround: int = 20,
+                       autotrim: bool = False, charlimit: int = DEFAULT_CHARLIMIT):
+    """PinpointFragmenter semantics (reference highlight.py:506-583): build
+    fragments directly around runs of MATCHED tokens — greedily absorb the
+    next match while it starts within ``surround`` of the current right
+    edge and keeps the fragment under ``maxchars`` — then pad ``surround``
+    chars of raw context either side. ``autotrim`` snaps the padded edges
+    to word boundaries (first/last space) without cutting into a match.
+    Non-retokenizing in the reference (Characters format offsets); our
+    offsets come from the same retokenizer as the other fragmenters."""
+    matched = [t for t in tokens if t.matched]
+    j = -1
+    for i, t in enumerate(matched):
+        if j >= i:
+            continue
+        j = i
+        left = t.startchar
+        right = t.endchar
+        if charlimit and right > charlimit:
+            break
+        currentlen = right - left
+        while j < len(matched) - 1 and currentlen < maxchars:
+            nxt = matched[j + 1]
+            ec = nxt.endchar
+            if ec - right <= surround and ec - left <= maxchars:
+                j += 1
+                right = ec
+                currentlen += ec - nxt.startchar
+            else:
+                break
+        left = max(0, left - surround)
+        right = min(len(text), right + surround)
+        frag = _Fragment(text, list(matched[i:j + 1]), left, right)
+        if autotrim:
+            _autotrim(frag)
+        yield frag
+
+
+def _autotrim(fragment: _Fragment) -> None:
+    text = fragment.text
+    startchar, endchar = fragment.startchar, fragment.endchar
+    firstspace = text.find(" ", startchar, endchar)
+    if firstspace > 0:
+        startchar = firstspace + 1
+    lastspace = text.rfind(" ", startchar, endchar)
+    if lastspace > 0:
+        endchar = lastspace
+    if fragment.matches:
+        startchar = min(startchar, fragment.matches[0].startchar)
+        endchar = max(endchar, fragment.matches[-1].endchar)
+    fragment.startchar = startchar
+    fragment.endchar = endchar
+
+
 def whole_fragment(text: str, tokens, charlimit: int = DEFAULT_CHARLIMIT):
     matches = [t for t in tokens if t.matched and (not charlimit or t.endchar <= charlimit)]
     yield _Fragment(text, matches, 0, len(text))
@@ -177,6 +271,13 @@ def highlight_text(text: str, terms, analyzer: Analyzer | None = None, top: int 
     tokens = _char_tokens(text or "", analyzer, termset)
     if fragmenter == "context":
         frags = list(context_fragments(text or "", tokens, maxchars, surround))
+    elif fragmenter == "sentence":
+        frags = list(sentence_fragments(text or "", tokens, maxchars))
+    elif fragmenter == "pinpoint":
+        frags = list(pinpoint_fragments(text or "", tokens, maxchars, surround))
+    elif fragmenter == "pinpoint_autotrim":
+        frags = list(pinpoint_fragments(text or "", tokens, maxchars, surround,
+                                        autotrim=True))
     else:
         frags = list(whole_fragment(text or "", tokens))
     # reference top_fragments uses nlargest on (score, fragment) tuples and
