@@ -593,13 +593,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(s, q, 50)
 
     def media_features(spark, sf):
-        # REAL stdlib decode of PNG/WAV payloads (video = documented stub);
-        # decoded width/height/sample_rate are invariant-checked against the
-        # generator metadata in tests/test_functions.py
+        # REAL stdlib decode: Spark regenerates the deterministic payloads
+        # live and parses them (PNG chunk/IHDR + inflate, WAV PCM); the
+        # DuckDB oracle reads the committed snapshot of the same generator
+        # (tests/fixtures/media_100.parquet, scripts/make_media_fixture.py)
+        # and recomputes sha256/n_bytes/dims from payload + metadata — a
+        # hash match proves the decoders recover the generator's metadata.
+        # `decoded` is the per-row real-codec flag (False = video hash stub).
         from whoosh_spark.functions.multimodal import extract_features, synth_media
 
         return extract_features(synth_media(spark, 100), decoder="stdlib").select(
-            "media_id", "kind", "payload_sha256", "n_bytes", "width", "height", "sample_rate"
+            "media_id", "kind", "payload_sha256", "n_bytes", "width", "height",
+            "sample_rate", "n_samples", "decoded"
         )
 
     return {
@@ -993,7 +998,21 @@ sc AS (
 SELECT doc_id, round(score, 6) AS score FROM sc
 ORDER BY round(score, 6) DESC, doc_id LIMIT 50
 """.strip()
-    # media_features stays rows-only (real stdlib PNG/WAV decode is
-    # invariant-checked vs generator metadata in tests/test_functions.py;
-    # binary decode has no SQL equivalent)
+    # media_features: DuckDB reads the committed generator snapshot
+    # (payload BLOB + metadata, tests/fixtures/media_100.parquet) and
+    # recomputes n_bytes itself from the blob; width/height/sample_rate/
+    # n_samples come from generator metadata, which the Spark side must
+    # recover by ACTUALLY decoding the live-generated payloads. sha256 is
+    # precomputed in the fixture (DuckDB's sha256() is VARCHAR-only).
+    sql["media_features"] = f"""
+SELECT media_id, kind, payload_sha256,
+       CAST(octet_length(payload) AS INT) AS n_bytes,
+       CASE WHEN kind = 'image' THEN width END AS width,
+       CASE WHEN kind = 'image' THEN height END AS height,
+       CASE WHEN kind = 'audio' THEN sample_rate END AS sample_rate,
+       CASE WHEN kind = 'audio'
+            THEN CAST(sample_rate * duration_ms / 1000 AS INT) END AS n_samples,
+       kind <> 'video' AS decoded
+FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "media_100.parquet")}')
+""".strip()
     return sql

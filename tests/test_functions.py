@@ -230,9 +230,15 @@ def test_multimodal_real_decode(spark):
             # the REAL PNG decode recovers the generator's dimensions
             assert (r["width"], r["height"]) == (m["width"], m["height"])
             assert r["feature"][0] == m["width"] and r["feature"][1] == m["height"]
+            assert r["decoded"] is True
         elif r["kind"] == "audio":
             assert r["sample_rate"] == m["sample_rate"]
+            assert r["n_samples"] == m["sample_rate"] * m["duration_ms"] // 1000
             assert r["feature"][1] == m["sample_rate"] * m["duration_ms"] // 1000
+            assert r["decoded"] is True
+        else:
+            # video: documented hash-fallback stub, flagged per-row
+            assert r["decoded"] is False and r["width"] is None
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0
     # fake path still deterministic

@@ -62,6 +62,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        # True only when a real codec decoded the payload; the video/unknown
+        # hash-fallback (and decoder="fake") sets False, so a caller can
+        # always tell real features from the documented stub per-row.
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
@@ -185,6 +190,38 @@ def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
 
 # ---------------------------------------------------------------- synth table
 
+def synth_media_row(i: int, seed: int = 42) -> dict:
+    """One deterministic synthetic media row (pure function of (i, seed) —
+    shared by the distributed generator below and the committed DuckDB
+    fixture in tests/fixtures/, so the oracle can cross-check live payloads
+    against the committed snapshot byte-for-byte)."""
+    kinds = ["image", "audio", "video"]
+    kind = kinds[i % 3]
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    if kind == "image":
+        w = 8 + (i % 4) * 4
+        h = 8 + (i % 3) * 4
+        payload = png_encode_gray(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+        meta = {"width": w, "height": h, "duration_ms": None, "sample_rate": None}
+    elif kind == "audio":
+        rate = 8000
+        dur_ms = 10 + (i % 20) * 5
+        ns = rate * dur_ms // 1000
+        samples = (rng.standard_normal(ns) * 8000).clip(-32768, 32767)
+        payload = wav_encode_pcm16(samples, rate)
+        meta = {"width": None, "height": None, "duration_ms": dur_ms, "sample_rate": rate}
+    else:
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        meta = {"width": 64, "height": 64, "duration_ms": 1000 + i % 9000, "sample_rate": None}
+    return {
+        "media_id": i,
+        "kind": kind,
+        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+        "payload": payload,
+        "meta": meta,
+    }
+
+
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads: actual PNG
     images and WAV audio (stdlib-decodable); video payloads are opaque
@@ -192,37 +229,8 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     base = spark.range(0, n)
 
     def gen(batches):
-        kinds = ["image", "audio", "video"]
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                kind = kinds[i % 3]
-                rng = np.random.default_rng(seed * 1_000_003 + i)
-                if kind == "image":
-                    w = 8 + (i % 4) * 4
-                    h = 8 + (i % 3) * 4
-                    payload = png_encode_gray(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
-                    meta = {"width": w, "height": h, "duration_ms": None, "sample_rate": None}
-                elif kind == "audio":
-                    rate = 8000
-                    dur_ms = 10 + (i % 20) * 5
-                    ns = rate * dur_ms // 1000
-                    samples = (rng.standard_normal(ns) * 8000).clip(-32768, 32767)
-                    payload = wav_encode_pcm16(samples, rate)
-                    meta = {"width": None, "height": None, "duration_ms": dur_ms, "sample_rate": rate}
-                else:
-                    payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-                    meta = {"width": 64, "height": 64, "duration_ms": 1000 + i % 9000, "sample_rate": None}
-                rows.append(
-                    {
-                        "media_id": i,
-                        "kind": kind,
-                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                        "payload": payload,
-                        "meta": meta,
-                    }
-                )
+            rows = [synth_media_row(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
@@ -251,7 +259,8 @@ def _capability_check(decoder: str) -> None:
 
 
 def _stdlib_features(kind: str, mime: str, payload: bytes):
-    """(feature[16], width, height, sample_rate) via real stdlib decode."""
+    """(feature[16], width, height, sample_rate, n_samples, decoded) via
+    real stdlib decode; decoded=False marks the hash-fallback stub."""
     if kind == "image" and mime == "image/png":
         w, h, px = png_decode(payload)
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
@@ -263,7 +272,7 @@ def _stdlib_features(kind: str, mime: str, payload: bytes):
         # 10-bin histogram of pixel intensity
         hist, _ = np.histogram(px, bins=10, range=(0, 256))
         f[6:16] = hist / max(px.size, 1)
-        return f, w, h, None
+        return f, w, h, None, None, True
     if kind == "audio" and mime == "audio/wav":
         rate, s = wav_decode(payload)
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
@@ -276,9 +285,9 @@ def _stdlib_features(kind: str, mime: str, payload: bytes):
             f[5] = float((np.diff(np.signbit(s)) != 0).sum()) / max(len(s) - 1, 1)  # zero-cross rate
             hist, _ = np.histogram(s, bins=10, range=(-1.0, 1.0))
             f[6:16] = hist / len(s)
-        return f, None, None, rate
+        return f, None, None, rate, len(s), True
     # no stdlib codec (video / unknown mime): deterministic fallback stub
-    return _fake_decode(payload), None, None, None
+    return _fake_decode(payload), None, None, None, None, False
 
 
 def extract_features(media: DataFrame, decoder: str = "stdlib") -> DataFrame:
@@ -294,19 +303,21 @@ def extract_features(media: DataFrame, decoder: str = "stdlib") -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            feats, shas, nb, ws, hs, rates = [], [], [], [], [], []
+            feats, shas, nb, ws, hs, rates, nsamp, dec = [], [], [], [], [], [], [], []
             for kind, mime, payload in zip(pdf["kind"], pdf["mime"], pdf["payload"]):
                 b = bytes(payload)
                 if decoder == "stdlib":
-                    f, w, h, rate = _stdlib_features(kind, mime, b)
+                    f, w, h, rate, ns, ok = _stdlib_features(kind, mime, b)
                 else:  # fake (pillow/librosa never reach here in-sandbox)
-                    f, w, h, rate = _fake_decode(b), None, None, None
+                    f, w, h, rate, ns, ok = _fake_decode(b), None, None, None, None, False
                 feats.append(np.asarray(f, dtype=np.float32).tolist())
                 shas.append(hashlib.sha256(b).hexdigest())
                 nb.append(len(b))
                 ws.append(w)
                 hs.append(h)
                 rates.append(rate)
+                nsamp.append(ns)
+                dec.append(ok)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -317,6 +328,8 @@ def extract_features(media: DataFrame, decoder: str = "stdlib") -> DataFrame:
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
                     "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(nsamp, dtype="Int32"),
+                    "decoded": dec,
                 }
             )
 
