@@ -87,6 +87,13 @@ _STEM_VOCAB = ["rendering", "renders", "rendered", "connection",
                "connections", "connected", "running", "quickly",
                "quickness"]
 
+#: German vocabulary for bm25_stemmed_de — surface forms whose bundled
+#: Snowball stem_de outputs collide (arbeiten/arbeitet(e), verbindung(en),
+#: wissenschaft(en)); none are in the German stop list
+_STEM_VOCAB_DE = ["arbeiten", "arbeitet", "arbeitete", "verbindung",
+                  "verbindungen", "verbunden", "wissenschaft",
+                  "wissenschaften", "schnelligkeit"]
+
 
 # ------------------------------------------------------------------- entry
 
@@ -546,6 +553,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = Q.Or([Q.Term("btext", "alpha"), Q.Term("btext", "gamma")])
         return _topk(s, q, 50)
 
+    def posboost_stored(spark, sf):
+        # CharacterBoosts format (reference formats.py:406-481): per-
+        # occurrence boosts AND char spans stored in posting blocks.
+        # Corpus from doc_id arithmetic: "alfa^B1 beta [gamma] alfa^B2"
+        # (B1 = 1+doc_id%3, B2 = 2+doc_id%2, gamma on odd docs). The Spark
+        # side DECODES the stored payloads (char_postings) and aggregates
+        # them JVM-side (zip_with/aggregate); the oracle recomputes
+        # positions/boosts/char offsets straight from the arithmetic — a
+        # hash match proves the per-position payloads round-trip exactly.
+        from whoosh_spark.analysis.tokenize import Analyzer
+        from whoosh_spark.schema import TEXT
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id",
+            F.concat(
+                F.lit("alfa^"), (F.lit(1) + F.col("doc_id") % 3).cast("int").cast("string"),
+                F.lit(" beta"),
+                F.when(F.col("doc_id") % 2 == 1, F.lit(" gamma")).otherwise(F.lit("")),
+                F.lit(" alfa^"), (F.lit(2) + F.col("doc_id") % 2).cast("int").cast("string"),
+            ).alias("btext"),
+        )
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"posboost_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            ana = Analyzer(pattern=r"\S+", lowercase=True, use_stopfilter=False,
+                           delimited_boost="^")
+            schema = IndexSchema.of(
+                btext=TEXT(analyzer=ana, chars=True, pos_boosts=True)
+            )
+            build_index(spark, docs, schema, idx_dir, sha_col=None)
+        cp = Index(spark, idx_dir).char_postings("btext", term="alfa")
+        return cp.select(
+            "doc_id",
+            F.size("positions").alias("n_pos"),
+            F.col("weight").alias("weight"),
+            F.expr(
+                "aggregate(zip_with(positions, pos_boosts,"
+                " (p, b) -> (CAST(p AS DOUBLE) + 1.0d) * b),"
+                " 0.0d, (acc, x) -> acc + x)"
+            ).alias("pb_dot"),
+            F.element_at("startchars", 2).alias("sc2"),
+            F.element_at("endchars", 2).alias("ec2"),
+        ).orderBy("doc_id")
+
     def bm25_stemmed(spark, sf):
         # stemming build path end-to-end: deterministic 3-word docs from a
         # fixed vocabulary (doc_id arithmetic), indexed with the Porter
@@ -590,6 +651,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = Searcher(Index(spark, idx_dir), exact_scores=False, cache_postings=False)
         q = Q.Or([Q.Term("stext", porter_stem("rendering")),
                   Q.Term("stext", porter_stem("connection"))])
+        return _topk(s, q, 50)
+
+    def bm25_stemmed_de(spark, sf):
+        # non-English (German Snowball) stemmed search, driver-gated
+        # end-to-end: same fixed-vocab doc_id-arithmetic corpus pattern as
+        # bm25_stemmed but indexed with language_analyzer("de") (bundled
+        # stem_de + German stop list); the oracle maps word->stem via a
+        # literal table (stem_de itself is diffed against the reference
+        # German Snowball class in tests/test_snowball.py)
+        from whoosh_spark.analysis.tokenize import language_analyzer
+        from whoosh_spark.schema import FieldType
+
+        vocab = _STEM_VOCAB_DE
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at(F.array(*[F.lit(w) for w in vocab]),
+                             (F.col("doc_id") % len(vocab)).cast("int") + 1),
+                F.element_at(F.array(*[F.lit(w) for w in vocab]),
+                             (F.floor(F.col("doc_id") / 3) % len(vocab)).cast("int") + 1),
+                F.lit("anker"),
+            ).alias("dtext"),
+        )
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"stemde_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            schema = IndexSchema.of(dtext=FieldType(
+                analyzer=language_analyzer("de"), indexed=True, scorable=True,
+                kind="text",
+            ))
+            build_index(spark, docs, schema, idx_dir, sha_col=None)
+        from whoosh_spark.analysis.snowball import stem_de
+
+        s = Searcher(Index(spark, idx_dir), exact_scores=False, cache_postings=False)
+        q = Q.Or([Q.Term("dtext", stem_de("verbindungen")),
+                  Q.Term("dtext", stem_de("arbeitet"))])
         return _topk(s, q, 50)
 
     def media_features(spark, sf):
@@ -658,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": embedding_neardup_exact,
         "bm25_token_boost": bm25_token_boost,
         "bm25_stemmed": bm25_stemmed,
+        "posboost_stored": posboost_stored,
+        "bm25_stemmed_de": bm25_stemmed_de,
         "media_features": media_features,
     }
 
@@ -969,8 +1079,63 @@ sc AS (
 SELECT doc_id, round(score, 6) AS score FROM sc
 ORDER BY round(score, 6) DESC, doc_id LIMIT 50
 """.strip()
+    from whoosh_spark.analysis.snowball import stem_de as _destem
+
+    _stem_vals_de = ", ".join(
+        f"({i}, '{_destem(w)}')" for i, w in enumerate(_STEM_VOCAB_DE)
+    )
+    _dq1, _dq2 = _destem("verbindungen"), _destem("arbeitet")
+    sql["bm25_stemmed_de"] = f"""
+WITH lenq(lo, hi, q) AS (VALUES {sql_quantize_cases()}),
+vocab(idx, s) AS (VALUES {_stem_vals_de}),
+base AS (SELECT doc_id FROM documents),
+toks AS (
+  SELECT b.doc_id, v.s AS term FROM base b JOIN vocab v ON v.idx = b.doc_id % {len(_STEM_VOCAB_DE)}
+  UNION ALL
+  SELECT b.doc_id, v.s FROM base b JOIN vocab v ON v.idx = (b.doc_id // 3) % {len(_STEM_VOCAB_DE)}
+  UNION ALL
+  SELECT doc_id, '{_destem("anker")}' FROM base
+),
+nstats AS (SELECT count(*) AS n, 3 * count(*) AS total_len FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+  WHERE term IN ('{_dq1}', '{_dq2}') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT f.doc_id,
+         sum((ln((SELECT CAST(n AS DOUBLE) FROM nstats) / (d.df + 1)) + 1)
+             * (f.tf * {_K1 + 1!r}) / (f.tf + {_K1!r} * ({1 - _B!r} + {_B!r} * CAST(l.q AS DOUBLE)
+                 / ((SELECT CAST(total_len AS DOUBLE) FROM nstats) / (SELECT CAST(n AS DOUBLE) FROM nstats))))) AS score
+  FROM tf f JOIN dfs d USING (term) JOIN lenq l ON 3 BETWEEN l.lo AND l.hi
+  GROUP BY f.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY round(score, 6) DESC, doc_id LIMIT 50
+""".strip()
     # token-boost BM25: weights/lengths/df derive from doc_id arithmetic
     # (mirrors bm25_token_boost's synthesized corpus exactly)
+    # posboost_stored: recompute the CharacterBoosts payloads from the same
+    # doc_id arithmetic that generated the corpus. alfa occurs at positions
+    # 0 and 2 (even docs) / 3 (odd docs: gamma in between); the second
+    # occurrence starts after "alfa^B beta " (12 chars) plus " gamma" (6)
+    # on odd docs, and spans 4 chars.
+    sql["posboost_stored"] = """
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS b1,
+         2 + doc_id % 2 AS b2,
+         doc_id % 2 = 1 AS odd
+  FROM documents
+)
+SELECT doc_id,
+       2 AS n_pos,
+       CAST(b1 + b2 AS DOUBLE) AS weight,
+       CAST(b1 + (CASE WHEN odd THEN 4 ELSE 3 END) * b2 AS DOUBLE) AS pb_dot,
+       CAST(CASE WHEN odd THEN 18 ELSE 12 END AS INT) AS sc2,
+       CAST(CASE WHEN odd THEN 22 ELSE 16 END AS INT) AS ec2
+FROM d ORDER BY doc_id
+""".strip()
     sql["bm25_token_boost"] = f"""
 WITH lenq(lo, hi, q) AS (VALUES {sql_quantize_cases()}),
 base AS (

@@ -1,0 +1,128 @@
+"""Batch block-max WAND evidence on a skewed corpus (VERDICT r3 task #5).
+
+Builds (or reuses) a zipfian synthetic code corpus, runs a selective
+500-query batch (each query = 1 hot head term + 1-2 rare tail terms, the
+shape WAND prunes best) through the exact batch path AND the batch WAND
+path, asserts the top-k lists are identical, and records wall times plus
+blocks_kept/blocks_total to BENCH/WAND_SKEW.json.
+
+Env: WAND_DOCS (default 600000), WAND_QUERIES (500), WAND_CPUS (8),
+WAND_K (10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("WAND_DOCS", "600000"))
+N_QUERIES = int(os.environ.get("WAND_QUERIES", "500"))
+CPUS = int(os.environ.get("WAND_CPUS", "8"))
+K = int(os.environ.get("WAND_K", "10"))
+
+CORPUS_DIR = os.path.join(REPO, ".index_cache", f"wand_corpus_{N_DOCS}")
+IDX_DIR = os.path.join(REPO, ".index_cache", f"wand_idx_{N_DOCS}")
+
+
+def selective_workload(n: int) -> list[tuple[str, str, list[str]]]:
+    """1 hot head term + 1-2 rare tail terms per query: theta is driven by
+    the rare term's quality, so most of the hot term's low-bound blocks
+    should prune."""
+    from whoosh_spark.corpus import VOCAB
+
+    rng = random.Random(4321)
+    head, tail = VOCAB[:20], VOCAB[-24:]
+    out = []
+    for i in range(n):
+        terms = [rng.choice(head)] + rng.sample(tail, rng.choice([1, 1, 2]))
+        out.append((f"q{i}", "content", terms))
+    return out
+
+
+def main() -> None:
+    from whoosh_spark.corpus import synth_code_corpus
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.schema import code_corpus_schema
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.search.batch import batch_term_search, batch_wand_search
+    from whoosh_spark.session import get_spark
+
+    spark = get_spark("wand_skew", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS * 4, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        synth_code_corpus(spark, N_DOCS, partitions=64).write.mode(
+            "overwrite").parquet(CORPUS_DIR)
+    docs = spark.read.parquet(CORPUS_DIR)
+
+    from whoosh_spark.index.segment import index_exists, read_manifest
+
+    rebuild = True
+    if index_exists(IDX_DIR):
+        try:
+            rebuild = read_manifest(IDX_DIR).doc_count_all() != N_DOCS
+        except Exception:
+            rebuild = True
+    if rebuild:
+        import shutil
+
+        shutil.rmtree(IDX_DIR, ignore_errors=True)
+        build_index(spark, docs, code_corpus_schema(), IDX_DIR, sha_col="content")
+
+    s = Searcher(Index(spark, IDX_DIR), exact_scores=False, cache_postings=False)
+    qs = selective_workload(N_QUERIES)
+
+    # warm both plans (footers, stats prefetch, JIT)
+    batch_term_search(s, qs[:2], k=K).collect()
+    batch_wand_search(s, qs[:2], k=K).collect()
+
+    def timed(fn, runs=2):
+        best, rows = None, None
+        for _ in range(runs):
+            t0 = time.time()
+            got = fn().collect()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, rows = dt, got
+        return best, rows
+
+    exact_sec, exact_rows = timed(lambda: batch_term_search(s, qs, k=K))
+    wand_sec, wand_rows = timed(lambda: batch_wand_search(s, qs, k=K))
+
+    # exactness gate: identical (query, rank) -> (doc, score) lists
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
+                               round(r["score"], 9)) for r in rows)
+    assert key(exact_rows) == key(wand_rows), "batch WAND diverged from exact"
+
+    _, stats = batch_wand_search(s, qs, k=K, with_stats=True)
+    out = {
+        "n_docs": N_DOCS,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "cpus": CPUS,
+        "workload": "selective: 1 hot head term + 1-2 rare tail terms",
+        "exact_batch_sec": round(exact_sec, 2),
+        "wand_batch_sec": round(wand_sec, 2),
+        "speedup": round(exact_sec / wand_sec, 2),
+        **stats,
+        "qt_prune_pct": round(100 * (1 - stats["qt_blocks_kept"] / stats["qt_blocks_total"]), 1),
+        "decode_prune_pct": round(
+            100 * (1 - stats["decode_blocks_kept"] / stats["decode_blocks_total"]), 1),
+        "results_identical": True,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "WAND_SKEW.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

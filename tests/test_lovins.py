@@ -1,0 +1,55 @@
+"""Differential test: our Lovins stemmer vs the reference
+whoosh.lang.lovins.stem on random and dictionary-ish words."""
+
+import random
+import string
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ref(whoosh_ref):
+    from whoosh.lang import lovins
+
+    return lovins
+
+
+WORDS = ("nationally magnesia knives sitting dies rationalizations crying "
+         "systematically matrix analyses explosive explosion induction "
+         "inducing conductivity receptivity childishness happily running "
+         "serializability izationally arizability believes conduct").split()
+
+
+def test_lovins_matches_reference(ref):
+    from whoosh_spark.analysis.lovins import stem
+
+    rng = random.Random(99)
+    suffixes = ["ations", "ally", "izing", "ement", "ness", "ically", "s",
+                "ed", "ing", "ion", "ity", "", "es", "ex", "umpt", "olv"]
+    words = list(WORDS)
+    for _ in range(30000):
+        stemlen = rng.randint(1, 8)
+        base = "".join(rng.choice(string.ascii_lowercase) for _ in range(stemlen))
+        words.append(base + rng.choice(suffixes))
+    checked = 0
+    for w in words:
+        try:
+            want = ref.stem(w)
+        except IndexError:
+            # reference K/X conditions crash on short bases (see quirk test)
+            continue
+        assert stem(w) == want, w
+        checked += 1
+    assert checked > 25000
+
+
+def test_lovins_reference_crash_quirk(ref):
+    """Reference conditions K and X read base[-3] on a 2-char base and
+    crash (lovins.py:65-70,141-146), e.g. stem("near") -> IndexError; we
+    evaluate the documented 'u*e' check safely instead (condition False,
+    ending kept)."""
+    from whoosh_spark.analysis.lovins import stem
+
+    with pytest.raises(IndexError):
+        ref.stem("near")
+    assert stem("near") == "near"

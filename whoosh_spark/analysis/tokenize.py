@@ -82,6 +82,11 @@ class Analyzer:
     #: StemFilter(lang=...) (morph.py stemfn path); applied where `stem`
     #: would be, mutually exclusive with it
     lang_stem: str | None = None
+    #: alternative stem algorithm name — the reference's
+    #: StemFilter(stemfn=...) plug point with one of the bundled
+    #: non-Porter/non-Snowball stemmers: "lovins" | "paicehusk" | "isri"
+    #: (each diff-tested vs the reference whoosh.lang module)
+    alt_stem: str | None = None
     #: IntraWordFilter options (delims, splitwords, splitnums, mergewords,
     #: mergenums) — None disables. Runs BEFORE lowercasing, like the
     #: reference chain order (analysis/analyzers.py FancyAnalyzer).
@@ -332,6 +337,90 @@ class Analyzer:
 
         return kern
 
+    def tokens_chars(self, text: str) -> list[tuple[str, int, int, int, float]]:
+        """(term, position, startchar, endchar, boost) — the token stream
+        for PositionBoosts/CharacterBoosts-format fields (reference
+        formats.py:339-481 word_values with positions+chars+boosts=True).
+
+        Char offsets are the tokenizer match span in the ORIGINAL text;
+        like the reference chain, later text-rewriting filters (stem,
+        substitutions, lowercase, fold) do NOT move them — only
+        DelimitedAttributeFilter trims ``endchar`` past the delimiter
+        (filters.py:429-431). Restricted to 1:1-or-drop chains; token-
+        multiplying filters (ngram/intraword/compound/shingle/tee/
+        dmetaphone/path/charmap) raise."""
+        if (self.ngram is not None or self.intraword is not None
+                or self.compound_words is not None or self.shingle is not None
+                or self.tee is not None or self.dmetaphone is not None
+                or self.path_mode or self.charmap is not None):
+            raise ValueError(
+                "character/position-boost formats require a 1:1-or-drop "
+                "analyzer chain (no ngram/intraword/compound/shingle/tee/"
+                "dmetaphone/path/charmap)"
+            )
+        d = self.delimited_boost
+        toks: list[tuple[str, int, int, int, float]] = []
+        for pos, m in enumerate(self._pat().finditer(text)):
+            t = m.group(0)
+            sc, ec = m.start(), m.end()
+            if d is not None and d in t:
+                t, _, suffix = t.partition(d)
+                ec -= len(d) + len(suffix)
+                toks.append((t, pos, sc, ec, float(suffix)))
+            else:
+                toks.append((t, pos, sc, ec, 1.0))
+        if self.strip:
+            # reference StripFilter strips text but leaves chars untouched
+            toks = [(t.strip(), p, sc, ec, b) for t, p, sc, ec, b in toks]
+        if self.lowercase:
+            toks = [(t.lower(), p, sc, ec, b) for t, p, sc, ec, b in toks]
+        if self.accent_fold:
+            from whoosh_spark.analysis.intraword import fold_accents
+
+            toks = [(fold_accents(t), p, sc, ec, b) for t, p, sc, ec, b in toks]
+        for pat, repl in self.substitutions:
+            rx = _compiled(pat)
+            toks = [(rx.sub(repl, t), p, sc, ec, b) for t, p, sc, ec, b in toks]
+        if self.reverse:
+            toks = [(t[::-1], p, sc, ec, b) for t, p, sc, ec, b in toks]
+        if self.use_stopfilter:
+            kept = []
+            first_pos = None
+            for t, pos, sc, ec, b in toks:
+                if len(t) >= self.minsize and (self.maxsize is None or len(t) <= self.maxsize) and t not in self.stopwords:
+                    if first_pos is None:
+                        first_pos = pos
+                    kept.append((t, first_pos + len(kept), sc, ec, b))
+        else:
+            kept = toks
+        stem_fn = self._stem_fn()
+        if stem_fn is not None:
+            kept = [(stem_fn(t), p, sc, ec, b) for t, p, sc, ec, b in kept]
+        return kept
+
+    def doc_kernel_chars(self):
+        """Build-side kernel for chars/pos_boosts-format fields:
+        ``text -> ({term: (positions, startchars, endchars, boosts)},
+        field_length)`` — per-OCCURRENCE parallel arrays (reference
+        PositionBoosts/CharacterBoosts word_values aggregation)."""
+        tokens_chars = self.tokens_chars
+
+        def kern(text):
+            kept = tokens_chars(text)
+            agg: dict[str, tuple[list[int], list[int], list[int], list[float]]] = {}
+            for term, pos, sc, ec, boost in kept:
+                cur = agg.get(term)
+                if cur is None:
+                    agg[term] = ([pos], [sc], [ec], [boost])
+                else:
+                    cur[0].append(pos)
+                    cur[1].append(sc)
+                    cur[2].append(ec)
+                    cur[3].append(boost)
+            return agg, len(kept)
+
+        return kern
+
     def _stem_fn(self):
         """The morph function: Porter (stem=True) or a Snowball language
         stemmer (lang_stem=code); None when the chain is unmorphic."""
@@ -343,6 +432,16 @@ class Analyzer:
             from whoosh_spark.analysis.snowball import stemmer_for
 
             return stemmer_for(self.lang_stem)
+        if self.alt_stem is not None:
+            if self.alt_stem == "lovins":
+                from whoosh_spark.analysis.lovins import stem as fn
+            elif self.alt_stem == "paicehusk":
+                from whoosh_spark.analysis.paicehusk import stem as fn
+            elif self.alt_stem == "isri":
+                from whoosh_spark.analysis.isri import stem as fn
+            else:
+                raise ValueError(f"unknown alt_stem {self.alt_stem!r}")
+            return fn
         return None
 
     def _is_simple(self) -> bool:

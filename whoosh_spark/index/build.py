@@ -77,6 +77,13 @@ POSTINGS_SCHEMA = T.StructType(
         # every weight equals its tf (the common case costs one NULL column)
         T.StructField("sum_w", T.DoubleType()),
         T.StructField("weights", T.BinaryType()),
+        # PositionBoosts/CharacterBoosts format payloads (reference
+        # formats.py:339-481): per-OCCURRENCE boosts (float64 stream whose
+        # ragged lengths mirror `positions`) and char spans (same ragged
+        # codec as positions). NULL except on chars/pos_boosts fields.
+        T.StructField("pos_boosts", T.BinaryType()),
+        T.StructField("startchars", T.BinaryType()),
+        T.StructField("endchars", T.BinaryType()),
     ]
 )
 
@@ -98,6 +105,17 @@ EXPLODED_SCHEMA_W = T.StructType(
     EXPLODED_SCHEMA.fields + [T.StructField("weight", T.DoubleType())]
 )
 
+# only when some field stores the Characters/PositionBoosts formats: the
+# per-occurrence boost and char-span arrays ride the same shuffle (NULL on
+# fields that don't carry them)
+EXPLODED_SCHEMA_CB = T.StructType(
+    EXPLODED_SCHEMA_W.fields + [
+        T.StructField("boosts", T.ArrayType(T.DoubleType())),
+        T.StructField("startchars", T.ArrayType(T.IntegerType())),
+        T.StructField("endchars", T.ArrayType(T.IntegerType())),
+    ]
+)
+
 LENGTHS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -109,11 +127,12 @@ LENGTHS_SCHEMA = T.StructType(
 
 
 def _field_configs(schema: IndexSchema) -> list[tuple]:
-    """(fieldname, analyzer, phrase) per indexed field — the Analyzer
-    dataclass pickles into the Arrow kernels and is the ONE tokenize
-    pipeline (whoosh_spark/analysis/tokenize.py Analyzer.tokens)."""
+    """(fieldname, analyzer, phrase, chars, pos_boosts) per indexed field —
+    the Analyzer dataclass pickles into the Arrow kernels and is the ONE
+    tokenize pipeline (whoosh_spark/analysis/tokenize.py Analyzer.tokens)."""
     return [
-        (fieldname, schema[fieldname].analyzer, bool(schema[fieldname].phrase))
+        (fieldname, schema[fieldname].analyzer, bool(schema[fieldname].phrase),
+         bool(schema[fieldname].chars), bool(schema[fieldname].pos_boosts))
         for fieldname in schema.indexed_fields()
     ]
 
@@ -133,14 +152,21 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
     ]
-    # (out_field, src_col, analyzer, phrase, spell)
-    out_cfgs = [(name, name, ana, phrase, False) for name, ana, phrase in cfgs]
-    for name, ana, _phrase in cfgs:
+    # (out_field, src_col, analyzer, phrase, spell, charfmt) — charfmt is
+    # (store_chars, store_pos_boosts) for Characters/PositionBoosts-format
+    # fields, else None
+    out_cfgs = [
+        (name, name, ana, phrase, False,
+         (chars, posb) if (chars or posb) else None)
+        for name, ana, phrase, chars, posb in cfgs
+    ]
+    for name, ana, _phrase, _c, _pb in cfgs:
         if schema[name].separate_spelling():
             out_cfgs.append(
                 ("spell_" + name, name,
-                 dataclasses.replace(ana, stem=False, lang_stem=None, dmetaphone=None),
-                 False, True)
+                 dataclasses.replace(ana, stem=False, lang_stem=None,
+                                     alt_stem=None, dmetaphone=None),
+                 False, True, None)
             )
 
     def _boosted(ana):
@@ -148,19 +174,24 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
         # boosts into posting weights
         return ana.delimited_boost is not None or ana.dmetaphone is not None
 
-    has_boost = any(_boosted(ana) for _, _, ana, _, _ in out_cfgs)
+    has_boost = any(_boosted(ana) for _, _, ana, _, _, _ in out_cfgs)
+    has_charfmt = any(cf is not None for _, _, _, _, _, cf in out_cfgs)
 
     def kernel(batches):
         kernels = [
             (out, src,
-             ana.doc_kernel_boost() if _boosted(ana) else ana.doc_kernel(),
-             phrase, _boosted(ana), spell)
-            for out, src, ana, phrase, spell in out_cfgs
+             ana.doc_kernel_chars() if cf is not None
+             else (ana.doc_kernel_boost() if _boosted(ana) else ana.doc_kernel()),
+             phrase, _boosted(ana), spell, cf)
+            for out, src, ana, phrase, spell, cf in out_cfgs
         ]
         for pdf in batches:
             f_out, t_out, d_out, tf_out, p_out, l_out = [], [], [], [], [], []
             w_out: list = []
-            for out, src, doc_kernel, phrase, boosted, spell in kernels:
+            b_out: list = []
+            sc_out: list = []
+            ec_out: list = []
+            for out, src, doc_kernel, phrase, boosted, spell, cf in kernels:
                 texts = pdf[src]
                 dids = pdf["doc_id"]
                 for did, text in zip(dids, texts):
@@ -168,7 +199,15 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
                         continue
                     agg, k = doc_kernel(text)
                     for t, val in agg.items():
-                        ps, w = val if boosted else (val, None)
+                        if cf is not None:
+                            ps, scs, ecs, bs = val
+                            w = float(sum(bs))
+                        elif boosted:
+                            ps, w = val
+                            scs = ecs = bs = None
+                        else:
+                            ps, w = val, None
+                            scs = ecs = bs = None
                         if spell:
                             ps = ps[:1]  # unique word per doc: tf=1
                         f_out.append(out)
@@ -177,8 +216,13 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
                         tf_out.append(len(ps))
                         p_out.append(ps if phrase else None)
                         l_out.append(k)
-                        if has_boost:
+                        if has_boost or has_charfmt:
                             w_out.append(w if w is not None and not spell else float(len(ps)))
+                        if has_charfmt:
+                            store_c, store_b = cf if cf is not None else (False, False)
+                            b_out.append(bs if (cf is not None and store_b) else None)
+                            sc_out.append(scs if (cf is not None and store_c) else None)
+                            ec_out.append(ecs if (cf is not None and store_c) else None)
             lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
             out = {
                 "field": f_out,
@@ -189,13 +233,17 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
                 "length": l_out,
                 "len_byte": length_to_byte_np(lens).astype(np.int32),
             }
-            if has_boost:
+            if has_boost or has_charfmt:
                 out["weight"] = w_out
+            if has_charfmt:
+                out["boosts"] = b_out
+                out["startchars"] = sc_out
+                out["endchars"] = ec_out
             yield pd.DataFrame(out)
 
-    return docs.select(*cols).mapInPandas(
-        kernel, EXPLODED_SCHEMA_W if has_boost else EXPLODED_SCHEMA
-    )
+    out_schema = (EXPLODED_SCHEMA_CB if has_charfmt
+                  else EXPLODED_SCHEMA_W if has_boost else EXPLODED_SCHEMA)
+    return docs.select(*cols).mapInPandas(kernel, out_schema)
 
 
 def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
@@ -209,7 +257,7 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
     def kernel(batches):
         for pdf in batches:
             d_out, f_out, l_out = [], [], []
-            for name, ana, _phrase in cfgs:
+            for name, ana, *_rest in cfgs:
                 for did, text in zip(pdf["doc_id"], pdf[name]):
                     if text is None:
                         continue
@@ -236,7 +284,8 @@ _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
 def _encode_group(rows: list, field: str, term: str, bucket: int,
                   ids: np.ndarray, tfs: np.ndarray, lbs: np.ndarray,
-                  pos_lists, ws: np.ndarray | None = None) -> None:
+                  pos_lists, ws: np.ndarray | None = None,
+                  boost_lists=None, sc_lists=None, ec_lists=None) -> None:
     """Append ≤128-posting block rows for one (field, term, bucket) group.
     Inputs are doc_id-sorted numpy slices — no per-group DataFrames.
     ``ws`` (token-boost weights) is encoded only for blocks where some
@@ -257,15 +306,35 @@ def _encode_group(rows: list, field: str, term: str, bucket: int,
         else:
             pos_bin = None
         if ws is not None:
-            bws = ws[start:end]
+            # reference W3 posting writer keeps weights in a float32 array
+            # (codec/whoosh3.py:746 array("f")) — round-trip through float32
+            # so boost-summed weights score bit-identically to the reference
+            bws = ws[start:end].astype(np.float32).astype(np.float64)
             boosted = bool((bws != btfs).any())
             sum_w = float(bws.sum())
             max_w = float(bws.max())
-            w_bin = bws.astype(np.float64).tobytes() if boosted else None
+            w_bin = bws.tobytes() if boosted else None
         else:
             sum_w = float(btfs.sum())
             max_w = float(btfs.max())
             w_bin = None
+        # Characters/PositionBoosts payloads (only on fields storing them;
+        # list groups arrive all-None otherwise)
+        if boost_lists is not None and boost_lists[start] is not None:
+            pb_bin = codec.encode_float_lists(
+                [np.asarray(b, dtype=np.float64) for b in boost_lists[start:end]]
+            )
+        else:
+            pb_bin = None
+        if sc_lists is not None and sc_lists[start] is not None:
+            sc_bin = codec.encode_position_lists(
+                [np.asarray(s, dtype=np.int64) for s in sc_lists[start:end]]
+            )
+            ec_bin = codec.encode_position_lists(
+                [np.asarray(e2, dtype=np.int64) for e2 in ec_lists[start:end]]
+            )
+        else:
+            sc_bin = ec_bin = None
         rows.append(
             (
                 field, term, bucket, start // BLOCK_SIZE, end - start,
@@ -277,6 +346,9 @@ def _encode_group(rows: list, field: str, term: str, bucket: int,
                 pos_bin,
                 sum_w,
                 w_bin,
+                pb_bin,
+                sc_bin,
+                ec_bin,
             )
         )
 
@@ -320,6 +392,10 @@ def _encode_rows(pdf: pd.DataFrame, starts: np.ndarray, total: int) -> pd.DataFr
     ws = pdf["weight"].to_numpy(dtype=np.float64) if "weight" in pdf.columns else None
     has_pos = "positions" in pdf.columns
     pos_all = pdf["positions"].to_list() if has_pos else None
+    has_cb = "boosts" in pdf.columns
+    b_all = pdf["boosts"].to_list() if has_cb else None
+    sc_all = pdf["startchars"].to_list() if has_cb else None
+    ec_all = pdf["endchars"].to_list() if has_cb else None
     bounds = np.concatenate((starts[1:], [total])).astype(np.int64)
     rows: list = []
     for s, e in zip(starts.astype(np.int64), bounds):
@@ -328,6 +404,9 @@ def _encode_rows(pdf: pd.DataFrame, starts: np.ndarray, total: int) -> pd.DataFr
             ids[s:e], tfs[s:e], lbs[s:e],
             pos_all[s:e] if has_pos else None,
             ws[s:e] if ws is not None else None,
+            b_all[s:e] if has_cb else None,
+            sc_all[s:e] if has_cb else None,
+            ec_all[s:e] if has_cb else None,
         )
     return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
@@ -376,7 +455,9 @@ def build_segment(
     with_bucket = postings.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
     in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte"] + (
         ["weight"] if "weight" in postings.columns else []
-    ) + (["positions"] if needs_positions else [])
+    ) + (["positions"] if needs_positions else []) + (
+        ["boosts", "startchars", "endchars"] if "boosts" in postings.columns else []
+    )
     nparts = max(1, spark.sparkContext.defaultParallelism)
     blocks = (
         with_bucket.select(*in_cols)

@@ -85,6 +85,11 @@ class Index:
             df = df.withColumn("sum_w", F.col("sum_tf").cast("double")).withColumn(
                 "weights", F.lit(None).cast("binary")
             )
+        # pre-char-format segments lack the Characters/PositionBoosts
+        # payload columns; NULL-padding keeps them readable
+        for c in ("pos_boosts", "startchars", "endchars"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("binary"))
         return df
 
     def termstats(self) -> DataFrame:
@@ -111,6 +116,25 @@ class Index:
     def vectors(self) -> DataFrame:
         """Per-doc term vectors (doc_id, field, term, tf), doc-sorted."""
         return self._mask_deleted(self._read("vectors.parquet"))
+
+    def char_postings(self, field: str, term: str | None = None) -> DataFrame:
+        """Decoded postings of a Characters/PositionBoosts-format field with
+        per-occurrence payload columns — the reference matcher's
+        value_as("position_boosts"/"characters"/"character_boosts") analog
+        (formats.py:371-380,445-481): one row per (term, doc_id) carrying
+        ``positions``, ``pos_boosts`` (NULL unless pos_boosts=True) and
+        ``startchars``/``endchars`` (NULL unless chars=True). The field/term
+        predicate pushes into the term-sorted block scan."""
+        f = self.schema[field]
+        if not (f.chars or f.pos_boosts):
+            raise ValueError(
+                f"field {field!r} does not store a character/position-boost "
+                f"format (declare TEXT(chars=True) and/or pos_boosts=True)"
+            )
+        blocks = self.postings_blocks().filter(F.col("field") == field)
+        if term is not None:
+            blocks = blocks.filter(F.col("term") == term)
+        return self._mask_deleted(decode_blocks(blocks, with_char_formats=True))
 
     # ---- deletes ----
 
@@ -288,11 +312,25 @@ def decode_doc_ids(blocks: DataFrame) -> DataFrame:
 
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False,
-                  with_block_id: bool = False) -> DataFrame:
+                  with_block_id: bool = False,
+                  with_char_formats: bool = False) -> DataFrame:
     """Decode block rows to posting rows. ``with_block_id`` carries
     (bucket, block_no) onto every posting so callers can apply per-block
-    decisions (batch WAND) after decode."""
+    decisions (batch WAND) after decode. ``with_char_formats`` (implies
+    positions) additionally decodes the Characters/PositionBoosts payloads
+    into ``pos_boosts``/``startchars``/``endchars`` array columns (NULL
+    arrays on postings whose field doesn't store them) — the value_as
+    ("position_boosts"/"characters") analog of the reference matchers."""
+    if with_char_formats:
+        with_positions = True
     out_schema = DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
+    if with_char_formats:
+        out_schema = T.StructType(
+            out_schema.fields
+            + [T.StructField("pos_boosts", T.ArrayType(T.DoubleType())),
+               T.StructField("startchars", T.ArrayType(T.IntegerType())),
+               T.StructField("endchars", T.ArrayType(T.IntegerType()))]
+        )
     if with_block_id:
         out_schema = T.StructType(
             out_schema.fields
@@ -300,6 +338,7 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
         )
     cols = ["field", "term", "count", "ids", "tfs", "len_bytes", "weights"] + (
         ["positions"] if with_positions else []
+    ) + (["pos_boosts", "startchars", "endchars"] if with_char_formats else []
     ) + (["bucket", "block_no"] if with_block_id else [])
 
     from whoosh_spark.index.quantize import BYTE_TO_LENGTH
@@ -308,6 +347,7 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
         for pdf in batches:
             fields, terms, doc_ids, tfs, lbs, poss = [], [], [], [], [], []
             wss = []
+            pbs, scs, ecs = [], [], []
             buckets, blocknos = [], []
             for row in pdf.itertuples(index=False):
                 n = int(row.count)
@@ -323,7 +363,20 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
                 wss.append(ws)
                 lbs.append(lb)
                 if with_positions:
-                    poss.extend(codec.decode_position_lists(row.positions, n))
+                    plists = codec.decode_position_lists(row.positions, n)
+                    poss.extend(plists)
+                if with_char_formats:
+                    if row.pos_boosts is not None:
+                        pbs.extend(codec.decode_float_lists(
+                            row.pos_boosts, [len(p) for p in plists]))
+                    else:
+                        pbs.extend([None] * n)
+                    if row.startchars is not None:
+                        scs.extend(codec.decode_position_lists(row.startchars, n))
+                        ecs.extend(codec.decode_position_lists(row.endchars, n))
+                    else:
+                        scs.extend([None] * n)
+                        ecs.extend([None] * n)
                 if with_block_id:
                     buckets.append(np.full(n, row.bucket, dtype=np.int64))
                     blocknos.append(np.full(n, row.block_no, dtype=np.int32))
@@ -343,6 +396,10 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
             )
             if with_positions:
                 out["positions"] = [list(map(int, p)) for p in poss]
+            if with_char_formats:
+                out["pos_boosts"] = [list(map(float, p)) if p is not None else None for p in pbs]
+                out["startchars"] = [list(map(int, p)) if p is not None else None for p in scs]
+                out["endchars"] = [list(map(int, p)) if p is not None else None for p in ecs]
             if with_block_id:
                 out["bucket"] = np.concatenate(buckets)
                 out["block_no"] = np.concatenate(blocknos)

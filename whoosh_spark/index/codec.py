@@ -147,3 +147,27 @@ def decode_position_lists(data: bytes, n_postings: int) -> list[np.ndarray]:
         s, e = int(starts[idx]), int(bounds[idx])
         result.append(out[s:e])
     return result
+
+
+def encode_float_lists(lists: list[np.ndarray]) -> bytes:
+    """Per-posting float lists (position boosts) whose lengths mirror the
+    posting's position list — no length header needed; decode reuses the
+    position-list lengths."""
+    if not lists:
+        return b""
+    flat = np.concatenate([np.asarray(p, dtype=np.float64) for p in lists]) \
+        if any(len(p) for p in lists) else np.empty(0, dtype=np.float64)
+    return flat.tobytes()
+
+
+def decode_float_lists(data: bytes, lens: list[int] | np.ndarray) -> list[np.ndarray]:
+    """Split a float64 stream back into per-posting lists of the given
+    lengths (taken from the decoded position lists)."""
+    flat = np.frombuffer(data, dtype=np.float64) if data else np.empty(0, dtype=np.float64)
+    out = []
+    i = 0
+    for n in lens:
+        n = int(n)
+        out.append(flat[i : i + n])
+        i += n
+    return out

@@ -110,14 +110,29 @@ def merge_segments(
     # doc_ids are globally stable so this is a pure concatenation + regroup;
     # most (field,term,bucket) groups pass through partition-local.
     blocks = spark.read.parquet(*vpaths("postings.parquet"))
+    # pre-weight-channel / pre-char-format segments lack the newer payload
+    # columns; NULL-pad so mixed-generation merges read cleanly
+    if "weights" not in blocks.columns:
+        blocks = blocks.withColumn("sum_w", F.col("sum_tf").cast("double")).withColumn(
+            "weights", F.lit(None).cast("binary"))
+    for _c in ("pos_boosts", "startchars", "endchars"):
+        if _c not in blocks.columns:
+            blocks = blocks.withColumn(_c, F.lit(None).cast("binary"))
     has_positions = any(
         f.phrase for f in ix.schema.fields.values() if f.indexed
     )
-    decoded = decode_blocks(blocks, with_positions=has_positions)
+    has_charfmt = any(
+        (f.chars or f.pos_boosts) for f in ix.schema.fields.values() if f.indexed
+    )
+    decoded = decode_blocks(blocks, with_positions=has_positions,
+                            with_char_formats=has_charfmt)
     decoded = drop_deleted(decoded)
+    if has_charfmt:
+        decoded = decoded.withColumnRenamed("pos_boosts", "boosts")
     with_bucket = decoded.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long"))
     in_cols = ["field", "term", "bucket", "doc_id", "tf", "len_byte",
-               "weight"] + (["positions"] if has_positions else [])
+               "weight"] + (["positions"] if has_positions else []) + (
+               ["boosts", "startchars", "endchars"] if has_charfmt else [])
     # decoded postings lack len_byte? decode provides len_byte; tf long -> ok
     nparts = max(1, spark.sparkContext.defaultParallelism)
     merged = (

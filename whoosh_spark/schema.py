@@ -26,6 +26,15 @@ class FieldType:
     unique: bool = False
     scorable: bool = False  # record lengths + use BM25
     phrase: bool = False  # record positions
+    #: store per-position char offsets in postings (reference Characters /
+    #: CharacterBoosts formats, formats.py:264-338,406-481); implies phrase
+    chars: bool = False
+    #: store per-position boosts in postings (reference PositionBoosts /
+    #: CharacterBoosts formats, formats.py:339-481); implies phrase. The
+    #: posting WEIGHT is the boost sum either way (the weight channel);
+    #: this flag additionally makes the per-occurrence boosts retrievable
+    #: (value_as("position_boosts") analog).
+    pos_boosts: bool = False
     vector: bool = False  # store per-doc term vectors (reference vector=True)
     #: index unstemmed words into a separate ``spell_<name>`` lexicon when
     #: the analyzer is morphic (reference fields.py:1132-1148 subfields/
@@ -41,6 +50,7 @@ class FieldType:
     def separate_spelling(self) -> bool:
         return bool(self.spelling and self.analyzer is not None
                     and (self.analyzer.stem or self.analyzer.lang_stem
+                         or self.analyzer.alt_stem
                          or self.analyzer.dmetaphone))
 
     def spelling_fieldname(self, name: str) -> str:
@@ -49,13 +59,19 @@ class FieldType:
 
 def TEXT(stored: bool = False, phrase: bool = True, analyzer: Analyzer | None = None,
          field_boost: float = 1.0, vector: bool = False,
-         spelling: bool = False) -> FieldType:
+         spelling: bool = False, chars: bool = False,
+         pos_boosts: bool = False) -> FieldType:
+    """``chars``/``pos_boosts`` select the reference's Characters /
+    PositionBoosts formats (both -> CharacterBoosts); either implies
+    phrase=True, like reference TEXT(chars=True) (fields.py:1103-1108)."""
     return FieldType(
         analyzer=analyzer or standard_analyzer(),
         indexed=True,
         stored=stored,
         scorable=True,
-        phrase=phrase,
+        phrase=phrase or chars or pos_boosts,
+        chars=chars,
+        pos_boosts=pos_boosts,
         vector=vector,
         spelling=spelling,
         field_boost=field_boost,
@@ -163,6 +179,7 @@ def _analyzer_to_dict(a: Analyzer | None) -> dict | None:
         "ngram_words": a.ngram_words,
         "stem": a.stem,
         "lang_stem": a.lang_stem,
+        "alt_stem": a.alt_stem,
         "intraword": list(a.intraword) if a.intraword else None,
         "accent_fold": a.accent_fold,
         "substitutions": [list(x) for x in a.substitutions],
@@ -193,6 +210,7 @@ def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
         ngram_words=a.get("ngram_words", False),
         stem=a.get("stem", False),
         lang_stem=a.get("lang_stem"),
+        alt_stem=a.get("alt_stem"),
         intraword=tuple(a["intraword"]) if a.get("intraword") else None,
         accent_fold=a.get("accent_fold", False),
         substitutions=tuple(tuple(x) for x in a.get("substitutions", ())),
@@ -220,6 +238,8 @@ def schema_to_dict(schema: IndexSchema) -> dict:
             "unique": f.unique,
             "scorable": f.scorable,
             "phrase": f.phrase,
+            "chars": f.chars,
+            "pos_boosts": f.pos_boosts,
             "vector": f.vector,
             "spelling": f.spelling,
             "multitoken_query": f.multitoken_query,
@@ -240,6 +260,8 @@ def schema_from_dict(d: dict) -> IndexSchema:
             unique=fd["unique"],
             scorable=fd["scorable"],
             phrase=fd["phrase"],
+            chars=fd.get("chars", False),
+            pos_boosts=fd.get("pos_boosts", False),
             vector=fd.get("vector", False),
             spelling=fd.get("spelling", False),
             multitoken_query=fd.get("multitoken_query", "default"),

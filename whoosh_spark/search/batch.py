@@ -101,7 +101,8 @@ def batch_wand_search(
     searcher: Searcher,
     queries: list[tuple[str, str, list[str]]],
     k: int = 10,
-) -> DataFrame:
+    with_stats: bool = False,
+):
     """Block-max WAND for a whole query batch (disjunctive scoring).
 
     Phase 1: for each query, decode just enough of its strongest term's
@@ -113,7 +114,11 @@ def batch_wand_search(
     Surviving blocks are decoded once (deduped) and mapped back to queries
     by (field, term, bucket, block_no); every document whose true total can
     reach theta keeps ALL its blocks, so returned top-k lists are exact
-    (same invariant as search/wand.py)."""
+    (same invariant as search/wand.py).
+
+    ``with_stats=True`` returns ``(df, stats)`` where stats counts the
+    per-(query,term) blocks the pruned plan keeps vs the full batch scan
+    (two extra count jobs — diagnostic / benchmark use only)."""
     from whoosh_spark.search.wand import EPS, _max_quality, _term_constants
 
     ix = searcher.index
@@ -211,4 +216,18 @@ def batch_wand_search(
     scored = plan.attach_scores(decoded, sorted(consts), extra_cols=["bucket", "block_no"])
     per_query = scored.join(allowed, on=["field", "term", "bucket", "block_no"])
     agg = per_query.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
-    return _topk_window(agg, k)
+    out = _topk_window(agg, k)
+    if not with_stats:
+        return out
+    qt_blocks_total = bmeta.join(F.broadcast(qterms), on=["field", "term"]).count()
+    qt_blocks_kept = allowed.count()
+    decode_total = blocks.count()
+    decode_kept = survivors.count()
+    return out, {
+        # per-(query,term) pruning decisions — the WAND skip rate
+        "qt_blocks_total": qt_blocks_total,
+        "qt_blocks_kept": qt_blocks_kept,
+        # physical blocks decoded once after dedup vs the full batch scan
+        "decode_blocks_total": decode_total,
+        "decode_blocks_kept": decode_kept,
+    }
