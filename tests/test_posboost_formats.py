@@ -176,3 +176,50 @@ def test_plain_field_rejects_char_postings(spark, tmp_path):
     build_index(spark, df, IndexSchema.of(text=TEXT()), d, sha_col=None)
     with pytest.raises(ValueError, match="character/position-boost"):
         Index(spark, d).char_postings("text")
+
+
+def test_stored_chars_highlighting_matches_reference(spark, tmp_path, whoosh_ref):
+    """add_highlights_stored == the reference Highlighter's can_load_chars
+    pinpoint path (no retokenize; spans from the stored Characters
+    format)."""
+    from whoosh import analysis, fields
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.highlight import PinpointFragmenter
+    from whoosh.query import Or as WOr, Term as WTerm
+
+    from whoosh_spark.analysis import standard_analyzer
+    from whoosh_spark.search.highlight import add_highlights_stored
+
+    docs = [
+        "the render pipeline processes the scene and the render pass "
+        "finishes with texture lookups before the final render completes",
+        "texture cache misses dominate the early render stage " + "pad " * 60
+        + "render again far away from the first cluster",
+        "nothing relevant here at all",
+    ]
+    wix = RamStorage().create_index(
+        fields.Schema(text=fields.TEXT(stored=True, chars=True)))
+    w = wix.writer()
+    for t in docs:
+        w.add_document(text=t)
+    w.commit()
+
+    d = str(tmp_path / "hlchars")
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    build_index(spark, df, IndexSchema.of(
+        text=TEXT(stored=True, chars=True, analyzer=standard_analyzer())), d, sha_col=None)
+    ix = Index(spark, d)
+    s = Searcher(ix)
+
+    terms = ["render", "texture"]
+    q = Q.Or([Q.Term("text", t) for t in terms])
+    topk = s.search_with_stored(q, limit=5)
+    got_rows = add_highlights_stored(topk, ix, "text", terms, "text").collect()
+    got = {r["doc_id"]: r["highlights"] for r in got_rows}
+
+    wq = WOr([WTerm("text", t) for t in terms])
+    with wix.searcher() as ws:
+        r = ws.search(wq, limit=5, terms=True)
+        r.fragmenter = PinpointFragmenter()
+        for hit in r:
+            assert got[hit.docnum] == hit.highlights("text"), hit.docnum

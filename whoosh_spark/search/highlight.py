@@ -290,6 +290,78 @@ def highlight_text(text: str, terms, analyzer: Analyzer | None = None, top: int 
     return fmt.format(best)
 
 
+def add_highlights_stored(top_df: DataFrame, ix, field: str, terms,
+                          text_col: str, out_col: str = "highlights",
+                          top: int = 3, maxchars: int = 200, surround: int = 20,
+                          minscore: float = 1, autotrim: bool = False,
+                          charlimit: int = DEFAULT_CHARLIMIT,
+                          formatter: HtmlFormatter | None = None) -> DataFrame:
+    """Non-retokenizing "pinpoint" highlighting from STORED char offsets —
+    the reference Highlighter's can_load_chars path (highlight.py:920-1036):
+    when the field stores the Characters format and the fragmenter doesn't
+    retokenize (PinpointFragmenter), matched-term char spans come straight
+    from the index instead of re-running the analyzer over the stored text.
+
+    Spark shape: the k top-doc ids broadcast into the char-postings scan
+    (term IN-list + semi-join pushdown), spans collect per doc, and a
+    pandas UDF over the K ROWS builds fragments — no corpus-wide work.
+    Matches the reference per-hit flow: tokens sorted by startchar, same-
+    startchar duplicates keep the longest (highlight.py:1029-1031), then
+    PinpointFragmenter.fragment_matches."""
+    terms = [str(t) for t in terms]
+    cp = (
+        ix.char_postings(field)
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(top_df.select("doc_id").distinct()), on="doc_id")
+        .select(
+            "doc_id", "term",
+            F.explode(F.arrays_zip(
+                F.col("positions").cast("array<long>").alias("pos"),
+                F.col("startchars").cast("array<long>").alias("sc"),
+                F.col("endchars").cast("array<long>").alias("ec"),
+            )).alias("z"),
+        )
+        .select("doc_id", "term", F.col("z.pos").alias("pos"),
+                F.col("z.sc").alias("sc"), F.col("z.ec").alias("ec"))
+    )
+    spans = cp.groupBy("doc_id").agg(
+        F.collect_list(F.struct("term", "pos", "sc", "ec")).alias("_spans")
+    )
+    joined = top_df.join(spans, on="doc_id", how="left")
+    fmt = formatter or HtmlFormatter()
+
+    def _one(text, span_rows):
+        if text is None or span_rows is None:
+            return ""
+        toks = []
+        for r in span_rows:
+            if charlimit and r["ec"] > charlimit:
+                continue
+            toks.append(_Tok(r["term"], int(r["sc"]), int(r["ec"]), True))
+        toks.sort(key=lambda t: t.startchar)
+        # same-startchar duplicates: keep the longest (reference :1029-1031)
+        dedup = []
+        for t in toks:
+            if dedup and dedup[-1].startchar == t.startchar:
+                if (t.endchar - t.startchar) > (dedup[-1].endchar - dedup[-1].startchar):
+                    dedup[-1] = t
+            else:
+                dedup.append(t)
+        frags = list(pinpoint_fragments(text, dedup, maxchars, surround,
+                                        autotrim=autotrim, charlimit=charlimit))
+        scored = sorted(((_basic_score(f), f.startchar, f) for f in frags),
+                        key=lambda x: (-x[0], -x[1]))[:top]
+        best = [f for s, _, f in scored if s >= minscore]
+        best.sort(key=lambda f: f.startchar)
+        return fmt.format(best)
+
+    @pandas_udf("string")
+    def hl(texts: pd.Series, span_lists: pd.Series) -> pd.Series:
+        return pd.Series([_one(t, s) for t, s in zip(texts, span_lists)])
+
+    return joined.withColumn(out_col, hl(F.col(text_col), F.col("_spans"))).drop("_spans")
+
+
 def add_highlights(df: DataFrame, text_col: str, terms, analyzer: Analyzer | None = None,
                    out_col: str = "highlights", **kw) -> DataFrame:
     """Append a highlights column to a (top-k) DataFrame with stored text."""
