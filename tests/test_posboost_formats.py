@@ -223,3 +223,37 @@ def test_stored_chars_highlighting_matches_reference(spark, tmp_path, whoosh_ref
         r.fragmenter = PinpointFragmenter()
         for hit in r:
             assert got[hit.docnum] == hit.highlights("text"), hit.docnum
+
+
+def test_phrase_scores_on_posboost_field_match_reference(spark, tmp_path, whoosh_ref):
+    """Phrase match inside a boosted region: the reference scores phrases
+    by the term matchers' per-doc summed-boost WEIGHT (its spans() drops
+    per-position boosts — matching.mcore:276-290 builds Span(pos) only), so
+    parity means identical scores through the weight channel, which the
+    float32 weight rounding now guarantees."""
+    from whoosh import analysis, fields
+    from whoosh.formats import PositionBoosts
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.query import Phrase as WPhrase
+
+    docs = ["alfa^3 bravo charlie", "alfa bravo^0.2 delta", "bravo alfa echo",
+            "alfa^0.5 bravo^2.5 alfa bravo"]
+    ana = analysis.RegexTokenizer(r"\S+") | analysis.DelimitedAttributeFilter()
+    ftype = fields.FieldType(format=PositionBoosts(), analyzer=ana, scorable=True)
+    wix = RamStorage().create_index(fields.Schema(text=ftype))
+    w = wix.writer()
+    for t in docs:
+        w.add_document(text=t)
+    w.commit()
+
+    d = str(tmp_path / "pbphrase")
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    build_index(spark, df, IndexSchema.of(text=TEXT(analyzer=ANA, pos_boosts=True)),
+                d, sha_col=None)
+    s = Searcher(Index(spark, d))
+    ours = [(r["doc_id"], r["score"])
+            for r in s.search(Q.Phrase("text", ["alfa", "bravo"]), limit=10).collect()]
+    with wix.searcher() as ws:
+        want = [(h.docnum, h.score)
+                for h in ws.search(WPhrase("text", ["alfa", "bravo"]), limit=10)]
+    assert ours == want
