@@ -96,10 +96,18 @@ def main() -> None:
     exact_sec, exact_rows = timed(lambda: batch_term_search(s, qs, k=K))
     wand_sec, wand_rows = timed(lambda: batch_wand_search(s, qs, k=K))
 
-    # exactness gate: identical (query, rank) -> (doc, score) lists
-    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
-                               round(r["score"], 9)) for r in rows)
-    assert key(exact_rows) == key(wand_rows), "batch WAND diverged from exact"
+    # exactness gate: same doc sets with same (rounded) scores per query,
+    # and the same score sequence by rank. Distributed Sum order differs
+    # between the two plans, so last-ulp ties can swap adjacent ranks
+    # (observed once in 5000 rows at 600k docs: two docs rounding to the
+    # same 9-decimal score exchanged ranks 8/9) — sets + score sequences
+    # are the order-robust equality.
+    def keys(rows):
+        docs = sorted((r["query_id"], r["doc_id"], round(r["score"], 9)) for r in rows)
+        ranks = sorted((r["query_id"], r["rank"], round(r["score"], 9)) for r in rows)
+        return docs, ranks
+
+    assert keys(exact_rows) == keys(wand_rows), "batch WAND diverged from exact"
 
     _, stats = batch_wand_search(s, qs, k=K, with_stats=True)
     out = {

@@ -109,16 +109,29 @@ def batch_wand_search(
     best-bounded blocks to cover k postings; the k-th exact partial is a
     valid per-query threshold theta (any k exact partials lower-bound the
     true k-th best total).
-    Phase 2: a (query, term) block survives iff
-    block_quality + sum(max_quality of the query's other terms) >= theta.
-    Surviving blocks are decoded once (deduped) and mapped back to queries
-    by (field, term, bucket, block_no); every document whose true total can
-    reach theta keeps ALL its blocks, so returned top-k lists are exact
-    (same invariant as search/wand.py).
+    Phase 2: BUCKET-ALIGNED block-max pruning. Every posting block lives in
+    a doc-id bucket (doc_id // bucket_width, the build's skew salt), and a
+    doc's postings for a term sit in exactly one block of that bucket — so
+    for each (query, bucket) the sum over the query's terms of their MAX
+    block quality within the bucket upper-bounds every doc total in it
+    (terms absent from a bucket contribute 0, vs the reference-style
+    global max_quality rest bound, which never prunes hot+rare
+    disjunctions: measured 0.0% at 600k docs). A (query, term) block then
+    survives iff block_quality + (bucket_bound - own term's bucket max)
+    >= theta. Every doc whose true total can reach theta keeps ALL its
+    blocks, so returned top-k lists are exact (same invariant as
+    search/wand.py, with a strictly tighter rest).
 
     ``with_stats=True`` returns ``(df, stats)`` where stats counts the
     per-(query,term) blocks the pruned plan keeps vs the full batch scan
-    (two extra count jobs — diagnostic / benchmark use only)."""
+    (two extra count jobs — diagnostic / benchmark use only).
+
+    Default-strategy guidance (measured, BENCH/WAND_SKEW.json): on the
+    synthetic zipf corpus (vocabulary df floor ~15k docs over ~74 buckets)
+    NO exact bound can prune — every term has near-max tf in every bucket,
+    so ``batch_term_search`` is the faster default there. This path wins
+    when queries carry genuinely rare high-idf terms (df << bucket count),
+    the regime real search workloads live in."""
     from whoosh_spark.search.wand import EPS, _max_quality, _term_constants
 
     ix = searcher.index
@@ -145,15 +158,13 @@ def batch_wand_search(
         live = [(field, t) for t in terms if (field, t) in consts]
         if not live:
             continue
-        total = sum(mq[ft] for ft in live)
         star = max(live, key=lambda ft: mq[ft])
         qstar_rows.append((qid, star[0], star[1]))
         for ft in live:
-            rest = (total - mq[ft]) * (1 + EPS) + EPS
-            qterm_rows.append((qid, ft[0], ft[1], rest))
+            qterm_rows.append((qid, ft[0], ft[1]))
     qstar = spark.createDataFrame(qstar_rows, "query_id string, field string, term string")
-    qterms = spark.createDataFrame(
-        qterm_rows, "query_id string, field string, term string, rest double"
+    qterm_names = spark.createDataFrame(
+        qterm_rows, "query_id string, field string, term string"
     )
 
     # block metadata with per-term quality bound (JVM-side expression)
@@ -203,11 +214,26 @@ def batch_wand_search(
         .select("query_id", F.col("score").alias("theta"))
     )
 
-    # ---- phase 2: per-(query, block) pruning, dedup decode, exact scoring
+    # ---- phase 2: bucket-aligned per-(query, block) pruning, dedup
+    # decode, exact scoring. tbq = a term's best block quality per bucket;
+    # bucket_bound = sum of tbq over the query's terms PRESENT in the
+    # bucket (absent terms bound to 0 — the big win over a global rest).
+    tbq = bmeta.groupBy("field", "term", "bucket").agg(F.max("bq").alias("tbq"))
+    qbucket = (
+        tbq.join(F.broadcast(qterm_names), on=["field", "term"])
+        .groupBy("query_id", "bucket")
+        .agg(F.sum("tbq").alias("bucket_bound"))
+    )
     allowed = (
-        bmeta.join(F.broadcast(qterms), on=["field", "term"])
+        bmeta.join(F.broadcast(qterm_names), on=["field", "term"])
+        .join(tbq, on=["field", "term", "bucket"])
+        .join(qbucket, on=["query_id", "bucket"])
         .join(F.broadcast(theta), on="query_id", how="left")
-        .filter(F.col("theta").isNull() | (F.col("bq") + F.col("rest") >= F.col("theta")))
+        .filter(
+            F.col("theta").isNull()
+            | ((F.col("bq") + (F.col("bucket_bound") - F.col("tbq")))
+               * F.lit(1 + EPS) + F.lit(EPS) >= F.col("theta"))
+        )
         .select("query_id", "field", "term", "bucket", "block_no")
     )
     survivors = allowed.select("field", "term", "bucket", "block_no").distinct()
@@ -219,7 +245,7 @@ def batch_wand_search(
     out = _topk_window(agg, k)
     if not with_stats:
         return out
-    qt_blocks_total = bmeta.join(F.broadcast(qterms), on=["field", "term"]).count()
+    qt_blocks_total = bmeta.join(F.broadcast(qterm_names), on=["field", "term"]).count()
     qt_blocks_kept = allowed.count()
     decode_total = blocks.count()
     decode_kept = survivors.count()

@@ -92,37 +92,13 @@ def wand_topk(plan, terms: list[tuple[str, str, float]], k: int) -> tuple[DataFr
     seed = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = seed[-1]["score"] if len(seed) >= k else float("-inf")
 
-    # ---- phase 2: block pruning on metadata, decode survivors, exact score
-    total_mq = sum(mq.values())
-    blocks_all = ix.postings_blocks()
-    kept_parts = []
-    n_total = 0
-    for (field, term), c in consts.items():
-        rest = (total_mq - mq[(field, term)]) * (1 + EPS) + EPS
-        tb = blocks_all.filter((F.col("field") == field) & (F.col("term") == term))
-        if theta != float("-inf"):
-            # block_quality from block metadata (scoring.py:215-217), JVM-side
-            w_col = F.col("max_tf") * F.lit(c["fboost"])
-            if c["scorable"]:
-                fl_col = byte_to_length_col(F.col("min_len_byte"))
-                K1 = s.weighting.K1 if isinstance(s.weighting, BM25F) else 1.2
-                bq = F.lit(c["idf"]) * (
-                    (w_col * F.lit(K1 + 1))
-                    / (w_col + F.lit(K1) * (F.lit(1 - c["B"]) + F.lit(c["B"]) * fl_col / F.lit(c["avgfl"])))
-                )
-                if not isinstance(s.weighting, BM25F):
-                    bq = plan.s.weighting.score_col(
-                        w_col, fl_col, F.lit(c["idf"]), F.lit(c["avgfl"]),
-                        F.lit(c["B"]), F.lit(1 - c["B"]), F.lit(True),
-                    )
-            else:
-                bq = w_col
-            bq = bq * F.lit(c["boost"])
-            tb = tb.filter(bq + F.lit(rest) >= F.lit(theta))
-        kept_parts.append(tb)
-    kept = kept_parts[0]
-    for p in kept_parts[1:]:
-        kept = kept.unionByName(p)
+    # ---- phase 2: bucket-aligned block pruning on metadata, decode
+    # survivors, exact score. Same invariant as batch.py: a doc's postings
+    # for a term sit in exactly one block of its doc-id bucket, so
+    # sum-over-terms of per-bucket best block quality upper-bounds every
+    # doc total in the bucket — strictly tighter than the global
+    # max_quality rest (which never prunes hot-term disjunctions).
+    kept = _pruned_blocks(s, ix, consts, theta)
 
     from whoosh_spark.index.catalog import decode_blocks
 
@@ -141,6 +117,55 @@ def wand_topk(plan, terms: list[tuple[str, str, float]], k: int) -> tuple[DataFr
 
     stats = {"theta": None if theta == float("-inf") else theta}
     return out, stats
+
+
+def _block_meta(s, ix, consts):
+    """Query-term block rows joined with per-term scoring constants and a
+    JVM-side block-quality column ``bq`` (boost included)."""
+    spark = ix.spark
+    meta_rows = [
+        {
+            "field": f, "term": t, "idf": c["idf"], "avgfl": c["avgfl"],
+            "b": c["B"], "one_minus_b": 1 - c["B"], "fboost": c["fboost"],
+            "scorable": c["scorable"], "qboost": c["boost"],
+        }
+        for (f, t), c in consts.items()
+    ]
+    meta = spark.createDataFrame(meta_rows)
+    fields = sorted({f for f, _ in consts})
+    blocks = ix.postings_blocks().filter(
+        F.col("field").isin(fields) & F.col("term").isin([t for _, t in consts])
+    )
+    bmeta = blocks.join(F.broadcast(meta), on=["field", "term"])
+    w_col = F.col("max_tf") * F.col("fboost")
+    fl_col = byte_to_length_col(F.col("min_len_byte"))
+    bq = s.weighting.score_col(
+        w_col, fl_col, F.col("idf"), F.col("avgfl"), F.col("b"),
+        F.col("one_minus_b"), F.col("scorable"),
+    ) * F.col("qboost")
+    return bmeta.withColumn("bq", bq)
+
+
+def _pruned_blocks(s, ix, consts, theta):
+    """Bucket-aligned block-max pruning: keep a block iff its quality plus
+    the sum of the OTHER query terms' best block qualities in the same
+    doc-id bucket can reach theta (absent terms bound to 0)."""
+    bmeta = _block_meta(s, ix, consts)
+    if theta == float("-inf"):
+        return bmeta.drop("bq", "idf", "avgfl", "b", "one_minus_b",
+                          "fboost", "scorable", "qboost")
+    tbq = bmeta.groupBy("field", "term", "bucket").agg(F.max("bq").alias("tbq"))
+    bucketb = tbq.groupBy("bucket").agg(F.sum("tbq").alias("bucket_bound"))
+    kept = (
+        bmeta.join(tbq, on=["field", "term", "bucket"])
+        .join(bucketb, on="bucket")
+        .filter(
+            (F.col("bq") + (F.col("bucket_bound") - F.col("tbq")))
+            * F.lit(1 + EPS) + F.lit(EPS) >= F.lit(theta)
+        )
+    )
+    return kept.drop("bq", "tbq", "bucket_bound", "idf", "avgfl", "b",
+                     "one_minus_b", "fboost", "scorable", "qboost")
 
 
 def wand_block_counts(plan, terms: list[tuple[str, str, float]], k: int) -> dict:
@@ -163,26 +188,6 @@ def wand_block_counts(plan, terms: list[tuple[str, str, float]], k: int) -> dict
         .orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     )
     theta = seed[-1]["score"] if len(seed) >= k else float("-inf")
-    total_mq = sum(mq.values())
-    total = kept = 0
-    blocks_all = ix.postings_blocks()
-    for (field, term), c in consts.items():
-        tb = blocks_all.filter((F.col("field") == field) & (F.col("term") == term))
-        n = tb.count()
-        total += n
-        if theta == float("-inf"):
-            kept += n
-            continue
-        rest = (total_mq - mq[(field, term)]) * (1 + EPS) + EPS
-        w_col = F.col("max_tf") * F.lit(c["fboost"])
-        fl_col = byte_to_length_col(F.col("min_len_byte"))
-        if c["scorable"]:
-            K1 = s.weighting.K1 if isinstance(s.weighting, BM25F) else 1.2
-            bq = F.lit(c["idf"]) * (
-                (w_col * F.lit(K1 + 1))
-                / (w_col + F.lit(K1) * (F.lit(1 - c["B"]) + F.lit(c["B"]) * fl_col / F.lit(c["avgfl"])))
-            )
-        else:
-            bq = w_col
-        kept += tb.filter(bq * F.lit(c["boost"]) + F.lit(rest) >= F.lit(theta)).count()
+    total = _block_meta(s, ix, consts).count()
+    kept = _pruned_blocks(s, ix, consts, theta).count()
     return {"blocks_total": total, "blocks_kept": kept, "theta": theta}
