@@ -53,3 +53,30 @@ def test_lovins_reference_crash_quirk(ref):
     with pytest.raises(IndexError):
         ref.stem("near")
     assert stem("near") == "near"
+
+
+def test_alt_stem_build_end_to_end(spark, tmp_path):
+    """Analyzer(alt_stem='lovins') works through the distributed build and
+    search path (the StemFilter(stemfn=...) plug point), and the schema
+    round-trips it."""
+    from pyspark.sql import Row
+
+    import whoosh_spark.query as Q
+    from whoosh_spark.analysis import Analyzer
+    from whoosh_spark.analysis.lovins import stem
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.schema import FieldType, IndexSchema
+    from whoosh_spark.search import Searcher
+
+    docs = ["nationally rationalizations", "sitting nationally", "unrelated words"]
+    d = str(tmp_path / "lovix")
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    ana = Analyzer(alt_stem="lovins")
+    schema = IndexSchema.of(text=FieldType(analyzer=ana, indexed=True,
+                                           scorable=True, kind="text"))
+    build_index(spark, df, schema, d, sha_col=None)
+    ix = Index(spark, d)
+    assert ix.schema["text"].analyzer.alt_stem == "lovins"  # round-trip
+    s = Searcher(ix)
+    got = [r["doc_id"] for r in s.search(Q.Term("text", stem("national")), limit=10).collect()]
+    assert sorted(got) == [0, 1]
