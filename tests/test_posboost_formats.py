@@ -217,12 +217,18 @@ def test_stored_chars_highlighting_matches_reference(spark, tmp_path, whoosh_ref
     got_rows = add_highlights_stored(topk, ix, "text", terms, "text").collect()
     got = {r["doc_id"]: r["highlights"] for r in got_rows}
 
+    # fresh Results per hit: the reference's shared HtmlFormatter numbers
+    # "termN" classes by the caller's hit-iteration order; our distributed
+    # rows use deterministic per-document numbering, which equals the
+    # reference's when each hit is highlighted from a clean formatter
     wq = WOr([WTerm("text", t) for t in terms])
     with wix.searcher() as ws:
-        r = ws.search(wq, limit=5, terms=True)
-        r.fragmenter = PinpointFragmenter()
-        for hit in r:
-            assert got[hit.docnum] == hit.highlights("text"), hit.docnum
+        docnums = [h.docnum for h in ws.search(wq, limit=5, terms=True)]
+        for dn in docnums:
+            r = ws.search(wq, limit=5, terms=True)
+            r.fragmenter = PinpointFragmenter()
+            hit = [h for h in r if h.docnum == dn][0]
+            assert got[dn] == hit.highlights("text"), dn
 
 
 def test_phrase_scores_on_posboost_field_match_reference(spark, tmp_path, whoosh_ref):

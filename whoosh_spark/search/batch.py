@@ -30,7 +30,12 @@ def _prepare(searcher: Searcher, queries: list[tuple[str, str, list[str]]]):
     for qid, field, terms in queries:
         for t in terms:
             qrows.append((qid, field, t))
-    qdf = ix.spark.createDataFrame(qrows, "query_id string, field string, term string")
+    import pandas as pd
+
+    qdf = ix.spark.createDataFrame(
+        pd.DataFrame(qrows, columns=["query_id", "field", "term"]),
+        schema="query_id string, field string, term string",
+    )
     all_terms: dict[str, set] = {}
     for _, field, terms in queries:
         all_terms.setdefault(field, set()).update(terms)
@@ -162,9 +167,15 @@ def batch_wand_search(
         qstar_rows.append((qid, star[0], star[1]))
         for ft in live:
             qterm_rows.append((qid, ft[0], ft[1]))
-    qstar = spark.createDataFrame(qstar_rows, "query_id string, field string, term string")
+    import pandas as pd
+
+    qstar = spark.createDataFrame(
+        pd.DataFrame(qstar_rows, columns=["query_id", "field", "term"]),
+        schema="query_id string, field string, term string",
+    )
     qterm_names = spark.createDataFrame(
-        qterm_rows, "query_id string, field string, term string"
+        pd.DataFrame(qterm_rows, columns=["query_id", "field", "term"]),
+        schema="query_id string, field string, term string",
     )
 
     # block metadata with per-term quality bound (JVM-side expression)
@@ -176,7 +187,9 @@ def batch_wand_search(
         }
         for (f, t), c in consts.items()
     ]
-    meta = spark.createDataFrame(meta_rows)
+    import pandas as pd
+
+    meta = spark.createDataFrame(pd.DataFrame(meta_rows))  # Arrow LocalRelation
     blocks = ix.postings_blocks().filter(
         F.col("term").isin([t for _, t in consts]) & F.col("field").isin(list(all_terms))
     )

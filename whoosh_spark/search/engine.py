@@ -473,7 +473,13 @@ class _PlanContext:
                 T.StructField("dc", T.DoubleType()),
             ]
         )
-        meta = self.spark.createDataFrame(meta_rows, meta_schema)
+        # pandas -> Arrow LocalRelation: a plain-list createDataFrame goes
+        # through RDD parallelize and costs ~0.5s of py4j round-trips per
+        # query (see spark_rows_df)
+        import pandas as pd
+
+        meta_pdf = pd.DataFrame(meta_rows)[[f.name for f in meta_schema.fields]]
+        meta = self.spark.createDataFrame(meta_pdf, schema=meta_schema)
         joined = decoded.join(F.broadcast(meta), on=["field", "term"])
         # decoded `weight` is the token-boost sum (== tf unless the field's
         # analyzer carries delimited boosts); reference Frequency-format

@@ -295,7 +295,7 @@ def add_highlights_stored(top_df: DataFrame, ix, field: str, terms,
                           top: int = 3, maxchars: int = 200, surround: int = 20,
                           minscore: float = 1, autotrim: bool = False,
                           charlimit: int = DEFAULT_CHARLIMIT,
-                          formatter: HtmlFormatter | None = None) -> DataFrame:
+                          formatter=None) -> DataFrame:
     """Non-retokenizing "pinpoint" highlighting from STORED char offsets —
     the reference Highlighter's can_load_chars path (highlight.py:920-1036):
     when the field stores the Characters format and the fragmenter doesn't
@@ -328,9 +328,14 @@ def add_highlights_stored(top_df: DataFrame, ix, field: str, terms,
         F.collect_list(F.struct("term", "pos", "sc", "ec")).alias("_spans")
     )
     joined = top_df.join(spans, on="doc_id", how="left")
-    fmt = formatter or HtmlFormatter()
 
     def _one(text, span_rows):
+        # fresh formatter PER DOCUMENT: the reference shares one formatter
+        # across hits, so its "termN" class numbers depend on the caller's
+        # hit-iteration order — meaningless across distributed rows. Per-doc
+        # numbering is the deterministic equivalent (identical to the
+        # reference when each hit is highlighted from a fresh Results).
+        fmt = formatter() if callable(formatter) else HtmlFormatter()
         if text is None or span_rows is None:
             return ""
         toks = []

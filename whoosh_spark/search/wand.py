@@ -131,7 +131,9 @@ def _block_meta(s, ix, consts):
         }
         for (f, t), c in consts.items()
     ]
-    meta = spark.createDataFrame(meta_rows)
+    import pandas as pd
+
+    meta = spark.createDataFrame(pd.DataFrame(meta_rows))  # Arrow LocalRelation
     fields = sorted({f for f, _ in consts})
     blocks = ix.postings_blocks().filter(
         F.col("field").isin(fields) & F.col("term").isin([t for _, t in consts])
