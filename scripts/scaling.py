@@ -286,9 +286,10 @@ Notes
   (hot (query, doc) hash groups straggle at 1x).
 - Interactive single-query latency is served by the adaptive driver-local
   path (search/local.py) when candidate sets are small: every sf0.1
-  headline query lands ~0.3 s wall (bench.py), vs ~2 s distributed in
-  round 1; at corpus scale hot terms exceed the threshold and use the
-  distributed plan whose scaling is shown above.
+  headline query lands ~0.05-0.08 s wall (bench.py; was ~0.3 s until the
+  result relation moved to the Arrow LocalRelation path, and ~2 s
+  distributed in round 1); at corpus scale hot terms exceed the threshold
+  and use the distributed plan whose scaling is shown above.
 - See BENCH/SCALING.json for the raw numbers; bench.py reports the
   per-round headline metrics the driver records.
 """

@@ -558,3 +558,29 @@ def test_phonetic_field_search_matches_reference(spark, whoosh_ref, tmp_path):
                for r in s.search(op.parse(qs), limit=10).collect()]
         assert got == want, (qs, got, want)
     s.clear_cache()
+
+
+def test_keyword_tokenizers_match_reference(whoosh_ref):
+    """Space/CommaSeparated tokenizer presets (reference tokenizers.py:
+    293-317, fields.KEYWORD): same token streams incl. the comma mode's
+    per-token strip and the lowercase=False default."""
+    from whoosh.analysis import (CommaSeparatedTokenizer, KeywordAnalyzer,
+                                 SpaceSeparatedTokenizer)
+
+    from whoosh_spark.schema import KEYWORD
+
+    texts = ["hi there  big-time, what ever",
+             "hi there,big-time, what ever , x",
+             "MiXeD Case,  padded  ,tags",
+             "single"]
+    space_ana = KEYWORD().analyzer
+    comma_ana = KEYWORD(commas=True).analyzer
+    lower_ana = KEYWORD(commas=True, lowercase=True).analyzer
+    for text in texts:
+        want = [(t.text, t.pos) for t in SpaceSeparatedTokenizer()(text, positions=True)]
+        assert space_ana.tokens(text) == want, text
+        want = [(t.text, t.pos) for t in CommaSeparatedTokenizer()(text, positions=True)]
+        assert comma_ana.tokens(text) == want, text
+        want = [(t.text, t.pos)
+                for t in KeywordAnalyzer(lowercase=True, commas=True)(text, positions=True)]
+        assert lower_ana.tokens(text) == want, text

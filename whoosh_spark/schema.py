@@ -91,10 +91,15 @@ def ID(stored: bool = False, unique: bool = False, lowercase: bool = False) -> F
     )
 
 
-def KEYWORD(stored: bool = False, lowercase: bool = True, commas: bool = False, scorable: bool = False) -> FieldType:
+def KEYWORD(stored: bool = False, lowercase: bool = False, commas: bool = False,
+            scorable: bool = False) -> FieldType:
+    """Space- or comma-separated keyword field (reference fields.py:1014-1035
+    KeywordAnalyzer: lowercase defaults FALSE; comma mode strips whitespace
+    around each token via StripFilter, tokenizers.py:304-317)."""
     pattern = r"[^,]+" if commas else r"[^ \t\r\n]+"
     return FieldType(
-        analyzer=Analyzer(pattern=pattern, lowercase=lowercase, use_stopfilter=False),
+        analyzer=Analyzer(pattern=pattern, lowercase=lowercase,
+                          use_stopfilter=False, strip=commas),
         indexed=True,
         stored=stored,
         scorable=scorable,
