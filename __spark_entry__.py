@@ -289,6 +289,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", "score"
         )
 
+    def batch_wand(spark, sf):
+        # the fully distributed batch block-max WAND plan (bucket-aligned
+        # bounds, search/batch.py:105) driver-gated end-to-end: exact by
+        # invariant, so it shares batch_bm25's oracle SQL verbatim
+        from whoosh_spark.search.batch import batch_wand_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", "text", ["scan", "merge"]),
+            ("q2", "text", ["join"]),
+            ("q3", "text", ["window", "sort", "row"]),
+        ]
+        return batch_wand_search(s, qs, k=10, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
     def date_range_filter(spark, sf):
         # DateRange over a deterministic derived date column (the corpus has
         # no timestamp column): date = 2020-01-01 + doc_id % 365 days
@@ -740,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_or5": wand_or5,
         "matched_terms_top": matched_terms_top,
         "batch_bm25": batch_bm25,
+        "batch_wand": batch_wand,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -930,6 +947,8 @@ sc AS (
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM agg"
         ") WHERE rn <= 10"
     )
+    # batch WAND is exact by invariant -> same oracle as the exact batch
+    sql["batch_wand"] = sql["batch_bm25"]
     sql["date_range_filter"] = (
         "SELECT doc_id, CAST(DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR) AS d "
         "FROM documents "

@@ -107,6 +107,7 @@ def batch_wand_search(
     queries: list[tuple[str, str, list[str]]],
     k: int = 10,
     with_stats: bool = False,
+    round_to: int | None = None,
 ):
     """Block-max WAND for a whole query batch (disjunctive scoring).
 
@@ -255,6 +256,10 @@ def batch_wand_search(
     scored = plan.attach_scores(decoded, sorted(consts), extra_cols=["bucket", "block_no"])
     per_query = scored.join(allowed, on=["field", "term", "bucket", "block_no"])
     agg = per_query.groupBy("query_id", "doc_id").agg(F.sum("score").alias("score"))
+    if round_to is not None:
+        # round BEFORE the top-k window: the k-boundary tie-cut is then
+        # deterministic across engines (oracle comparisons)
+        agg = agg.withColumn("score", F.round(F.col("score"), round_to))
     out = _topk_window(agg, k)
     if not with_stats:
         return out
