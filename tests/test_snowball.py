@@ -125,3 +125,56 @@ def test_pystemmer_fallback():
 
     with _pytest.raises((ImportError, KeyError)):
         pystemmer_for("klingon")
+
+
+def test_english_snowball_matches_reference(whoosh_ref):
+    """stem_en == reference EnglishStemmer (lang/snowball/english.py) incl.
+    special words, the gener/commun/arsen R1 exception, apostrophe forms
+    and y/Y marking — 60k-word random diff."""
+    import random
+    import string
+
+    from whoosh.lang.snowball.english import EnglishStemmer
+
+    from whoosh_spark.analysis.snowball import stem_en
+
+    ref = EnglishStemmer().stem
+    rng = random.Random(5)
+    suffixes = ["ing", "ed", "s", "es", "ies", "ization", "ational",
+                "fulness", "ously", "iveness", "ly", "ment", "ness",
+                "ical", "icate", "ative", "tional", "biliti", "ogi", "li",
+                "eedly", "ingly", "'s", "'s'", "'", "sses", ""]
+    words = ["generously", "communication", "arsenic", "dying", "skies",
+             "running", "hopefully", "nationalization", "abilities",
+             "cries", "agreed", "luxuriously", "hopping", "sky", "news"]
+    for _ in range(60000):
+        base = "".join(
+            rng.choice(string.ascii_lowercase + ("y'" if rng.random() < 0.2 else ""))
+            for _ in range(rng.randint(1, 9)))
+        words.append(base + rng.choice(suffixes))
+    for w in words:
+        assert stem_en(w) == ref(w), w
+
+
+def test_language_analyzer_all_stoplist_languages(whoosh_ref):
+    """language_analyzer(lang) == reference LanguageAnalyzer(lang) for
+    every bundled language WITH a stop list — catches the round-4 bug
+    where fi/fr/hu/ru lists existed but weren't registered (stop filter
+    silently skipped), and covers the new 'en' (English Snowball, NOT
+    Porter)."""
+    from whoosh.analysis import LanguageAnalyzer
+
+    from whoosh_spark.analysis.tokenize import language_analyzer
+
+    texts = {
+        "en": "The quick foxes were running and generously communicated their abilities",
+        "fr": "les renards rapides couraient et communiquaient généreusement leurs capacités",
+        "ru": "быстрые лисы бежали и великодушно сообщали о своих возможностях",
+        "fi": "nopeat ketut juoksivat ja ilmoittivat kyvyistään anteliaasti",
+        "hu": "a gyors rókák futottak és nagylelkűen közölték képességeiket",
+        "de": "die schnellen Füchse liefen und teilten ihre Fähigkeiten mit",
+    }
+    for lang, text in texts.items():
+        want = [(t.text, t.pos) for t in LanguageAnalyzer(lang)(text, positions=True)]
+        got = language_analyzer(lang).tokens(text)
+        assert got == want, lang

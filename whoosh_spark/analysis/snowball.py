@@ -1740,10 +1740,227 @@ def stem_ru(word: str) -> str:
     return word
 
 
+# ---------------------------------------------------------------- english
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_ENDING = "cdeghkmnrt"
+_EN_STEP0 = ("'s'", "'s", "'")
+_EN_STEP1A = ("sses", "ied", "ies", "us", "ss", "s")
+_EN_STEP1B = ("eedly", "ingly", "edly", "eed", "ing", "ed")
+_EN_STEP2 = ("ization", "ational", "fulness", "ousness", "iveness",
+             "tional", "biliti", "lessli", "entli", "ation", "alism",
+             "aliti", "ousli", "iviti", "fulli", "enci", "anci", "abli",
+             "izer", "ator", "alli", "bli", "ogi", "li")
+_EN_STEP3 = ("ational", "tional", "alize", "icate", "iciti", "ative",
+             "ical", "ness", "ful")
+_EN_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+             "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+             "al", "er", "ic")
+_EN_SPECIAL = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
+    "news": "news", "howe": "howe", "atlas": "atlas", "cosmos": "cosmos",
+    "bias": "bias", "andes": "andes", "inning": "inning",
+    "innings": "inning", "outing": "outing", "outings": "outing",
+    "canning": "canning", "cannings": "canning", "herring": "herring",
+    "herrings": "herring", "earring": "earring", "earrings": "earring",
+    "proceed": "proceed", "proceeds": "proceed", "proceeded": "proceed",
+    "proceeding": "proceed", "exceed": "exceed", "exceeds": "exceed",
+    "exceeded": "exceed", "exceeding": "exceed", "succeed": "succeed",
+    "succeeds": "succeed", "succeeded": "succeed",
+    "succeeding": "succeed",
+}
+
+
+def _en_replace(word, r1, r2, n, repl, r2_default=""):
+    """Strip an n-char suffix and append ``repl`` to word/r1/r2, with the
+    reference port's short-region fallbacks (english.py:283-381: r1 falls
+    to "" while r2 falls to ``r2_default`` — "" or "e" depending on the
+    branch)."""
+    word = word[:-n] + repl
+    r1 = (r1[:-n] + repl) if len(r1) >= n else ""
+    r2 = (r2[:-n] + repl) if len(r2) >= n else r2_default
+    return word, r1, r2
+
+
+@_lru_cache(maxsize=65536)
+def stem_en(word: str) -> str:
+    """English Snowball ("porter2") stemmer — behavior-identical to the
+    reference EnglishStemmer (lang/snowball/english.py:6-465), incl. the
+    gener/commun/arsen R1 exception, the y/Y consonant marking, and the
+    port's asymmetric r2 fallbacks ("" vs "e") in steps 1b/2."""
+    word = word.lower()
+    if word in _EN_SPECIAL:
+        return _EN_SPECIAL[word]
+    word = (word.replace("\u2019", "'").replace("\u2018", "'")
+                .replace("\u201b", "'"))
+    if word.startswith("'"):
+        word = word[1:]
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    for i in range(1, len(word)):
+        if word[i - 1] in _EN_VOWELS and word[i] == "y":
+            word = word[:i] + "Y" + word[i + 1:]
+
+    if word.startswith(("gener", "commun", "arsen")):
+        r1 = word[5:] if word.startswith(("gener", "arsen")) else word[6:]
+        r2 = ""
+        for i in range(1, len(r1)):
+            if r1[i] not in _EN_VOWELS and r1[i - 1] in _EN_VOWELS:
+                r2 = r1[i + 1:]
+                break
+    else:
+        r1, r2 = _r1r2_standard(word, _EN_VOWELS)
+
+    # STEP 0
+    for suffix in _EN_STEP0:
+        if word.endswith(suffix):
+            word = word[:-len(suffix)]
+            r1 = r1[:-len(suffix)]
+            r2 = r2[:-len(suffix)]
+            break
+
+    # STEP 1a
+    for suffix in _EN_STEP1A:
+        if word.endswith(suffix):
+            if suffix == "sses":
+                word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suffix in ("ied", "ies"):
+                cut = 2 if len(word[:-len(suffix)]) > 1 else 1
+                word, r1, r2 = word[:-cut], r1[:-cut], r2[:-cut]
+            elif suffix == "s":
+                if any(ch in _EN_VOWELS for ch in word[:-2]):
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            break
+
+    # STEP 1b
+    for suffix in _EN_STEP1B:
+        if word.endswith(suffix):
+            if suffix in ("eed", "eedly"):
+                if r1.endswith(suffix):
+                    word = word[:-len(suffix)] + "ee"
+                    r1 = (r1[:-len(suffix)] + "ee") if len(r1) >= len(suffix) else ""
+                    r2 = (r2[:-len(suffix)] + "ee") if len(r2) >= len(suffix) else ""
+            else:
+                if any(ch in _EN_VOWELS for ch in word[:-len(suffix)]):
+                    word = word[:-len(suffix)]
+                    r1 = r1[:-len(suffix)]
+                    r2 = r2[:-len(suffix)]
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                        r1 += "e"
+                        if len(word) > 5 or len(r1) >= 3:
+                            r2 += "e"
+                    elif word.endswith(_EN_DOUBLES):
+                        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                    elif ((r1 == "" and len(word) >= 3
+                           and word[-1] not in _EN_VOWELS
+                           and word[-1] not in "wxY"
+                           and word[-2] in _EN_VOWELS
+                           and word[-3] not in _EN_VOWELS)
+                          or (r1 == "" and len(word) == 2
+                              and word[0] in _EN_VOWELS
+                              and word[1] not in _EN_VOWELS)):
+                        word += "e"
+                        if len(r1) > 0:
+                            r1 += "e"
+                        if len(r2) > 0:
+                            r2 += "e"
+            break
+
+    # STEP 1c
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in _EN_VOWELS:
+        word = word[:-1] + "i"
+        r1 = (r1[:-1] + "i") if len(r1) >= 1 else ""
+        r2 = (r2[:-1] + "i") if len(r2) >= 1 else ""
+
+    # STEP 2
+    for suffix in _EN_STEP2:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                n = len(suffix)
+                if suffix == "tional":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                elif suffix in ("enci", "anci", "abli"):
+                    word, r1, r2 = _en_replace(word, r1, r2, 1, "e")
+                elif suffix == "entli":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                elif suffix in ("izer", "ization"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ize")
+                elif suffix in ("ational", "ation", "ator"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ate",
+                                               r2_default="e")
+                elif suffix in ("alism", "aliti", "alli"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "al")
+                elif suffix == "fulness":
+                    word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+                elif suffix in ("ousli", "ousness"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ous")
+                elif suffix in ("iveness", "iviti"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ive",
+                                               r2_default="e")
+                elif suffix in ("biliti", "bli"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ble")
+                elif suffix == "ogi" and word[-4] == "l":
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                elif suffix in ("fulli", "lessli"):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                elif suffix == "li" and word[-3] in _EN_LI_ENDING:
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            break
+
+    # STEP 3
+    for suffix in _EN_STEP3:
+        if word.endswith(suffix):
+            if r1.endswith(suffix):
+                n = len(suffix)
+                if suffix == "tional":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                elif suffix == "ational":
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ate")
+                elif suffix == "alize":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                elif suffix in ("icate", "iciti", "ical"):
+                    word, r1, r2 = _en_replace(word, r1, r2, n, "ic")
+                elif suffix in ("ful", "ness"):
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                elif suffix == "ative" and r2.endswith(suffix):
+                    word, r1, r2 = word[:-5], r1[:-5], r2[:-5]
+            break
+
+    # STEP 4
+    for suffix in _EN_STEP4:
+        if word.endswith(suffix):
+            if r2.endswith(suffix):
+                if suffix == "ion":
+                    if word[-4] in "st":
+                        word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                else:
+                    n = len(suffix)
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 5
+    if r2.endswith("l") and word[-2] == "l":
+        word = word[:-1]
+    elif r2.endswith("e"):
+        word = word[:-1]
+    elif r1.endswith("e"):
+        if len(word) >= 4 and (word[-2] in _EN_VOWELS
+                               or word[-2] in "wxY"
+                               or word[-3] not in _EN_VOWELS
+                               or word[-4] in _EN_VOWELS):
+            word = word[:-1]
+
+    return word.replace("Y", "y")
+
+
 STEMMERS = {"da": stem_da, "no": stem_no, "sv": stem_sv, "de": stem_de,
             "es": stem_es, "nl": stem_nl, "it": stem_it, "pt": stem_pt,
             "ro": stem_ro, "fi": stem_fi, "fr": stem_fr, "hu": stem_hu,
-            "ru": stem_ru}
+            "ru": stem_ru, "en": stem_en}
 
 
 def stemmer_for(lang: str):
@@ -1777,7 +1994,7 @@ def pystemmer_for(lang_name: str):
                    "german": "de", "spanish": "es", "dutch": "nl",
                    "italian": "it", "portuguese": "pt", "romanian": "ro",
                    "finnish": "fi", "french": "fr", "hungarian": "hu",
-                   "russian": "ru"}
+                   "russian": "ru", "english": "en"}
         code = by_name.get(lang_name, lang_name)
         if code in STEMMERS:
             return STEMMERS[code]
