@@ -178,3 +178,19 @@ def test_language_analyzer_all_stoplist_languages(whoosh_ref):
         want = [(t.text, t.pos) for t in LanguageAnalyzer(lang)(text, positions=True)]
         got = language_analyzer(lang).tokens(text)
         assert got == want, lang
+
+
+def test_language_analyzer_aliases_and_arabic(whoosh_ref):
+    """Reference two_letter_code aliases work, and "ar" routes to the ISRI
+    stemmer with no stop list (lang/__init__.py:89-131)."""
+    from whoosh.analysis import LanguageAnalyzer
+
+    from whoosh_spark.analysis.tokenize import language_analyzer
+
+    assert language_analyzer("english") == language_analyzer("en")
+    assert language_analyzer("deutsch") == language_analyzer("de")
+    assert language_analyzer("fra") == language_analyzer("fr")
+
+    text = "الكتاب المدرسة يكتبون والكاتبون"
+    want = [(t.text, t.pos) for t in LanguageAnalyzer("ar")(text, positions=True)]
+    assert language_analyzer("ar").tokens(text) == want

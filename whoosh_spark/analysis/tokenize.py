@@ -722,15 +722,42 @@ def path_analyzer() -> Analyzer:
                     path_mode=True)
 
 
+#: language-name aliases accepted everywhere a two-letter code is
+#: (reference lang/__init__.py:46-86 two_letter_code: ISO 639-2 codes,
+#: English names, native names)
+LANG_ALIASES = {
+    "ara": "ar", "dan": "da", "nld": "nl", "eng": "en", "fin": "fi",
+    "fra": "fr", "deu": "de", "hun": "hu", "ita": "it", "nor": "no",
+    "por": "pt", "ron": "ro", "rus": "ru", "spa": "es", "swe": "sv",
+    "tur": "tr",
+    "arabic": "ar", "danish": "da", "dutch": "nl", "english": "en",
+    "finnish": "fi", "french": "fr", "german": "de", "hungarian": "hu",
+    "italian": "it", "norwegian": "no", "portuguese": "pt",
+    "romanian": "ro", "russian": "ru", "spanish": "es", "swedish": "sv",
+    "turkish": "tr",
+    "العربية": "ar", "dansk": "da", "nederlands": "nl", "suomi": "fi",
+    "français": "fr", "deutsch": "de", "magyar": "hu", "italiano": "it",
+    "norsk": "no", "português": "pt", "русский язык": "ru",
+    "español": "es", "svenska": "sv", "türkçe": "tr",
+}
+
+
 def language_analyzer(lang: str, minsize: int = 2) -> Analyzer:
     """RegexTokenizer | Lowercase | StopFilter(lang) | StemFilter(lang) —
     the reference LanguageAnalyzer (analysis/analyzers.py:256-296) for the
-    languages with a bundled Snowball stemmer. Languages without a stop
-    list (e.g. Romanian) skip the stop filter, exactly like the
-    reference's NoStopWords fallback."""
+    languages with a bundled Snowball stemmer ("en" = English Snowball,
+    like the reference — classic Porter is stemming_analyzer()). Accepts
+    the reference's language aliases ("english", "deu", "français", ...).
+    Languages without a stop list (e.g. Romanian) skip the stop filter,
+    exactly like the reference's NoStopWords fallback."""
     from whoosh_spark.analysis.snowball import STEMMERS
     from whoosh_spark.analysis.stopwords_data import STOPWORDS
 
+    lang = LANG_ALIASES.get(lang, lang)
+    if lang == "ar":
+        # the reference routes Arabic to the ISRI stemmer and has no Arabic
+        # stop list (lang/__init__.py:122, NoStopWords fallback)
+        return Analyzer(use_stopfilter=False, alt_stem="isri")
     if lang not in STEMMERS:
         raise ValueError(f"no bundled stemmer for language {lang!r}")
     stops = STOPWORDS.get(lang)
