@@ -291,7 +291,11 @@ Notes
   distributed in round 1); at corpus scale hot terms exceed the threshold
   and use the distributed plan whose scaling is shown above.
 - See BENCH/SCALING.json for the raw numbers; bench.py reports the
-  per-round headline metrics the driver records.
+  per-round headline metrics the driver records. BENCH/WAND_SKEW.json
+  records the batch block-max WAND evidence (honest negative result on
+  this corpus: the zipf vocabulary's df floor saturates every bucket's
+  block bounds, so the exact batch path stays the default; bounds are
+  bucket-aligned and the plan is exactness-gated at 600k docs).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
