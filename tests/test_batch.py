@@ -68,3 +68,41 @@ def test_batch_conjunctive(ix):
     got_scores = {r["doc_id"]: r["score"] for r in out}
     for r in want:
         assert got_scores[r["doc_id"]] == pytest.approx(r["score"], rel=1e-12)
+
+
+def test_bucket_aligned_wand_prunes_sparse_term_buckets(spark, tmp_path):
+    """POSITIVE pruning evidence for the bucket-aligned bound: a rare term
+    confined to the first doc-id bucket makes every other bucket's bound =
+    the hot term's quality alone, which can't reach theta — those buckets'
+    hot blocks must prune, while results stay identical to the exact path.
+    (On the zipf bench corpus no exact bound can prune — every term
+    saturates every bucket; see BENCH/WAND_SKEW.json — this test isolates
+    the regime the bound is FOR.)"""
+    import random
+
+    from whoosh_spark.search.batch import batch_wand_search
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        words = ["hot"] * rng.randint(1, 4) + ["filler%d" % rng.randint(0, 30)
+                                               for _ in range(rng.randint(5, 15))]
+        if i < 40:  # rare term only in bucket 0 (bucket_width=512 below)
+            words.append("rareterm")
+        rng.shuffle(words)
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    d = str(tmp_path / "sparse")
+    build_index(spark, spark.createDataFrame(rows), IndexSchema.of(text=TEXT()),
+                d, sha_col=None, bucket_width=512)
+    s = Searcher(Index(spark, d), exact_scores=False, cache_postings=False)
+    qs = [("q0", "text", ["hot", "rareterm"])]
+
+    exact = {(r["doc_id"], round(r["score"], 9))
+             for r in batch_term_search(s, qs, k=5).collect()}
+    out, stats = batch_wand_search(s, qs, k=5, with_stats=True)
+    wand = {(r["doc_id"], round(r["score"], 9)) for r in out.collect()}
+    assert wand == exact
+    assert stats["qt_blocks_kept"] < stats["qt_blocks_total"], stats
+    # the hot term spans 8 buckets; the rare term lives in 1 — a majority
+    # of the batch's blocks must be skippable
+    assert stats["qt_blocks_kept"] <= stats["qt_blocks_total"] * 0.6, stats
