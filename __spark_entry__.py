@@ -290,9 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def batch_wand(spark, sf):
-        # the fully distributed batch block-max WAND plan (bucket-aligned
-        # bounds, search/batch.py:105) driver-gated end-to-end: exact by
-        # invariant, so it shares batch_bm25's oracle SQL verbatim
+        # the fully distributed batch block-max WAND plan (chunk-aligned
+        # doc-range bounds, search/batch.py:105) driver-gated end-to-end:
+        # exact by invariant, so it shares batch_bm25's oracle SQL verbatim
         from whoosh_spark.search.batch import batch_wand_search
 
         s = _searcher(spark, sf)

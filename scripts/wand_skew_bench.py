@@ -1,13 +1,20 @@
 """Batch block-max WAND evidence on a skewed corpus (VERDICT r3 task #5).
 
-Builds (or reuses) a zipfian synthetic code corpus, runs a selective
-500-query batch (each query = 1 hot head term + 1-2 rare tail terms, the
-shape WAND prunes best) through the exact batch path AND the batch WAND
-path, asserts the top-k lists are identical, and records wall times plus
-blocks_kept/blocks_total to BENCH/WAND_SKEW.json.
+Builds (or reuses) a zipfian synthetic code corpus WITH a realistic
+long-tail identifier vocabulary (rare_vocab symbols, df ≈ 60 at 600k
+docs — real code corpora are full of df<100 identifiers), then measures
+TWO 500-query workloads through the exact batch path AND the chunk-aligned
+batch WAND path, asserting identical top-k lists:
+
+- ``selective``: 1 hot head term + 1-2 rare ``sym_*`` tail terms — theta
+  is driven by the rare term's quality, so the hot term's blocks prune in
+  every 256-id chunk the rare term doesn't touch.
+- ``saturated``: 1 hot head term + 1-2 mid-frequency ``VOCAB`` tail terms
+  (df ≈ 15k) — every term touches every chunk, no exact bound can prune;
+  recorded honestly as the regime where the exact path stays the default.
 
 Env: WAND_DOCS (default 600000), WAND_QUERIES (500), WAND_CPUS (8),
-WAND_K (10).
+WAND_K (10), WAND_RARE_VOCAB (50000).
 """
 
 from __future__ import annotations
@@ -25,15 +32,30 @@ N_DOCS = int(os.environ.get("WAND_DOCS", "600000"))
 N_QUERIES = int(os.environ.get("WAND_QUERIES", "500"))
 CPUS = int(os.environ.get("WAND_CPUS", "8"))
 K = int(os.environ.get("WAND_K", "10"))
+RARE_VOCAB = int(os.environ.get("WAND_RARE_VOCAB", "50000"))
 
-CORPUS_DIR = os.path.join(REPO, ".index_cache", f"wand_corpus_{N_DOCS}")
-IDX_DIR = os.path.join(REPO, ".index_cache", f"wand_idx_{N_DOCS}")
+CORPUS_DIR = os.path.join(REPO, ".index_cache", f"wand_corpus_{N_DOCS}_r{RARE_VOCAB}")
+IDX_DIR = os.path.join(REPO, ".index_cache", f"wand_idx_{N_DOCS}_r{RARE_VOCAB}")
 
 
 def selective_workload(n: int) -> list[tuple[str, str, list[str]]]:
-    """1 hot head term + 1-2 rare tail terms per query: theta is driven by
-    the rare term's quality, so most of the hot term's low-bound blocks
-    should prune."""
+    """1 hot head term + 1-2 rare sym_* tail terms per query (df ≈ 60)."""
+    from whoosh_spark.corpus import VOCAB
+
+    rng = random.Random(4321)
+    head = VOCAB[:20]
+    out = []
+    for i in range(n):
+        terms = [rng.choice(head)] + [
+            f"sym_{rng.randrange(RARE_VOCAB)}" for _ in range(rng.choice([1, 1, 2]))
+        ]
+        out.append((f"q{i}", "content", terms))
+    return out
+
+
+def saturated_workload(n: int) -> list[tuple[str, str, list[str]]]:
+    """1 hot head term + 1-2 mid-frequency tail terms (df ≈ 15k): every
+    term saturates every chunk — the no-prune control."""
     from whoosh_spark.corpus import VOCAB
 
     rng = random.Random(4321)
@@ -58,7 +80,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
-        synth_code_corpus(spark, N_DOCS, partitions=64).write.mode(
+        synth_code_corpus(spark, N_DOCS, partitions=64,
+                          rare_vocab=RARE_VOCAB).write.mode(
             "overwrite").parquet(CORPUS_DIR)
     docs = spark.read.parquet(CORPUS_DIR)
 
@@ -77,11 +100,6 @@ def main() -> None:
         build_index(spark, docs, code_corpus_schema(), IDX_DIR, sha_col="content")
 
     s = Searcher(Index(spark, IDX_DIR), exact_scores=False, cache_postings=False)
-    qs = selective_workload(N_QUERIES)
-
-    # warm both plans (footers, stats prefetch, JIT)
-    batch_term_search(s, qs[:2], k=K).collect()
-    batch_wand_search(s, qs[:2], k=K).collect()
 
     def timed(fn, runs=2):
         best, rows = None, None
@@ -92,9 +110,6 @@ def main() -> None:
             if best is None or dt < best:
                 best, rows = dt, got
         return best, rows
-
-    exact_sec, exact_rows = timed(lambda: batch_term_search(s, qs, k=K))
-    wand_sec, wand_rows = timed(lambda: batch_wand_search(s, qs, k=K))
 
     # exactness gate: same doc sets with same (rounded) scores per query,
     # and the same score sequence by rank. Distributed Sum order differs
@@ -107,23 +122,41 @@ def main() -> None:
         ranks = sorted((r["query_id"], r["rank"], round(r["score"], 9)) for r in rows)
         return docs, ranks
 
-    assert keys(exact_rows) == keys(wand_rows), "batch WAND diverged from exact"
+    def measure(name: str, qs: list) -> dict:
+        # warm both plans (footers, stats prefetch, JIT)
+        batch_term_search(s, qs[:2], k=K).collect()
+        batch_wand_search(s, qs[:2], k=K).collect()
+        exact_sec, exact_rows = timed(lambda: batch_term_search(s, qs, k=K))
+        wand_sec, wand_rows = timed(lambda: batch_wand_search(s, qs, k=K))
+        assert keys(exact_rows) == keys(wand_rows), (
+            f"batch WAND diverged from exact on {name}")
+        _, stats = batch_wand_search(s, qs, k=K, with_stats=True)
+        return {
+            "workload": name,
+            "exact_batch_sec": round(exact_sec, 2),
+            "wand_batch_sec": round(wand_sec, 2),
+            "speedup": round(exact_sec / wand_sec, 2),
+            **stats,
+            "qt_prune_pct": round(
+                100 * (1 - stats["qt_blocks_kept"] / stats["qt_blocks_total"]), 1),
+            "decode_prune_pct": round(
+                100 * (1 - stats["decode_blocks_kept"] / stats["decode_blocks_total"]), 1),
+            "results_identical": True,
+        }
 
-    _, stats = batch_wand_search(s, qs, k=K, with_stats=True)
     out = {
         "n_docs": N_DOCS,
         "n_queries": N_QUERIES,
         "k": K,
         "cpus": CPUS,
-        "workload": "selective: 1 hot head term + 1-2 rare tail terms",
-        "exact_batch_sec": round(exact_sec, 2),
-        "wand_batch_sec": round(wand_sec, 2),
-        "speedup": round(exact_sec / wand_sec, 2),
-        **stats,
-        "qt_prune_pct": round(100 * (1 - stats["qt_blocks_kept"] / stats["qt_blocks_total"]), 1),
-        "decode_prune_pct": round(
-            100 * (1 - stats["decode_blocks_kept"] / stats["decode_blocks_total"]), 1),
-        "results_identical": True,
+        "rare_vocab": RARE_VOCAB,
+        "bound": "chunk-aligned doc-range rest (BOUND_CHUNK=256)",
+        "selective": measure(
+            "selective: 1 hot head term + 1-2 rare sym_* terms (df~60)",
+            selective_workload(N_QUERIES)),
+        "saturated": measure(
+            "saturated control: 1 hot head term + 1-2 mid-df (~15k) terms",
+            saturated_workload(N_QUERIES)),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "WAND_SKEW.json"), "w") as f:

@@ -70,14 +70,15 @@ def test_batch_conjunctive(ix):
         assert got_scores[r["doc_id"]] == pytest.approx(r["score"], rel=1e-12)
 
 
-def test_bucket_aligned_wand_prunes_sparse_term_buckets(spark, tmp_path):
-    """POSITIVE pruning evidence for the bucket-aligned bound: a rare term
-    confined to the first doc-id bucket makes every other bucket's bound =
-    the hot term's quality alone, which can't reach theta — those buckets'
-    hot blocks must prune, while results stay identical to the exact path.
-    (On the zipf bench corpus no exact bound can prune — every term
-    saturates every bucket; see BENCH/WAND_SKEW.json — this test isolates
-    the regime the bound is FOR.)"""
+def test_chunk_aligned_wand_prunes_sparse_term_ranges(spark, tmp_path):
+    """POSITIVE pruning evidence for the chunk-aligned doc-range bound: the
+    whole corpus is ONE salt bucket (4000 docs < default bucket_width), so
+    a per-bucket rest could never prune — but the rare term's postings all
+    live in the first 256-id chunk, so the hot term's blocks outside that
+    doc range bound below theta and must prune, while results stay
+    identical to the exact path. (On the saturated control workload in
+    BENCH/WAND_SKEW.json every term touches every chunk and nothing can
+    prune — this test isolates the regime the bound is FOR.)"""
     import random
 
     from whoosh_spark.search.batch import batch_wand_search
@@ -87,13 +88,13 @@ def test_bucket_aligned_wand_prunes_sparse_term_buckets(spark, tmp_path):
     for i in range(4000):
         words = ["hot"] * rng.randint(1, 4) + ["filler%d" % rng.randint(0, 30)
                                                for _ in range(rng.randint(5, 15))]
-        if i < 40:  # rare term only in bucket 0 (bucket_width=512 below)
+        if i < 40:  # rare term only in doc ids 0..39 = chunk 0 (BOUND_CHUNK=256)
             words.append("rareterm")
         rng.shuffle(words)
         rows.append(Row(doc_id=i, text=" ".join(words)))
     d = str(tmp_path / "sparse")
     build_index(spark, spark.createDataFrame(rows), IndexSchema.of(text=TEXT()),
-                d, sha_col=None, bucket_width=512)
+                d, sha_col=None)
     s = Searcher(Index(spark, d), exact_scores=False, cache_postings=False)
     qs = [("q0", "text", ["hot", "rareterm"])]
 
@@ -103,6 +104,7 @@ def test_bucket_aligned_wand_prunes_sparse_term_buckets(spark, tmp_path):
     wand = {(r["doc_id"], round(r["score"], 9)) for r in out.collect()}
     assert wand == exact
     assert stats["qt_blocks_kept"] < stats["qt_blocks_total"], stats
-    # the hot term spans 8 buckets; the rare term lives in 1 — a majority
-    # of the batch's blocks must be skippable
-    assert stats["qt_blocks_kept"] <= stats["qt_blocks_total"] * 0.6, stats
+    # the hot term's ~32 blocks span 16 chunks; the rare term lives in
+    # chunk 0 only — the vast majority of the batch's blocks must prune
+    # even though every block shares the single bucket
+    assert stats["qt_blocks_kept"] <= stats["qt_blocks_total"] * 0.4, stats

@@ -39,7 +39,7 @@ for _w in _WEIGHTS:
     _CUM.append(_total)
 
 
-def _doc_content(seed: int, doc_id: int) -> str:
+def _doc_content(seed: int, doc_id: int, rare_vocab: int = 0) -> str:
     rng = random.Random((seed << 32) ^ doc_id)
     n = rng.randint(10, 500)
     words = []
@@ -55,10 +55,16 @@ def _doc_content(seed: int, doc_id: int) -> str:
         words.append(VOCAB[lo])
         if rng.random() < 0.1:
             words.append(f"ident_{rng.randint(0, 999)}")
+        # opt-in long-tail symbols (real code corpora carry a huge df<100
+        # identifier tail — the regime block-max pruning is for). The rng
+        # draw short-circuits when disabled, so default content stays
+        # byte-identical across rounds (bench comparability).
+        if rare_vocab and rng.random() < 0.02:
+            words.append(f"sym_{rng.randint(0, rare_vocab - 1)}")
     return " ".join(words)
 
 
-def _row(seed: int, doc_id: int) -> dict:
+def _row(seed: int, doc_id: int, rare_vocab: int = 0) -> dict:
     rng = random.Random((seed << 16) ^ doc_id)
     repo = f"org{doc_id % 10}/proj{doc_id % 37}"
     path = f"src/pkg{doc_id % 23}/mod_{doc_id}.py"
@@ -69,7 +75,7 @@ def _row(seed: int, doc_id: int) -> dict:
         "path": path,
         "commit": commit,
         "lang": lang,
-        "content": _doc_content(seed, doc_id),
+        "content": _doc_content(seed, doc_id, rare_vocab),
     }
 
 
@@ -86,12 +92,17 @@ CORPUS_SCHEMA = T.StructType(
 
 
 def synth_code_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      rare_vocab: int = 0) -> DataFrame:
+    """``rare_vocab > 0`` sprinkles in a long tail of ``sym_<i>`` rare
+    identifiers (i < rare_vocab, ~2% of word slots) without perturbing the
+    default content — expected df per symbol ≈ 5.1 * n_docs / rare_vocab
+    (e.g. 50k symbols at 600k docs → df ≈ 60)."""
     base = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
-            rows = [{"doc_id": int(i), **_row(seed, int(i))} for i in pdf["id"]]
+            rows = [{"doc_id": int(i), **_row(seed, int(i), rare_vocab)} for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in CORPUS_SCHEMA.fields])
 
     return base.mapInPandas(gen, CORPUS_SCHEMA)

@@ -115,18 +115,18 @@ def batch_wand_search(
     best-bounded blocks to cover k postings; the k-th exact partial is a
     valid per-query threshold theta (any k exact partials lower-bound the
     true k-th best total).
-    Phase 2: BUCKET-ALIGNED block-max pruning. Every posting block lives in
-    a doc-id bucket (doc_id // bucket_width, the build's skew salt), and a
-    doc's postings for a term sit in exactly one block of that bucket — so
-    for each (query, bucket) the sum over the query's terms of their MAX
-    block quality within the bucket upper-bounds every doc total in it
-    (terms absent from a bucket contribute 0, vs the reference-style
-    global max_quality rest bound, which never prunes hot+rare
-    disjunctions: measured 0.0% at 600k docs). A (query, term) block then
-    survives iff block_quality + (bucket_bound - own term's bucket max)
-    >= theta. Every doc whose true total can reach theta keeps ALL its
-    blocks, so returned top-k lists are exact (same invariant as
-    search/wand.py, with a strictly tighter rest).
+    Phase 2: CHUNK-ALIGNED (doc-range) block-max pruning. Blocks are
+    doc-sorted, so each block's [min_id, max_id] span says exactly which
+    256-id chunks of doc-id space it can score into. For each
+    (query, chunk) the sum over the query's terms of their MAX overlapping
+    block quality upper-bounds every doc total in the chunk (terms absent
+    from a chunk contribute 0 — vs the reference-style global max_quality
+    rest bound, which never prunes hot+rare disjunctions, and vs a
+    per-bucket rest, which saturates once every term touches every 8192-id
+    bucket). A (query, term) block survives iff SOME chunk it overlaps has
+    block_quality + (chunk_bound - own term's chunk max) >= theta. Every
+    doc whose true total can reach theta keeps ALL its blocks, so returned
+    top-k lists are exact (same invariant as search/wand.py).
 
     ``with_stats=True`` returns ``(df, stats)`` where stats counts the
     per-(query,term) blocks the pruned plan keeps vs the full batch scan
@@ -203,7 +203,10 @@ def batch_wand_search(
         w_col, fl_col, F.col("idf"), F.col("avgfl"), F.col("b"),
         F.col("one_minus_b"), F.col("scorable"),
     )
-    bmeta = bmeta.select("field", "term", "bucket", "block_no", "count", bq.alias("bq"))
+    bmeta = bmeta.select(
+        "field", "term", "bucket", "block_no", "count", "min_id", "max_id",
+        bq.alias("bq"),
+    )
 
     # ---- phase 1: theta per query from the strongest term's best blocks
     seed_meta = bmeta.join(F.broadcast(qstar), on=["field", "term"])
@@ -228,27 +231,42 @@ def batch_wand_search(
         .select("query_id", F.col("score").alias("theta"))
     )
 
-    # ---- phase 2: bucket-aligned per-(query, block) pruning, dedup
-    # decode, exact scoring. tbq = a term's best block quality per bucket;
-    # bucket_bound = sum of tbq over the query's terms PRESENT in the
-    # bucket (absent terms bound to 0 — the big win over a global rest).
-    tbq = bmeta.groupBy("field", "term", "bucket").agg(F.max("bq").alias("tbq"))
-    qbucket = (
-        tbq.join(F.broadcast(qterm_names), on=["field", "term"])
-        .groupBy("query_id", "bucket")
-        .agg(F.sum("tbq").alias("bucket_bound"))
+    # ---- phase 2: chunk-aligned per-(query, block) pruning, dedup
+    # decode, exact scoring. Explode each block into the 256-id chunks its
+    # [min_id, max_id] span overlaps (≤ bucket_width/256 + 1 chunks);
+    # tcq = a term's best overlapping block quality per chunk; chunk_bound
+    # = sum of tcq over the query's terms PRESENT in the chunk (absent
+    # terms bound to 0 — the big win over both a global rest and a
+    # per-bucket rest). All metadata-sized, all JVM-side.
+    from whoosh_spark.search.wand import BOUND_CHUNK
+
+    chunk = F.explode(
+        F.sequence(
+            (F.col("min_id") / BOUND_CHUNK).cast("long"),
+            (F.col("max_id") / BOUND_CHUNK).cast("long"),
+        )
+    ).alias("chunk")
+    bchunk = bmeta.select("field", "term", "bucket", "block_no", "bq", chunk)
+    tcq = bchunk.groupBy("field", "term", "chunk").agg(F.max("bq").alias("tcq"))
+    qchunk = (
+        tcq.join(F.broadcast(qterm_names), on=["field", "term"])
+        .groupBy("query_id", "chunk")
+        .agg(F.sum("tcq").alias("chunk_bound"))
     )
+    # a block may survive via several chunks — distinct() restores the
+    # one-row-per-(query, block) shape the score join depends on
     allowed = (
-        bmeta.join(F.broadcast(qterm_names), on=["field", "term"])
-        .join(tbq, on=["field", "term", "bucket"])
-        .join(qbucket, on=["query_id", "bucket"])
+        bchunk.join(F.broadcast(qterm_names), on=["field", "term"])
+        .join(tcq, on=["field", "term", "chunk"])
+        .join(qchunk, on=["query_id", "chunk"])
         .join(F.broadcast(theta), on="query_id", how="left")
         .filter(
             F.col("theta").isNull()
-            | ((F.col("bq") + (F.col("bucket_bound") - F.col("tbq")))
+            | ((F.col("bq") + (F.col("chunk_bound") - F.col("tcq")))
                * F.lit(1 + EPS) + F.lit(EPS) >= F.col("theta"))
         )
         .select("query_id", "field", "term", "bucket", "block_no")
+        .distinct()
     )
     survivors = allowed.select("field", "term", "bucket", "block_no").distinct()
     surv_blocks = blocks.join(survivors, on=["field", "term", "bucket", "block_no"])

@@ -31,6 +31,17 @@ from whoosh_spark.search.scoring import BM25F, byte_to_length_col
 
 EPS = 1e-12
 
+# Doc-range bound granularity: rest-bounds are computed per CHUNK of doc-id
+# space (chunk = doc_id // BOUND_CHUNK) instead of per salt bucket. Blocks
+# are doc-sorted within a bucket, so a block's [min_id, max_id] span tells
+# exactly which chunks it can contribute to — a hot term's full 128-posting
+# block spans only ~BOUND_CHUNK ids, so a rare term absent from that slice
+# contributes 0 to the bound where the coarser per-bucket rest (8192 ids)
+# would still count it. This is the Spark analog of the reference's
+# block-max skip pointers (codec/whoosh3.py:1038-1051) at sub-bucket
+# granularity.
+BOUND_CHUNK = 256
+
 
 def _term_constants(searcher, stats, field: str, term: str) -> dict | None:
     st = stats.get((field, term))
@@ -92,12 +103,14 @@ def wand_topk(plan, terms: list[tuple[str, str, float]], k: int) -> tuple[DataFr
     seed = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = seed[-1]["score"] if len(seed) >= k else float("-inf")
 
-    # ---- phase 2: bucket-aligned block pruning on metadata, decode
-    # survivors, exact score. Same invariant as batch.py: a doc's postings
-    # for a term sit in exactly one block of its doc-id bucket, so
-    # sum-over-terms of per-bucket best block quality upper-bounds every
-    # doc total in the bucket — strictly tighter than the global
-    # max_quality rest (which never prunes hot-term disjunctions).
+    # ---- phase 2: chunk-aligned (doc-range) block pruning on metadata,
+    # decode survivors, exact score. Same invariant as batch.py: a doc's
+    # postings for a term sit in exactly one block whose [min_id, max_id]
+    # span covers the doc's chunk, so sum-over-terms of per-chunk best
+    # overlapping block quality upper-bounds every doc total in the chunk —
+    # strictly tighter than the global max_quality rest (which never prunes
+    # hot-term disjunctions) and than a per-bucket rest (8192-id buckets
+    # saturate long before 256-id chunks do).
     kept = _pruned_blocks(s, ix, consts, theta)
 
     from whoosh_spark.index.catalog import decode_blocks
@@ -149,25 +162,44 @@ def _block_meta(s, ix, consts):
 
 
 def _pruned_blocks(s, ix, consts, theta):
-    """Bucket-aligned block-max pruning: keep a block iff its quality plus
-    the sum of the OTHER query terms' best block qualities in the same
-    doc-id bucket can reach theta (absent terms bound to 0)."""
+    """Chunk-aligned (doc-range) block-max pruning: a block survives iff
+    SOME chunk of doc-id space it overlaps has  block_quality + (sum over
+    the OTHER query terms of their best overlapping block quality in that
+    chunk) >= theta  (absent terms bound to 0).
+
+    Exactness: a doc d with true total >= theta lives in chunk
+    c = d // BOUND_CHUNK; for each of its terms t, d's posting sits in the
+    single block b_t(d), whose [min_id, max_id] span covers c, and
+    tcq(t', c) >= that term's contribution for every other term t' of d —
+    so bq(b_t(d)) + rest(c) >= total(d) >= theta and the block is kept.
+    Strictly tighter than a per-bucket rest (chunk ⊆ bucket ⇒ fewer terms
+    present ⇒ smaller bound), which never prunes when every term touches
+    every 8192-doc bucket."""
     bmeta = _block_meta(s, ix, consts)
+    payload = bmeta.drop("bq", "idf", "avgfl", "b", "one_minus_b",
+                         "fboost", "scorable", "qboost")
     if theta == float("-inf"):
-        return bmeta.drop("bq", "idf", "avgfl", "b", "one_minus_b",
-                          "fboost", "scorable", "qboost")
-    tbq = bmeta.groupBy("field", "term", "bucket").agg(F.max("bq").alias("tbq"))
-    bucketb = tbq.groupBy("bucket").agg(F.sum("tbq").alias("bucket_bound"))
-    kept = (
-        bmeta.join(tbq, on=["field", "term", "bucket"])
-        .join(bucketb, on="bucket")
+        return payload
+    chunk = F.explode(
+        F.sequence(
+            (F.col("min_id") / BOUND_CHUNK).cast("long"),
+            (F.col("max_id") / BOUND_CHUNK).cast("long"),
+        )
+    ).alias("chunk")
+    slim = bmeta.select("field", "term", "bucket", "block_no", "bq", chunk)
+    tcq = slim.groupBy("field", "term", "chunk").agg(F.max("bq").alias("tcq"))
+    chunkb = tcq.groupBy("chunk").agg(F.sum("tcq").alias("chunk_bound"))
+    kept_keys = (
+        slim.join(tcq, on=["field", "term", "chunk"])
+        .join(chunkb, on="chunk")
         .filter(
-            (F.col("bq") + (F.col("bucket_bound") - F.col("tbq")))
+            (F.col("bq") + (F.col("chunk_bound") - F.col("tcq")))
             * F.lit(1 + EPS) + F.lit(EPS) >= F.lit(theta)
         )
+        .select("field", "term", "bucket", "block_no")
+        .distinct()
     )
-    return kept.drop("bq", "tbq", "bucket_bound", "idf", "avgfl", "b",
-                     "one_minus_b", "fboost", "scorable", "qboost")
+    return payload.join(kept_keys, on=["field", "term", "bucket", "block_no"])
 
 
 def wand_block_counts(plan, terms: list[tuple[str, str, float]], k: int) -> dict:
