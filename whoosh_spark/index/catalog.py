@@ -27,6 +27,24 @@ from whoosh_spark.index import codec
 from whoosh_spark.index.segment import Manifest, read_manifest
 from whoosh_spark.schema import IndexSchema, schema_from_dict
 
+# Granularity of doc-range block skipping: bounds and intersections are
+# computed per CHUNK of doc-id space (chunk = doc_id // BOUND_CHUNK).
+# Blocks are doc-sorted, so a block's [min_id, max_id] span says exactly
+# which chunks it can contribute to — the Spark analog of the reference's
+# per-block skip pointers (codec/whoosh3.py:1018-1051). 256 ids ≈ two full
+# 128-posting blocks of a term present in every doc.
+BOUND_CHUNK = 256
+
+
+def _chunk_col() -> "F.Column":
+    """Explode a block row into the chunks its [min_id, max_id] overlaps."""
+    return F.explode(
+        F.sequence(
+            (F.col("min_id") / BOUND_CHUNK).cast("long"),
+            (F.col("max_id") / BOUND_CHUNK).cast("long"),
+        )
+    ).alias("chunk")
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("field", T.StringType()),
@@ -280,6 +298,47 @@ class Index:
             blocks = blocks.repartition(min_partitions)
         decoded = decode_blocks(blocks, with_positions=with_positions)
         return self._mask_deleted(decoded)
+
+    def postings_for_conjunction(self, field_terms: dict[str, list[str]],
+                                 with_positions: bool = False) -> DataFrame:
+        """Decoded postings of the given terms restricted to doc-id chunks
+        where EVERY (field, term) has at least one overlapping block — the
+        conjunctive skip: a doc matching an AND of all the terms (or a
+        phrase over them) lies in such a chunk, so pruned blocks cannot
+        contain any match and dropping them is exact for any scoring mode.
+
+        This is the reference's posting-intersection ``skip_to`` jump
+        (matching/binary.py IntersectionMatcher + codec/whoosh3.py:1018-1036
+        block skipping) re-expressed on block metadata: for ``And(rare,
+        hot)`` the hot term's blocks decode only where the rare term's
+        postings live — at 10^12 docs that turns a full hot-list decode
+        into ~df(rare)/N of it. All pruning math runs JVM-side on metadata
+        columns; pruned blocks never reach the Python decode workers."""
+        import functools
+        import operator
+
+        pairs = {(f, t) for f, ts in field_terms.items() for t in ts}
+        n = len(pairs)
+        cond = functools.reduce(operator.or_, [
+            (F.col("field") == f) & F.col("term").isin(ts)
+            for f, ts in field_terms.items()
+        ])
+        blocks = self.postings_blocks().filter(cond)
+        if n > 1:
+            slim = blocks.select("field", "term", "bucket", "block_no", _chunk_col())
+            shared = (
+                slim.select("field", "term", "chunk").distinct()
+                .groupBy("chunk").agg(F.count("*").alias("_present"))
+                .filter(F.col("_present") == n)
+                .select("chunk")
+            )
+            kept = (
+                slim.join(shared, on="chunk")
+                .select("field", "term", "bucket", "block_no")
+                .distinct()
+            )
+            blocks = blocks.join(kept, on=["field", "term", "bucket", "block_no"])
+        return self._mask_deleted(decode_blocks(blocks, with_positions=with_positions))
 
     def postings_docs_where(self, field: str, pushdown=None, exact_pred=None) -> DataFrame:
         """Distinct doc_ids of postings whose term satisfies a Column

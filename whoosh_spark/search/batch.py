@@ -63,15 +63,21 @@ def batch_term_search(
     conjunctive: bool = False,
     use_wand: bool = False,
     round_to: int | None = None,
+    conjunctive_skip: bool = True,
 ) -> DataFrame:
     """queries: [(query_id, field, [terms...])] -> top-k per query.
 
     Returns DataFrame(query_id, doc_id, score, rank). ``use_wand=True``
     applies per-query block-max pruning (see batch_wand_search).
     ``round_to`` rounds scores BEFORE the top-k window so the k-boundary
-    tie-cut is deterministic across engines (oracle comparisons)."""
+    tie-cut is deterministic across engines (oracle comparisons).
+    Conjunctive batches route through per-query chunk-intersection block
+    skipping (exact; ``conjunctive_skip=False`` keeps the full-decode plan
+    for A/B benchmarking)."""
     if use_wand and not conjunctive:
         return batch_wand_search(searcher, queries, k)
+    if conjunctive and conjunctive_skip:
+        return batch_conjunctive_search(searcher, queries, k, round_to=round_to)
     ix = searcher.index
     qdf, all_terms, plan = _prepare(searcher, queries)
     term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
@@ -100,6 +106,90 @@ def batch_term_search(
     if round_to is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_to))
     return _topk_window(out, k)
+
+
+def batch_conjunctive_search(
+    searcher: Searcher,
+    queries: list[tuple[str, str, list[str]]],
+    k: int = 10,
+    round_to: int | None = None,
+    with_stats: bool = False,
+):
+    """Conjunctive (all-terms-required) batch with per-query
+    chunk-intersection block skipping.
+
+    For each query, only doc-id chunks where EVERY query term has an
+    overlapping block can contain a match, so each term's blocks outside
+    the query's shared chunks are dropped before decode — the reference's
+    IntersectionMatcher ``skip_to`` jump (matching/binary.py,
+    codec/whoosh3.py:1018-1036) on block metadata. Exact for any scoring
+    mode: pruned blocks only hold docs missing some required term. For
+    And(rare, hot) batches this decodes ~df(rare)/N of the hot lists.
+    ``with_stats=True`` additionally returns per-(query,term) block
+    keep/total counts (two extra count jobs — diagnostics only)."""
+    from whoosh_spark.index.catalog import _chunk_col
+
+    ix = searcher.index
+    spark = ix.spark
+    qdf, all_terms, plan = _prepare(searcher, queries)
+    term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
+
+    blocks = ix.postings_blocks().filter(
+        F.col("term").isin([t for _, t in term_pairs])
+        & F.col("field").isin(list(all_terms))
+    )
+    # chunk math runs on DISTINCT (query, field, term) pairs; the original
+    # qdf (with any repeated terms) is joined back afterwards so duplicate
+    # terms keep scoring twice, exactly like the unpruned plan
+    qdf_u = qdf.dropDuplicates(["query_id", "field", "term"])
+    need_u = qdf_u.groupBy("query_id").agg(F.count("*").alias("_need_u"))
+
+    slim = blocks.select("field", "term", "bucket", "block_no", _chunk_col())
+    present = slim.select("field", "term", "chunk").distinct()
+    okchunks = (
+        present.join(F.broadcast(qdf_u), on=["field", "term"])
+        .groupBy("query_id", "chunk")
+        .agg(F.count("*").alias("_p"))
+        .join(F.broadcast(need_u), on="query_id")
+        .filter(F.col("_p") == F.col("_need_u"))
+        .select("query_id", "chunk")
+    )
+    allowed = (
+        slim.join(F.broadcast(qdf_u), on=["field", "term"])
+        .join(okchunks, on=["query_id", "chunk"])
+        .select("query_id", "field", "term", "bucket", "block_no")
+        .distinct()
+    )
+    survivors = allowed.select("field", "term", "bucket", "block_no").distinct()
+    surv_blocks = blocks.join(survivors, on=["field", "term", "bucket", "block_no"])
+    decoded = ix._mask_deleted(decode_blocks(surv_blocks, with_block_id=True))
+    scored = plan.attach_scores(decoded, sorted(term_pairs),
+                                extra_cols=["bucket", "block_no"])
+    per_query = scored.join(allowed, on=["field", "term", "bucket", "block_no"])
+    # restore duplicate-term multiplicity (qdf join fans out repeated terms)
+    per_query = per_query.join(F.broadcast(qdf), on=["query_id", "field", "term"])
+    agg = per_query.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"), F.count("*").alias("_n")
+    )
+    n_terms = qdf.groupBy("query_id").agg(F.count("*").alias("_need"))
+    agg = agg.join(F.broadcast(n_terms), on="query_id").filter(
+        F.col("_n") == F.col("_need")
+    )
+    out = agg.select("query_id", "doc_id", "score")
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    topk = _topk_window(out, k)
+    if not with_stats:
+        return topk
+    qt_total = slim.select("field", "term", "bucket", "block_no").distinct().join(
+        F.broadcast(qdf_u), on=["field", "term"]
+    ).count()
+    return topk, {
+        "qt_blocks_total": qt_total,
+        "qt_blocks_kept": allowed.count(),
+        "decode_blocks_total": blocks.count(),
+        "decode_blocks_kept": survivors.count(),
+    }
 
 
 def batch_wand_search(

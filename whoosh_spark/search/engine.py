@@ -65,13 +65,16 @@ class Searcher:
     def __init__(self, index: Index, weighting: WeightingModel | None = None,
                  exact_scores: bool = True, cache_postings: bool = True,
                  max_expansion: int = 1024, use_local: bool = True,
-                 local_threshold: int = 100_000):
+                 local_threshold: int = 100_000, conjunctive_skip: bool = True):
         self.index = index
         self.schema = index.schema
         self.weighting = weighting or BM25F()
         self.exact_scores = exact_scores
         self.cache_postings = cache_postings
         self.max_expansion = max_expansion  # scored-multiterm clause cap
+        # chunk-intersection block skipping for And-of-Terms/Phrase roots
+        # (exact; False = decode full posting lists, for A/B benchmarking)
+        self.conjunctive_skip = conjunctive_skip
         # adaptive driver-local top-k for tiny candidate sets (search/local.py)
         self.use_local = use_local
         self.local_threshold = local_threshold
@@ -246,11 +249,37 @@ class _PlanContext:
                 self.stats[(field, t)] = row
         self.stats_view = _Stats(self.stats, self.ix.doc_count_all())
 
-        self.base = self._scored_base(plain | positional, with_positions=False)
+        # conjunctive chunk-intersection skip (reference IntersectionMatcher
+        # skip_to analog): when the ROOT query requires every collected term
+        # in every match (And-of-Terms, Phrase), restrict the decoded base
+        # to doc-id chunks where all terms have blocks — exact for any
+        # scoring mode, and at scale it turns And(rare, hot) from a full
+        # hot-list decode into ~df(rare)/N of one.
+        conj = self._conjunctive_root(q) if self.s.conjunctive_skip else None
+        all_set = plain | positional
+        self.base = self._scored_base(
+            all_set, with_positions=False, conjunctive=(conj == all_set)
+        )
         self.pos_base = (
-            self._scored_base(positional, with_positions=True) if positional else None
+            self._scored_base(
+                positional, with_positions=True, conjunctive=(conj == positional)
+            )
+            if positional
+            else None
         )
         return q
+
+    @staticmethod
+    def _conjunctive_root(q: Q.Query) -> set | None:
+        """(field, term) set the root query REQUIRES in every match, or
+        None when no such set exists (disjunctive / complex shapes)."""
+        if isinstance(q, Q.And) and len(q.subqueries) > 1 and all(
+            isinstance(c, Q.Term) for c in q.subqueries
+        ):
+            return {(c.field, c.text) for c in q.subqueries}
+        if isinstance(q, Q.Phrase) and len(q.words) > 1:
+            return {(q.field, w) for w in q.words}
+        return None
 
     def compile_root(self, q: Q.Query) -> DataFrame:
         q = self.prepare(q)
@@ -508,20 +537,28 @@ class _PlanContext:
             cols.extend(extra_cols)
         return joined.select(*cols, score.alias("score"))
 
-    def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool) -> DataFrame | None:
+    def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool,
+                     conjunctive: bool = False) -> DataFrame | None:
         """One decoded+scored DataFrame covering every query term:
-        (field, term, doc_id, score[, positions])."""
+        (field, term, doc_id, score[, positions]). ``conjunctive=True``
+        asserts every match needs every term — blocks outside the terms'
+        shared doc-id chunks are skipped before decode (exact)."""
         if not terms:
             return None
         by_field: dict[str, list[str]] = {}
         for field, term in sorted(terms):
             by_field.setdefault(field, []).append(term)
-        parts = []
-        for field, ts in by_field.items():
-            parts.append(self.ix.postings_for(field, ts, with_positions=with_positions))
-        decoded = parts[0]
-        for p in parts[1:]:
-            decoded = decoded.unionByName(p)
+        if conjunctive and len(terms) > 1:
+            decoded = self.ix.postings_for_conjunction(
+                by_field, with_positions=with_positions
+            )
+        else:
+            parts = []
+            for field, ts in by_field.items():
+                parts.append(self.ix.postings_for(field, ts, with_positions=with_positions))
+            decoded = parts[0]
+            for p in parts[1:]:
+                decoded = decoded.unionByName(p)
         out = self.attach_scores(decoded, sorted(terms), keep_positions=with_positions)
         if self.s.cache_postings:
             out = out.persist()

@@ -32,15 +32,12 @@ from whoosh_spark.search.scoring import BM25F, byte_to_length_col
 EPS = 1e-12
 
 # Doc-range bound granularity: rest-bounds are computed per CHUNK of doc-id
-# space (chunk = doc_id // BOUND_CHUNK) instead of per salt bucket. Blocks
-# are doc-sorted within a bucket, so a block's [min_id, max_id] span tells
-# exactly which chunks it can contribute to — a hot term's full 128-posting
-# block spans only ~BOUND_CHUNK ids, so a rare term absent from that slice
-# contributes 0 to the bound where the coarser per-bucket rest (8192 ids)
-# would still count it. This is the Spark analog of the reference's
-# block-max skip pointers (codec/whoosh3.py:1038-1051) at sub-bucket
-# granularity.
-BOUND_CHUNK = 256
+# space (chunk = doc_id // BOUND_CHUNK) instead of per salt bucket — a hot
+# term's full 128-posting block spans only ~BOUND_CHUNK ids, so a rare term
+# absent from that slice contributes 0 to the bound where the coarser
+# per-bucket rest (8192 ids) would still count it. Canonical constant lives
+# in the catalog (shared with conjunctive chunk-intersection skipping).
+from whoosh_spark.index.catalog import BOUND_CHUNK  # noqa: E402,F401
 
 
 def _term_constants(searcher, stats, field: str, term: str) -> dict | None:
