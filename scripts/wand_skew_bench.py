@@ -72,7 +72,11 @@ def main() -> None:
     from whoosh_spark.index import Index, build_index
     from whoosh_spark.schema import code_corpus_schema
     from whoosh_spark.search import Searcher
-    from whoosh_spark.search.batch import batch_term_search, batch_wand_search
+    from whoosh_spark.search.batch import (
+        batch_conjunctive_search,
+        batch_term_search,
+        batch_wand_search,
+    )
     from whoosh_spark.session import get_spark
 
     spark = get_spark("wand_skew", master=f"local[{CPUS}]",
@@ -124,9 +128,10 @@ def main() -> None:
 
     def measure(name: str, qs: list) -> dict:
         # warm both plans (footers, stats prefetch, JIT)
-        batch_term_search(s, qs[:2], k=K).collect()
+        batch_term_search(s, qs[:2], k=K, use_wand=False).collect()
         batch_wand_search(s, qs[:2], k=K).collect()
-        exact_sec, exact_rows = timed(lambda: batch_term_search(s, qs, k=K))
+        exact_sec, exact_rows = timed(
+            lambda: batch_term_search(s, qs, k=K, use_wand=False))
         wand_sec, wand_rows = timed(lambda: batch_wand_search(s, qs, k=K))
         assert keys(exact_rows) == keys(wand_rows), (
             f"batch WAND diverged from exact on {name}")
@@ -136,6 +141,31 @@ def main() -> None:
             "exact_batch_sec": round(exact_sec, 2),
             "wand_batch_sec": round(wand_sec, 2),
             "speedup": round(exact_sec / wand_sec, 2),
+            **stats,
+            "qt_prune_pct": round(
+                100 * (1 - stats["qt_blocks_kept"] / stats["qt_blocks_total"]), 1),
+            "decode_prune_pct": round(
+                100 * (1 - stats["decode_blocks_kept"] / stats["decode_blocks_total"]), 1),
+            "results_identical": True,
+        }
+
+    def measure_conjunctive(name: str, qs: list) -> dict:
+        """And-semantics batch: chunk-intersection skip vs full decode."""
+        batch_term_search(s, qs[:2], k=K, conjunctive=True).collect()
+        batch_term_search(s, qs[:2], k=K, conjunctive=True,
+                          conjunctive_skip=False).collect()
+        full_sec, full_rows = timed(lambda: batch_term_search(
+            s, qs, k=K, conjunctive=True, conjunctive_skip=False))
+        skip_sec, skip_rows = timed(lambda: batch_term_search(
+            s, qs, k=K, conjunctive=True))
+        assert keys(full_rows) == keys(skip_rows), (
+            f"conjunctive skip diverged on {name}")
+        _, stats = batch_conjunctive_search(s, qs, k=K, with_stats=True)
+        return {
+            "workload": name,
+            "full_decode_sec": round(full_sec, 2),
+            "chunk_skip_sec": round(skip_sec, 2),
+            "speedup": round(full_sec / skip_sec, 2),
             **stats,
             "qt_prune_pct": round(
                 100 * (1 - stats["qt_blocks_kept"] / stats["qt_blocks_total"]), 1),
@@ -157,6 +187,9 @@ def main() -> None:
         "saturated": measure(
             "saturated control: 1 hot head term + 1-2 mid-df (~15k) terms",
             saturated_workload(N_QUERIES)),
+        "conjunctive": measure_conjunctive(
+            "And-semantics: 1 hot head term AND 1-2 rare sym_* terms (df~60)",
+            selective_workload(N_QUERIES)),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "WAND_SKEW.json"), "w") as f:

@@ -47,6 +47,33 @@ def _prepare(searcher: Searcher, queries: list[tuple[str, str, list[str]]]):
     return qdf, all_terms, plan
 
 
+def _selective_fraction(searcher: Searcher,
+                        queries: list[tuple[str, str, list[str]]],
+                        k: int) -> float:
+    """Fraction of queries carrying a doc-range-sparse term (k <= df <=
+    doc_count/BOUND_CHUNK). Such a term has the query's highest idf, so it
+    drives theta, and it misses most 256-id chunks, so the hot terms'
+    blocks prune there — the regime where batch WAND measured 3.1x faster
+    (BENCH/WAND_SKEW.json). Driver-side metadata only (term stats), no
+    Spark job."""
+    from whoosh_spark.index.catalog import BOUND_CHUNK
+
+    ix = searcher.index
+    cutoff = max(1, ix.doc_count_all() // BOUND_CHUNK)
+    by_field: dict[str, set] = {}
+    for _, field, terms in queries:
+        by_field.setdefault(field, set()).update(terms)
+    df: dict[tuple[str, str], int] = {}
+    for field, ts in by_field.items():
+        for t, row in ix.term_stats(field, list(ts)).items():
+            df[(field, t)] = int(row["df"])
+    sel = sum(
+        1 for _, field, terms in queries
+        if any(k <= df.get((field, t), 0) <= cutoff for t in terms)
+    )
+    return sel / max(1, len(queries))
+
+
 def _topk_window(agg: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -61,21 +88,29 @@ def batch_term_search(
     queries: list[tuple[str, str, list[str]]],
     k: int = 10,
     conjunctive: bool = False,
-    use_wand: bool = False,
+    use_wand: bool | str = "auto",
     round_to: int | None = None,
     conjunctive_skip: bool = True,
 ) -> DataFrame:
     """queries: [(query_id, field, [terms...])] -> top-k per query.
 
-    Returns DataFrame(query_id, doc_id, score, rank). ``use_wand=True``
-    applies per-query block-max pruning (see batch_wand_search).
+    Returns DataFrame(query_id, doc_id, score, rank). ``use_wand``:
+    True routes disjunctive batches through per-query block-max pruning
+    (batch_wand_search), False forces the full-decode plan, and "auto"
+    (default) picks WAND when >=80% of the batch is selective (has a
+    doc-range-sparse high-idf term) — where WAND measured 3.1x faster —
+    and the exact plan otherwise (where WAND's bounds cannot prune and
+    its extra phases cost ~5%). All three produce identical top-k.
     ``round_to`` rounds scores BEFORE the top-k window so the k-boundary
     tie-cut is deterministic across engines (oracle comparisons).
     Conjunctive batches route through per-query chunk-intersection block
     skipping (exact; ``conjunctive_skip=False`` keeps the full-decode plan
     for A/B benchmarking)."""
+    if use_wand == "auto":
+        use_wand = (not conjunctive
+                    and _selective_fraction(searcher, queries, k) >= 0.8)
     if use_wand and not conjunctive:
-        return batch_wand_search(searcher, queries, k)
+        return batch_wand_search(searcher, queries, k, round_to=round_to)
     if conjunctive and conjunctive_skip:
         return batch_conjunctive_search(searcher, queries, k, round_to=round_to)
     ix = searcher.index
