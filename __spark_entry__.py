@@ -305,6 +305,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", "score"
         )
 
+    def batch_and(spark, sf):
+        # conjunctive batch through per-query chunk-intersection block
+        # skipping (search/batch.py batch_conjunctive_search): every match
+        # must contain ALL the query's terms; pruning is exact, so the
+        # oracle is plain AND-semantics SQL
+        from whoosh_spark.search.batch import batch_term_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", "text", ["scan", "merge"]),
+            ("q2", "text", ["window", "sort"]),
+            ("q3", "text", ["join", "row"]),
+        ]
+        return batch_term_search(
+            s, qs, k=10, conjunctive=True, round_to=6
+        ).select("query_id", "doc_id", "score")
+
     def date_range_filter(spark, sf):
         # DateRange over a deterministic derived date column (the corpus has
         # no timestamp column): date = 2020-01-01 + doc_id % 365 days
@@ -757,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matched_terms_top": matched_terms_top,
         "batch_bm25": batch_bm25,
         "batch_wand": batch_wand,
+        "batch_and": batch_and,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -949,6 +967,27 @@ sc AS (
     )
     # batch WAND is exact by invariant -> same oracle as the exact batch
     sql["batch_wand"] = sql["batch_bm25"]
+    _cand_q = {
+        "q1": ["scan", "merge"],
+        "q2": ["window", "sort"],
+        "q3": ["join", "row"],
+    }
+    _cand_terms = sorted({t for ts in _cand_q.values() for t in ts})
+    _cand_union = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, {len(ts)} AS need, doc_id, score FROM sc_{t}"
+        for qid, ts in _cand_q.items()
+        for t in ts
+    )
+    sql["batch_and"] = (
+        "WITH " + pre + ",\n"
+        + ",\n".join(_score_cte(t, t) for t in _cand_terms) + ",\n"
+        f"u AS ({_cand_union}),\n"
+        "agg AS (SELECT query_id, doc_id, round(sum(score), 6) AS score "
+        "FROM u GROUP BY query_id, doc_id HAVING count(*) = max(need))\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM agg"
+        ") WHERE rn <= 10"
+    )
     sql["date_range_filter"] = (
         "SELECT doc_id, CAST(DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR) AS d "
         "FROM documents "
