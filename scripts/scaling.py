@@ -292,10 +292,15 @@ Notes
   and use the distributed plan whose scaling is shown above.
 - See BENCH/SCALING.json for the raw numbers; bench.py reports the
   per-round headline metrics the driver records. BENCH/WAND_SKEW.json
-  records the batch block-max WAND evidence (honest negative result on
-  this corpus: the zipf vocabulary's df floor saturates every bucket's
-  block bounds, so the exact batch path stays the default; bounds are
-  bucket-aligned and the plan is exactness-gated at 600k docs).
+  records the block-skipping evidence at 600k docs with a realistic
+  long-tail vocabulary (chunk-aligned doc-range bounds, all plans
+  exactness-gated): selective disjunctive batches (hot + rare terms)
+  run 4.2x faster under batch WAND with 85% of per-(query,term) blocks
+  pruned — batch_term_search auto-routes those to WAND — while the
+  saturated control (every term touches every 256-id chunk) honestly
+  shows 0% pruning and stays on the exact plan; conjunctive batches
+  run 4.6x faster under chunk-intersection skipping (91% pruned),
+  which IS their default plan.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
