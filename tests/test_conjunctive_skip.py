@@ -98,6 +98,27 @@ def test_batch_conjunctive_skip_identical_and_prunes(sparse_ix):
     assert stats["qt_blocks_kept"] < stats["qt_blocks_total"], stats
 
 
+def test_spannear_and_require_roots_skip_identical(sparse_ix):
+    """SpanNear2/Sequence and Require roots are also all-terms-required —
+    their pruned results must match the full-decode plan."""
+    from whoosh_spark.query.spans import Sequence, SpanNear
+
+    cases = [
+        Sequence([Q.Term("text", "hot"), Q.Term("text", "rareterm")]),
+        SpanNear(Q.Term("text", "hot"), Q.Term("text", "rareterm"),
+                 slop=3, ordered=False),
+        Q.Require(Q.Term("text", "hot"), Q.Term("text", "rareterm")),
+    ]
+    on = Searcher(sparse_ix, exact_scores=True, cache_postings=False,
+                  use_local=False, conjunctive_skip=True)
+    off = Searcher(sparse_ix, exact_scores=True, cache_postings=False,
+                   use_local=False, conjunctive_skip=False)
+    for q in cases:
+        got_on, got_off = _topk(on, q, 50), _topk(off, q, 50)
+        assert got_on == got_off, q
+        assert len(got_on) > 0, q
+
+
 def test_nonroot_and_keeps_full_base(sparse_ix):
     """An And nested under an Or must NOT prune (the Or side needs the
     full posting lists)."""

@@ -272,13 +272,30 @@ class _PlanContext:
     @staticmethod
     def _conjunctive_root(q: Q.Query) -> set | None:
         """(field, term) set the root query REQUIRES in every match, or
-        None when no such set exists (disjunctive / complex shapes)."""
+        None when no such set exists (disjunctive / complex shapes).
+        Covers And-of-Terms, Phrase (incl. Ordered), SpanNear/SpanNear2/
+        Sequence over Terms, and Require over two Terms — every shape
+        whose matches must contain ALL the collected terms."""
+        from whoosh_spark.query import spans as S
+
         if isinstance(q, Q.And) and len(q.subqueries) > 1 and all(
             isinstance(c, Q.Term) for c in q.subqueries
         ):
             return {(c.field, c.text) for c in q.subqueries}
         if isinstance(q, Q.Phrase) and len(q.words) > 1:
             return {(q.field, w) for w in q.words}
+        if isinstance(q, S.SpanNear2) and len(q.qs) > 1 and all(
+            isinstance(c, Q.Term) for c in q.qs
+        ):
+            return {(c.field, c.text) for c in q.qs}
+        if isinstance(q, S.SpanNear) and all(
+            isinstance(c, Q.Term) for c in (q.a, q.b)
+        ):
+            return {(c.field, c.text) for c in (q.a, q.b)}
+        if isinstance(q, Q.Require) and all(
+            isinstance(c, Q.Term) for c in (q.a, q.b)
+        ):
+            return {(c.field, c.text) for c in (q.a, q.b)}
         return None
 
     def compile_root(self, q: Q.Query) -> DataFrame:
