@@ -269,33 +269,35 @@ class _PlanContext:
         )
         return q
 
-    @staticmethod
-    def _conjunctive_root(q: Q.Query) -> set | None:
+    @classmethod
+    def _conjunctive_root(cls, q: Q.Query) -> set | None:
         """(field, term) set the root query REQUIRES in every match, or
         None when no such set exists (disjunctive / complex shapes).
-        Covers And-of-Terms, Phrase (incl. Ordered), SpanNear/SpanNear2/
-        Sequence over Terms, and Require over two Terms — every shape
-        whose matches must contain ALL the collected terms."""
+        Covers every shape whose matches must contain ALL the collected
+        terms: Term, Phrase (incl. Ordered), SpanNear/SpanNear2/Sequence
+        over such shapes, Require over them, and And of any mix — e.g. the
+        parser's `"foo bar" baz` => And([Phrase, Term]) prunes on all
+        three terms' shared chunks."""
         from whoosh_spark.query import spans as S
 
-        if isinstance(q, Q.And) and len(q.subqueries) > 1 and all(
-            isinstance(c, Q.Term) for c in q.subqueries
-        ):
-            return {(c.field, c.text) for c in q.subqueries}
-        if isinstance(q, Q.Phrase) and len(q.words) > 1:
+        if isinstance(q, Q.Term):
+            return {(q.field, q.text)}
+        if isinstance(q, Q.Phrase) and q.words:  # Ordered subclasses Phrase
             return {(q.field, w) for w in q.words}
-        if isinstance(q, S.SpanNear2) and len(q.qs) > 1 and all(
-            isinstance(c, Q.Term) for c in q.qs
-        ):
-            return {(c.field, c.text) for c in q.qs}
-        if isinstance(q, S.SpanNear) and all(
-            isinstance(c, Q.Term) for c in (q.a, q.b)
-        ):
-            return {(c.field, c.text) for c in (q.a, q.b)}
-        if isinstance(q, Q.Require) and all(
-            isinstance(c, Q.Term) for c in (q.a, q.b)
-        ):
-            return {(c.field, c.text) for c in (q.a, q.b)}
+        subs = None
+        if isinstance(q, Q.And):
+            subs = q.subqueries
+        elif isinstance(q, S.SpanNear2):
+            subs = q.qs
+        elif isinstance(q, (S.SpanNear, Q.Require)):
+            subs = [q.a, q.b]
+        if subs:
+            parts = [cls._conjunctive_root(c) for c in subs]
+            if all(p is not None for p in parts):
+                out: set = set()
+                for p in parts:
+                    out |= p
+                return out
         return None
 
     def compile_root(self, q: Q.Query) -> DataFrame:
