@@ -98,6 +98,34 @@ def test_batch_conjunctive_skip_identical_and_prunes(sparse_ix):
     assert stats["qt_blocks_kept"] < stats["qt_blocks_total"], stats
 
 
+def test_mixed_and_root_skip_identical(sparse_ix):
+    """And([Phrase, Term]) — the parser's `"a b" c` shape — requires every
+    term, so both the plain and the positional decode may prune on the
+    THREE-way chunk intersection."""
+    q = Q.And([Q.Phrase("text", ["hot", "rareterm"]), Q.Term("text", "filler3")])
+    on = Searcher(sparse_ix, exact_scores=True, cache_postings=False,
+                  use_local=False, conjunctive_skip=True)
+    off = Searcher(sparse_ix, exact_scores=True, cache_postings=False,
+                   use_local=False, conjunctive_skip=False)
+    got_on, got_off = _topk(on, q, 50), _topk(off, q, 50)
+    assert got_on == got_off
+    assert len(got_on) > 0
+
+
+def test_chunk_terms_superset_prunes_position_decode(sparse_ix):
+    """chunk_terms not being decoded still bound the decode: the hot
+    term's positions decode only where rareterm also lives."""
+    full = sparse_ix.postings_for("text", ["hot"], with_positions=True).count()
+    pruned = sparse_ix.postings_for_conjunction(
+        {"text": ["hot"]}, with_positions=True,
+        chunk_terms={("text", "hot"), ("text", "rareterm")})
+    rows = pruned.collect()
+    assert len(rows) < full * 0.25, (len(rows), full)
+    # only the requested term is decoded, and chunk-0 postings all survive
+    assert {r["term"] for r in rows} == {"hot"}
+    assert {r["doc_id"] for r in rows} >= set(range(40))
+
+
 def test_spannear_and_require_roots_skip_identical(sparse_ix):
     """SpanNear2/Sequence and Require roots are also all-terms-required —
     their pruned results must match the full-decode plan."""

@@ -300,12 +300,18 @@ class Index:
         return self._mask_deleted(decoded)
 
     def postings_for_conjunction(self, field_terms: dict[str, list[str]],
-                                 with_positions: bool = False) -> DataFrame:
+                                 with_positions: bool = False,
+                                 chunk_terms: set | None = None) -> DataFrame:
         """Decoded postings of the given terms restricted to doc-id chunks
-        where EVERY (field, term) has at least one overlapping block — the
-        conjunctive skip: a doc matching an AND of all the terms (or a
-        phrase over them) lies in such a chunk, so pruned blocks cannot
-        contain any match and dropping them is exact for any scoring mode.
+        where EVERY conjunctive (field, term) has at least one overlapping
+        block — the conjunctive skip: a doc matching an AND of all the
+        terms (or a phrase over them) lies in such a chunk, so pruned
+        blocks cannot contain any match and dropping them is exact for any
+        scoring mode. ``chunk_terms`` optionally names a SUPERSET of
+        required (field, term) pairs whose shared chunks bound the decode
+        without being decoded themselves — e.g. `And([Phrase(a b), c])`
+        decodes positions only for a/b but prunes on chunks shared by all
+        of a/b/c.
 
         This is the reference's posting-intersection ``skip_to`` jump
         (matching/binary.py IntersectionMatcher + codec/whoosh3.py:1018-1036
@@ -318,10 +324,14 @@ class Index:
         import operator
 
         pairs = {(f, t) for f, ts in field_terms.items() for t in ts}
-        n = len(pairs)
+        all_pairs = pairs | set(chunk_terms or ())
+        by_field: dict[str, list[str]] = {}
+        for f, t in sorted(all_pairs):
+            by_field.setdefault(f, []).append(t)
+        n = len(all_pairs)
         cond = functools.reduce(operator.or_, [
             (F.col("field") == f) & F.col("term").isin(ts)
-            for f, ts in field_terms.items()
+            for f, ts in by_field.items()
         ])
         blocks = self.postings_blocks().filter(cond)
         if n > 1:
@@ -338,6 +348,12 @@ class Index:
                 .distinct()
             )
             blocks = blocks.join(kept, on=["field", "term", "bucket", "block_no"])
+        if all_pairs != pairs:
+            decode_cond = functools.reduce(operator.or_, [
+                (F.col("field") == f) & F.col("term").isin(ts)
+                for f, ts in field_terms.items()
+            ])
+            blocks = blocks.filter(decode_cond)
         return self._mask_deleted(decode_blocks(blocks, with_positions=with_positions))
 
     def postings_docs_where(self, field: str, pushdown=None, exact_pred=None) -> DataFrame:

@@ -257,13 +257,15 @@ class _PlanContext:
         # hot-list decode into ~df(rare)/N of one.
         conj = self._conjunctive_root(q) if self.s.conjunctive_skip else None
         all_set = plain | positional
+        # pruning is exact only when the root requires EVERY collected term
+        conj = conj if conj == all_set else None
         self.base = self._scored_base(
-            all_set, with_positions=False, conjunctive=(conj == all_set)
+            all_set, with_positions=False, chunk_terms=conj
         )
         self.pos_base = (
-            self._scored_base(
-                positional, with_positions=True, conjunctive=(conj == positional)
-            )
+            # positions decode only for the positional terms, but the chunk
+            # restriction may use the full required set (And([Phrase, Term]))
+            self._scored_base(positional, with_positions=True, chunk_terms=conj)
             if positional
             else None
         )
@@ -557,19 +559,20 @@ class _PlanContext:
         return joined.select(*cols, score.alias("score"))
 
     def _scored_base(self, terms: set[tuple[str, str]], with_positions: bool,
-                     conjunctive: bool = False) -> DataFrame | None:
+                     chunk_terms: set | None = None) -> DataFrame | None:
         """One decoded+scored DataFrame covering every query term:
-        (field, term, doc_id, score[, positions]). ``conjunctive=True``
-        asserts every match needs every term — blocks outside the terms'
-        shared doc-id chunks are skipped before decode (exact)."""
+        (field, term, doc_id, score[, positions]). ``chunk_terms`` (a
+        superset of ``terms`` the root query REQUIRES in every match)
+        activates the conjunctive skip — blocks outside the required
+        terms' shared doc-id chunks are dropped before decode (exact)."""
         if not terms:
             return None
         by_field: dict[str, list[str]] = {}
         for field, term in sorted(terms):
             by_field.setdefault(field, []).append(term)
-        if conjunctive and len(terms) > 1:
+        if chunk_terms and len(chunk_terms) > 1:
             decoded = self.ix.postings_for_conjunction(
-                by_field, with_positions=with_positions
+                by_field, with_positions=with_positions, chunk_terms=chunk_terms
             )
         else:
             parts = []
