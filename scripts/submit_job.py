@@ -23,7 +23,10 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet corpus (repo,path,commit,lang,content)")
+    ap.add_argument("--input", required=True,
+                    help="corpus (repo,path,commit,lang,content): a parquet "
+                         "path, or table:NAME for a catalog table (e.g. an "
+                         "Iceberg table registered in the session catalog)")
     ap.add_argument("--index", required=True, help="index output directory")
     ap.add_argument("--chunks", type=int, default=1, help="segments/checkpoint chunks")
     ap.add_argument("--query", default=None, help="query string to run after building")
@@ -37,14 +40,16 @@ def main():
     from whoosh_spark.schema import code_corpus_schema
     from whoosh_spark.search import Searcher
 
-    spark = SparkSession.builder.appName("whoosh_spark_build").getOrCreate()
-    docs = spark.read.parquet(args.input)
-    if "doc_id" not in docs.columns:
-        from pyspark.sql.window import Window
+    from whoosh_spark.corpus import assign_doc_ids
 
-        docs = docs.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy("repo", "path")) - 1
-        )
+    spark = SparkSession.builder.appName("whoosh_spark_build").getOrCreate()
+    if args.input.startswith("table:"):
+        docs = spark.read.table(args.input[len("table:"):])
+    else:
+        docs = spark.read.parquet(args.input)
+    if "doc_id" not in docs.columns:
+        # contiguous (repo, path)-ordered ids, no single-partition shuffle
+        docs = assign_doc_ids(docs, ("repo", "path"))
 
     t0 = time.time()
     manifest = build_index(

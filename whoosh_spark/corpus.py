@@ -119,3 +119,49 @@ def docs_table_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("text").alias("content"),
     )
+
+
+def assign_doc_ids(df: DataFrame, order_cols: tuple[str, ...] = ("repo", "path"),
+                   num_partitions: int | None = None) -> DataFrame:
+    """Contiguous global ``doc_id``s ordered by ``order_cols`` WITHOUT a
+    single-partition shuffle (a bare ``row_number() OVER (ORDER BY ...)``
+    funnels every row through one task — a non-starter at 10^12 rows).
+
+    Two-pass RDD-``zipWithIndex`` shape, DataFrame-native: range-partition
+    on the order columns (globally ordered partitions), persist so the
+    sampled range boundaries are identical across the two jobs, count rows
+    per partition (one ~num_partitions-row driver aggregate), then add each
+    partition's broadcast cumulative offset to its local row_number. Every
+    step is bounded: driver traffic is O(partitions), the window sorts only
+    within partitions."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism, *cols
+    ).withColumn("_pid", F.spark_partition_id())
+    # persist: RangePartitioner samples boundaries — without a materialized
+    # partitioning the count job and the id job could disagree on _pid
+    parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append({"_pid": pid, "_off": acc})
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(
+        pd.DataFrame(offsets, columns=["_pid", "_off"]),
+        T.StructType([T.StructField("_pid", T.IntegerType()),
+                      T.StructField("_off", T.LongType())]),
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        parted.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return out
