@@ -98,6 +98,36 @@ def test_batch_conjunctive_skip_identical_and_prunes(sparse_ix):
     assert stats["qt_blocks_kept"] < stats["qt_blocks_total"], stats
 
 
+def test_multisegment_with_deletes_skip_identical(spark, tmp_path_factory):
+    """Chunk pruning works on GLOBAL doc-id ranges, so it must stay exact
+    across segment boundaries and must respect tombstoned docs."""
+    from whoosh_spark.index.merge import delete_docs
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(1200):
+        words = ["hot"] * rng.randint(1, 2) + [
+            "filler%d" % rng.randint(0, 20) for _ in range(rng.randint(4, 10))
+        ]
+        if i % 100 < 5:
+            words += ["hot", "rareterm"]
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    d = str(tmp_path_factory.mktemp("conj_seg"))
+    build_index(spark, spark.createDataFrame(rows), IndexSchema.of(text=TEXT()),
+                d, sha_col=None, num_chunks=3)
+    delete_docs(spark, d, [0, 1, 2, 101, 102])
+    ix = Index(spark, d)
+    q = Q.And([Q.Term("text", "hot"), Q.Term("text", "rareterm")])
+    on = Searcher(ix, exact_scores=True, cache_postings=False,
+                  use_local=False, conjunctive_skip=True)
+    off = Searcher(ix, exact_scores=True, cache_postings=False,
+                   use_local=False, conjunctive_skip=False)
+    got_on, got_off = _topk(on, q, 100), _topk(off, q, 100)
+    assert got_on == got_off
+    assert len(got_on) > 0
+    assert not {0, 1, 2, 101, 102} & {d_ for d_, _ in got_on}
+
+
 def test_mixed_and_root_skip_identical(sparse_ix):
     """And([Phrase, Term]) — the parser's `"a b" c` shape — requires every
     term, so both the plain and the positional decode may prune on the
