@@ -305,6 +305,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", "score"
         )
 
+    def batch_phrase(spark, sf):
+        # batch phrase serving (search/batch.py batch_phrase_search): one
+        # positional decode pass for N phrases, per-query conjunctive chunk
+        # skipping, slop=1 adjacency as JVM higher-order array expressions;
+        # q3 gates the un-normalized single-word degenerate case
+        from whoosh_spark.search.batch import batch_phrase_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", "text", ["order", "sort"]),
+            ("q2", "text", ["scan", "merge"]),
+            ("q3", "text", ["join"]),
+        ]
+        return batch_phrase_search(s, qs, k=10, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
     def batch_and(spark, sf):
         # conjunctive batch through per-query chunk-intersection block
         # skipping (search/batch.py batch_conjunctive_search): every match
@@ -775,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25": batch_bm25,
         "batch_wand": batch_wand,
         "batch_and": batch_and,
+        "batch_phrase": batch_phrase,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -986,6 +1004,28 @@ sc AS (
         "FROM u GROUP BY query_id, doc_id HAVING count(*) = max(need))\n"
         "SELECT query_id, doc_id, score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM agg"
+        ") WHERE rn <= 10"
+    )
+    # batch_phrase: per-query phrase semantics — sum of word scores over
+    # docs with an ordered adjacency chain (pos + 1), single-word phrase
+    # degenerates to the bare term scores
+    _ph_terms = ["order", "sort", "scan", "merge", "join"]
+    sql["batch_phrase"] = (
+        "WITH " + pre_pos + ",\n"
+        + ",\n".join(_score_cte(t, t) for t in _ph_terms) + ",\n"
+        "p1 AS (SELECT 'q1' AS query_id, s.doc_id, s.score + t.score AS score "
+        "FROM sc_order s JOIN sc_sort t USING (doc_id) "
+        "WHERE s.doc_id IN (SELECT a.doc_id FROM tok a JOIN tok b USING (doc_id) "
+        "WHERE a.term = 'order' AND b.term = 'sort' AND b.pos = a.pos + 1)),\n"
+        "p2 AS (SELECT 'q2' AS query_id, s.doc_id, s.score + t.score AS score "
+        "FROM sc_scan s JOIN sc_merge t USING (doc_id) "
+        "WHERE s.doc_id IN (SELECT a.doc_id FROM tok a JOIN tok b USING (doc_id) "
+        "WHERE a.term = 'scan' AND b.term = 'merge' AND b.pos = a.pos + 1)),\n"
+        "p3 AS (SELECT 'q3' AS query_id, doc_id, score FROM sc_join),\n"
+        "u AS (SELECT query_id, doc_id, round(score, 6) AS score FROM "
+        "(SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3))\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
         ") WHERE rn <= 10"
     )
     sql["date_range_filter"] = (

@@ -108,3 +108,49 @@ def test_chunk_aligned_wand_prunes_sparse_term_ranges(spark, tmp_path):
     # chunk 0 only — the vast majority of the batch's blocks must prune
     # even though every block shares the single bucket
     assert stats["qt_blocks_kept"] <= stats["qt_blocks_total"] * 0.4, stats
+
+
+def test_batch_phrase_matches_per_query_engine(ix):
+    from whoosh_spark.search.batch import batch_phrase_search
+
+    s = Searcher(ix, exact_scores=True, cache_postings=False, use_local=False)
+    batch = [
+        ("q1", "text", ["alfa", "echo"]),
+        ("q2", "text", ["bravo", "charlie"]),
+        ("q3", "text", ["delta"]),
+        ("q4", "text", ["alfa", "alfa"]),          # repeated word
+        ("q5", "text", ["alfa", "zzz_missing"]),   # missing word -> empty
+    ]
+    for skip in (True, False):
+        out = batch_phrase_search(s, batch, k=20, conjunctive_skip=skip).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9)))
+        for qid, field, words in batch:
+            want_df = s.search(Q.Phrase(field, words), limit=20)
+            want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                    for i, r in enumerate(want_df.collect())]
+            got = sorted(by_q.get(qid, []))
+            assert got == want, (qid, skip)
+        assert "q5" not in by_q
+
+
+def test_batch_phrase_slop_matches_per_query_engine(ix):
+    from whoosh_spark.search.batch import batch_phrase_search
+
+    s = Searcher(ix, exact_scores=True, cache_postings=False, use_local=False)
+    batch = [
+        ("q1", "text", ["alfa", "echo"]),
+        ("q2", "text", ["bravo", "charlie", "delta"]),
+    ]
+    out = batch_phrase_search(s, batch, k=20, slop=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, field, words in batch:
+        want_df = s.search(Q.Phrase(field, words, slop=2), limit=20)
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(want_df.collect())]
+        assert sorted(by_q.get(qid, [])) == want, qid

@@ -13,7 +13,9 @@ cluster size (this powers the N vs 4N scaling evidence in bench.py).
 
 Supported batch shapes: bags of weighted terms per query, scored BM25F and
 combined by sum — the Or/term workload that dominates search serving.
-Conjunctive batches add a HAVING count = n_terms filter.
+Conjunctive batches add a HAVING count = n_terms filter; phrase batches
+(``batch_phrase_search``) add a positional adjacency chain evaluated as
+JVM higher-order array expressions.
 """
 
 from __future__ import annotations
@@ -143,6 +145,38 @@ def batch_term_search(
     return _topk_window(out, k)
 
 
+def _conjunctive_prune(blocks: DataFrame, qdf_u: DataFrame):
+    """Per-query chunk-intersection pruning on block metadata (the shared
+    core of the conjunctive and phrase batch paths): a chunk can hold a
+    match for a query only if EVERY of the query's (field, term) pairs has
+    a block overlapping it. Returns (allowed, surv_blocks, slim):
+    ``allowed`` = per-query surviving (field, term, bucket, block_no),
+    ``surv_blocks`` = the union of blocks any query still needs (decode
+    input), ``slim`` = the block metadata projection (for diagnostics)."""
+    from whoosh_spark.index.catalog import _chunk_col
+
+    need_u = qdf_u.groupBy("query_id").agg(F.count("*").alias("_need_u"))
+    slim = blocks.select("field", "term", "bucket", "block_no", _chunk_col())
+    present = slim.select("field", "term", "chunk").distinct()
+    okchunks = (
+        present.join(F.broadcast(qdf_u), on=["field", "term"])
+        .groupBy("query_id", "chunk")
+        .agg(F.count("*").alias("_p"))
+        .join(F.broadcast(need_u), on="query_id")
+        .filter(F.col("_p") == F.col("_need_u"))
+        .select("query_id", "chunk")
+    )
+    allowed = (
+        slim.join(F.broadcast(qdf_u), on=["field", "term"])
+        .join(okchunks, on=["query_id", "chunk"])
+        .select("query_id", "field", "term", "bucket", "block_no")
+        .distinct()
+    )
+    survivors = allowed.select("field", "term", "bucket", "block_no").distinct()
+    surv_blocks = blocks.join(survivors, on=["field", "term", "bucket", "block_no"])
+    return allowed, surv_blocks, slim
+
+
 def batch_conjunctive_search(
     searcher: Searcher,
     queries: list[tuple[str, str, list[str]]],
@@ -162,10 +196,7 @@ def batch_conjunctive_search(
     And(rare, hot) batches this decodes ~df(rare)/N of the hot lists.
     ``with_stats=True`` additionally returns per-(query,term) block
     keep/total counts (two extra count jobs — diagnostics only)."""
-    from whoosh_spark.index.catalog import _chunk_col
-
     ix = searcher.index
-    spark = ix.spark
     qdf, all_terms, plan = _prepare(searcher, queries)
     term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
 
@@ -177,26 +208,7 @@ def batch_conjunctive_search(
     # qdf (with any repeated terms) is joined back afterwards so duplicate
     # terms keep scoring twice, exactly like the unpruned plan
     qdf_u = qdf.dropDuplicates(["query_id", "field", "term"])
-    need_u = qdf_u.groupBy("query_id").agg(F.count("*").alias("_need_u"))
-
-    slim = blocks.select("field", "term", "bucket", "block_no", _chunk_col())
-    present = slim.select("field", "term", "chunk").distinct()
-    okchunks = (
-        present.join(F.broadcast(qdf_u), on=["field", "term"])
-        .groupBy("query_id", "chunk")
-        .agg(F.count("*").alias("_p"))
-        .join(F.broadcast(need_u), on="query_id")
-        .filter(F.col("_p") == F.col("_need_u"))
-        .select("query_id", "chunk")
-    )
-    allowed = (
-        slim.join(F.broadcast(qdf_u), on=["field", "term"])
-        .join(okchunks, on=["query_id", "chunk"])
-        .select("query_id", "field", "term", "bucket", "block_no")
-        .distinct()
-    )
-    survivors = allowed.select("field", "term", "bucket", "block_no").distinct()
-    surv_blocks = blocks.join(survivors, on=["field", "term", "bucket", "block_no"])
+    allowed, surv_blocks, slim = _conjunctive_prune(blocks, qdf_u)
     decoded = ix._mask_deleted(decode_blocks(surv_blocks, with_block_id=True))
     scored = plan.attach_scores(decoded, sorted(term_pairs),
                                 extra_cols=["bucket", "block_no"])
@@ -223,7 +235,7 @@ def batch_conjunctive_search(
         "qt_blocks_total": qt_total,
         "qt_blocks_kept": allowed.count(),
         "decode_blocks_total": blocks.count(),
-        "decode_blocks_kept": survivors.count(),
+        "decode_blocks_kept": surv_blocks.count(),
     }
 
 
@@ -419,3 +431,116 @@ def batch_wand_search(
         "decode_blocks_total": decode_total,
         "decode_blocks_kept": decode_kept,
     }
+
+
+def batch_phrase_search(
+    searcher: Searcher,
+    queries: list[tuple[str, str, list[str]]],
+    k: int = 10,
+    slop: int = 1,
+    round_to: int | None = None,
+    conjunctive_skip: bool = True,
+) -> DataFrame:
+    """queries: [(query_id, field, [words in phrase order])] -> top-k per
+    query with EXACT single-query Phrase semantics (reference
+    query/positional.py: ordered proximity chain, score = sum of the word
+    term-scores, repeated words summed per occurrence) — evaluated for the
+    whole batch in ONE positional decode pass. The n-gram / exact-quote
+    lookup shape a training-data pipeline runs at thousands of phrases per
+    job.
+
+    Phrases are conjunctive, so each query prunes to doc-id chunks where
+    EVERY word has a block (``_conjunctive_prune``) before positions are
+    decoded. ``slop=1`` (exact adjacency, the default) evaluates the chain
+    as pure JVM higher-order array expressions — no Python in the match
+    loop; ``slop>1`` falls back to an Arrow-batched UDF running the same
+    ``_span_near_chain`` the single-query planner uses."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from whoosh_spark.search.engine import _span_near_chain
+
+    ix = searcher.index
+    qrows = []
+    for qid, field, words in queries:
+        for i, w in enumerate(words):
+            qrows.append((qid, field, w, i))
+    qdf = ix.spark.createDataFrame(
+        pd.DataFrame(qrows, columns=["query_id", "field", "term", "ordinal"]),
+        schema="query_id string, field string, term string, ordinal int",
+    )
+    all_terms: dict[str, set] = {}
+    for _, field, words in queries:
+        all_terms.setdefault(field, set()).update(words)
+    plan = _PlanContext(searcher)
+    plan.stats = {}
+    for field, ts in all_terms.items():
+        for t, row in ix.term_stats(field, list(ts)).items():
+            plan.stats[(field, t)] = row
+    term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
+
+    blocks = ix.postings_blocks().filter(
+        F.col("term").isin([t for _, t in term_pairs])
+        & F.col("field").isin(list(all_terms))
+    )
+    qdf_u = qdf.dropDuplicates(["query_id", "field", "term"])
+    if conjunctive_skip:
+        allowed, surv_blocks, _ = _conjunctive_prune(blocks, qdf_u)
+    else:
+        allowed, surv_blocks = None, blocks
+    decoded = ix._mask_deleted(
+        decode_blocks(surv_blocks, with_positions=True, with_block_id=True)
+    )
+    scored = plan.attach_scores(decoded, sorted(term_pairs),
+                                keep_positions=True,
+                                extra_cols=["bucket", "block_no"])
+    if allowed is not None:
+        scored = scored.join(allowed, on=["field", "term", "bucket", "block_no"])
+        per_query = scored.join(F.broadcast(qdf), on=["query_id", "field", "term"])
+    else:
+        per_query = scored.join(F.broadcast(qdf), on=["field", "term"])
+
+    agg = per_query.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"),
+        F.count_distinct(F.col("ordinal")).alias("_n"),
+        F.array_sort(F.collect_list(F.struct("ordinal", "positions"))).alias("_op"),
+    )
+    n_words = qdf.groupBy("query_id").agg(
+        F.count_distinct(F.col("ordinal")).alias("_need")
+    )
+    agg = agg.join(F.broadcast(n_words), on="query_id").filter(
+        F.col("_n") == F.col("_need")
+    )
+    ps = F.transform(F.col("_op"), lambda s: s["positions"])
+    agg = agg.withColumn("_ps", ps)
+    if slop == 1:
+        # exists p in ps[0] with p+i in ps[i] for every following ordinal —
+        # the SpanNear2 chain at slop=1 as JVM codegen (engine.py
+        # _compile_phrase uses the same degenerate form per query)
+        chain_ok = F.when(F.size("_ps") == 1, F.lit(True)).otherwise(
+            F.exists(
+                F.element_at("_ps", 1),
+                lambda x: F.forall(
+                    F.sequence(F.lit(1), F.size("_ps") - 1),
+                    lambda i: F.array_contains(F.element_at("_ps", i + 1), x + i),
+                ),
+            )
+        )
+    else:
+        _slop = int(slop)
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them, which PySpark's hint inference rejects
+        @pandas_udf(T.BooleanType())
+        def _chain(ps_col):
+            return ps_col.apply(
+                lambda ps: _span_near_chain([list(p) for p in ps], _slop, True, 1)
+            )
+
+        chain_ok = _chain(F.col("_ps"))
+    out = agg.filter(chain_ok).select("query_id", "doc_id", "score")
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return _topk_window(out, k)

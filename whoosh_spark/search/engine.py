@@ -895,7 +895,13 @@ class _PlanContext:
 
         slop, ordered, mindist = q.slop, True, 1
 
-        if slop == 1:
+        if len(words) == 1:
+            # un-normalized single-word phrase: the chain is trivially
+            # satisfied, it scores as the bare term (reference
+            # positional.py:187-191 normalizes to Term; the raw matcher
+            # degenerates the same way)
+            matched = joined.select("doc_id")
+        elif slop == 1:
             # slop=1 ordered adjacency degenerates to: exists p in p0 with
             # p+i in p_i for every following word — a pure JVM expression
             # (higher-order array functions inside codegen, no Python).
