@@ -322,6 +322,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", "score"
         )
 
+    def batch_prefix(spark, sf):
+        # batched multiterm expansion (search/batch.py batch_prefix_search):
+        # one lexicon scan + one OR-of-prefixes posting scan serves N prefix
+        # queries with the reference's Prefix semantics — q1/q2 expand to
+        # >=2 terms (constant score 1.0, boost-ignored quirk), q3 ("qu")
+        # expands to exactly one term and degenerates to a scored BM25 Term
+        from whoosh_spark.search.batch import batch_prefix_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", "text", "s"),
+            ("q2", "text", "b"),
+            ("q3", "text", "qu"),
+        ]
+        return batch_prefix_search(s, qs, k=15, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
     def batch_and(spark, sf):
         # conjunctive batch through per-query chunk-intersection block
         # skipping (search/batch.py batch_conjunctive_search): every match
@@ -793,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_wand": batch_wand,
         "batch_and": batch_and,
         "batch_phrase": batch_phrase,
+        "batch_prefix": batch_prefix,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -1027,6 +1046,24 @@ sc AS (
         "SELECT query_id, doc_id, score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
         ") WHERE rn <= 10"
+    )
+    # batch_prefix: q1/q2 are >=2-term expansions (constant score 1.0 per
+    # matching doc), q3 ("qu") expands to the single term "query" and takes
+    # its exact BM25 scores (the reference single-term degenerate)
+    sql["batch_prefix"] = (
+        "WITH " + pre + ",\n"
+        + _score_cte("query", "query") + ",\n"
+        "c1 AS (SELECT 'q1' AS query_id, doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM tok WHERE term LIKE 's%' GROUP BY doc_id),\n"
+        "c2 AS (SELECT 'q2' AS query_id, doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM tok WHERE term LIKE 'b%' GROUP BY doc_id),\n"
+        "p3 AS (SELECT 'q3' AS query_id, doc_id, round(score, 6) AS score "
+        "FROM sc_query),\n"
+        "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 "
+        "UNION ALL SELECT * FROM p3)\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
+        ") WHERE rn <= 15"
     )
     sql["date_range_filter"] = (
         "SELECT doc_id, CAST(DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR) AS d "

@@ -154,3 +154,42 @@ def test_batch_phrase_slop_matches_per_query_engine(ix):
         want = [(i + 1, r["doc_id"], round(r["score"], 9))
                 for i, r in enumerate(want_df.collect())]
         assert sorted(by_q.get(qid, [])) == want, qid
+
+
+@pytest.fixture(scope="module")
+def pix(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("prefix_idx"))
+    import random
+
+    rng = random.Random(7)
+    vocab = "sort sorted sorting scan scanner merge mergesort join".split()
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(rng.randint(8, 16))))
+        for i in range(80)
+    ]
+    build_index(spark, spark.createDataFrame(rows), IndexSchema.of(text=TEXT()), d, sha_col=None)
+    return Index(spark, d)
+
+
+def test_batch_prefix_matches_per_query_engine(pix):
+    from whoosh_spark.search.batch import batch_prefix_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
+    batch = [
+        ("q1", "text", "sor"),    # sort/sorted/sorting -> constant-score set
+        ("q2", "text", "s"),      # 5 terms
+        ("q3", "text", "join"),   # exactly 1 term -> scored BM25 Term
+        ("q4", "text", "merge"),  # merge + mergesort -> constant-score set
+        ("q5", "text", "zzz"),    # 0 terms -> absent from output
+    ]
+    out = batch_prefix_search(s, batch, k=25).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, field, p in batch:
+        want_df = s.search(Q.Prefix(field, p), limit=25)
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(want_df.collect())]
+        assert sorted(by_q.get(qid, [])) == want, qid
+    assert "q5" not in by_q

@@ -15,7 +15,9 @@ Supported batch shapes: bags of weighted terms per query, scored BM25F and
 combined by sum — the Or/term workload that dominates search serving.
 Conjunctive batches add a HAVING count = n_terms filter; phrase batches
 (``batch_phrase_search``) add a positional adjacency chain evaluated as
-JVM higher-order array expressions.
+JVM higher-order array expressions; prefix batches
+(``batch_prefix_search``) expand against one lexicon scan per field and
+keep the reference's constant-score / single-term-degenerate semantics.
 """
 
 from __future__ import annotations
@@ -544,3 +546,97 @@ def batch_phrase_search(
     if round_to is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_to))
     return _topk_window(out, k)
+
+
+def batch_prefix_search(
+    searcher: Searcher,
+    queries: list[tuple[str, str, str]],
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """queries: [(query_id, field, prefix)] -> top-k per query with EXACT
+    single-query Prefix semantics (reference terms.py:173-211 as resolved
+    by engine._resolve_multiterms): an expansion of >=2 terms is a
+    constant-score-1.0 doc set (the boost-ignored reference quirk), exactly
+    one term degenerates to a scored BM25F Term, zero terms to no rows.
+    The query-expansion shape (autocomplete, identifier lookup over a code
+    corpus) served for the whole batch at once.
+
+    Scale shape: ONE lexicon scan per field, broadcast-joined against the
+    batch's prefixes on a JVM ``startswith`` (no term list ever reaches the
+    driver for multi-term queries); ONE posting scan whose OR-of-prefixes
+    predicate pushes to the term-sorted Parquet files (StringStartsWith
+    row-group pruning); ids-only use of the decoded rows with a per-query
+    distinct. The only driver traffic is the <=1-row-per-query list of
+    single-term expansions (bounded, same class as the WAND seed collect),
+    which routes through ``batch_term_search`` for exact term scoring."""
+    import pandas as pd
+
+    ix = searcher.index
+    qdf = ix.spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "field", "prefix"]),
+        schema="query_id string, field string, prefix string",
+    )
+    fields = sorted({f for _, f, _ in queries})
+
+    exp_parts = []
+    for field in fields:
+        lex = ix.field_terms(field).select("term")
+        qf = qdf.filter(F.col("field") == field).select("query_id", "prefix")
+        exp_parts.append(
+            lex.join(F.broadcast(qf), F.col("term").startswith(F.col("prefix")))
+            .select("query_id", F.lit(field).alias("field"), "term")
+        )
+    expansion = exp_parts[0]
+    for p in exp_parts[1:]:
+        expansion = expansion.unionByName(p)
+    counts = expansion.groupBy("query_id").agg(F.count("*").alias("_n_exp"))
+
+    # single-term degenerates (reference: Prefix expanding to one term IS
+    # that scored Term) — bounded collect, <= 1 row per query
+    ones = (
+        expansion.join(F.broadcast(counts.filter(F.col("_n_exp") == 1)),
+                       on="query_id")
+        .select("query_id", "field", "term")
+        .collect()
+    )
+    outs = []
+    if ones:
+        outs.append(batch_term_search(
+            searcher,
+            [(r["query_id"], r["field"], [r["term"]]) for r in ones],
+            k=k, use_wand=False, round_to=round_to,
+        ))
+
+    one_qids = {r["query_id"] for r in ones}
+    multi_queries = [(qid, f, p) for qid, f, p in queries if qid not in one_qids]
+    if multi_queries:
+        pred = None
+        for _, field, prefix in multi_queries:
+            c = (F.col("field") == field) & F.col("term").startswith(prefix)
+            pred = c if pred is None else (pred | c)
+        blocks = ix.postings_blocks().filter(pred)
+        decoded = ix._mask_deleted(decode_blocks(blocks)).select(
+            "field", "term", "doc_id"
+        )
+        multi = expansion.join(
+            F.broadcast(counts.filter(F.col("_n_exp") >= 2)), on="query_id"
+        ).select("query_id", "field", "term")
+        matched = (
+            decoded.join(F.broadcast(multi), on=["field", "term"])
+            .select("query_id", "doc_id")
+            .distinct()
+            .withColumn("score", F.lit(1.0))
+        )
+        if round_to is not None:
+            matched = matched.withColumn("score", F.round(F.col("score"), round_to))
+        outs.append(_topk_window(matched, k))
+
+    if not outs:
+        return ix.spark.createDataFrame(
+            [], "query_id string, doc_id bigint, score double, rank int"
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
