@@ -52,14 +52,25 @@ def audit(name: str, df, checks: dict[str, bool]) -> dict:
         results["term predicate pushed to Parquet scan"] = bool(
             re.search(r"PushedFilters: \[[^\]]*(EqualTo|In)\(term", text)
         )
-        # column pruning: a non-positional query must not read the
-        # positions / char-format payload columns at the scan
         scans = re.findall(r"ReadSchema: struct<[^>]*>", text)
-        results["positions/char payloads pruned from scan"] = bool(scans) and all(
-            "positions" not in sc and "startchars" not in sc for sc in scans
-        )
+        if checks.get("positional"):
+            # a positional query must read the positions payload, but the
+            # char-format payloads still prune from the scan
+            results["positions read, char payloads pruned from scan"] = bool(
+                scans
+            ) and all("startchars" not in sc for sc in scans)
+        else:
+            # column pruning: a non-positional query must not read the
+            # positions / char-format payload columns at the scan
+            results["positions/char payloads pruned from scan"] = bool(scans) and all(
+                "positions" not in sc and "startchars" not in sc for sc in scans
+            )
     if checks.get("broadcast"):
         results["metadata joined via BroadcastHashJoin"] = "BroadcastHashJoin" in text
+    if checks.get("startswith"):
+        results["prefix predicate pushed (StringStartsWith)"] = (
+            "StringStartsWith" in text
+        )
     if checks.get("python_above_filter"):
         # every Python decode (MapInPandas) must sit ABOVE a JVM Filter on
         # the block metadata — pruned blocks never reach Python workers
@@ -121,6 +132,21 @@ def main() -> None:
         batch_wand_search(s, [("q1", "text", ["scan", "merge"]),
                               ("q2", "text", ["join", "row"])], k=10),
         {"pushdown": True, "broadcast": True, "python_above_filter": True},
+    ))
+
+    from whoosh_spark.search.batch import batch_phrase_search, batch_prefix_search
+
+    audits.append(audit(
+        "batch phrase: one positional decode, JVM adjacency chain",
+        batch_phrase_search(s, [("q1", "text", ["order", "sort"]),
+                                ("q2", "text", ["scan", "merge"])], k=10),
+        {"pushdown": True, "positional": True, "broadcast": True,
+         "python_above_filter": True},
+    ))
+    audits.append(audit(
+        "batch prefix: OR-of-prefixes pushed as StringStartsWith",
+        batch_prefix_search(s, [("q1", "text", "s"), ("q2", "text", "b")], k=10),
+        {"broadcast": True, "python_above_filter": True, "startswith": True},
     ))
 
     lines = ["# Plan audit (`.explain(\"formatted\")`) — distributed search paths",
