@@ -340,6 +340,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", "score"
         )
 
+    def batch_fuzzy(spark, sf):
+        # batched scored-multiterm expansion (search/batch.py
+        # batch_fuzzy_search): one lexicon scan expands N fuzzy words via
+        # JVM levenshtein — q1 "sloan" -> {scan, slow} (scored Or), q2
+        # "tale" -> {table} (single scored term), q3 "qq" -> no expansion
+        from whoosh_spark.search.batch import batch_fuzzy_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", "text", "sloan"),
+            ("q2", "text", "tale"),
+            ("q3", "text", "qq"),
+        ]
+        return batch_fuzzy_search(s, qs, k=15, maxdist=2, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
     def batch_and(spark, sf):
         # conjunctive batch through per-query chunk-intersection block
         # skipping (search/batch.py batch_conjunctive_search): every match
@@ -812,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_and": batch_and,
         "batch_phrase": batch_phrase,
         "batch_prefix": batch_prefix,
+        "batch_fuzzy": batch_fuzzy,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -1061,6 +1079,23 @@ sc AS (
         "FROM sc_query),\n"
         "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 "
         "UNION ALL SELECT * FROM p3)\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
+        ") WHERE rn <= 15"
+    )
+    # batch_fuzzy: expansions are maxdist=2 prefix-guarded Levenshtein
+    # neighborhoods over the sf vocabulary — q1 "sloan" -> {scan, slow}
+    # (scored Or = sum of per-term BM25), q2 "tale" -> {table}, q3 "qq" ->
+    # empty (expansion terms mirrored as literals, like bm25_fuzzy)
+    sql["batch_fuzzy"] = (
+        "WITH " + pre + ",\n"
+        + ",\n".join(_score_cte(t, t) for t in ["scan", "slow", "table"]) + ",\n"
+        "f1 AS (SELECT 'q1' AS query_id, doc_id, round(sum(score), 6) AS score "
+        "FROM (SELECT * FROM sc_scan UNION ALL SELECT * FROM sc_slow) "
+        "GROUP BY doc_id),\n"
+        "f2 AS (SELECT 'q2' AS query_id, doc_id, round(score, 6) AS score "
+        "FROM sc_table),\n"
+        "u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)\n"
         "SELECT query_id, doc_id, score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
         ") WHERE rn <= 15"

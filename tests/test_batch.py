@@ -193,3 +193,34 @@ def test_batch_prefix_matches_per_query_engine(pix):
                 for i, r in enumerate(want_df.collect())]
         assert sorted(by_q.get(qid, [])) == want, qid
     assert "q5" not in by_q
+
+
+def test_batch_fuzzy_matches_per_query_engine(pix):
+    from whoosh_spark.search.batch import batch_fuzzy_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
+    batch = [
+        ("q1", "text", "sorts"),   # -> {sort, sorted}: scored Or
+        ("q2", "text", "merga"),   # -> {merge}: single scored term
+        ("q3", "text", "zzz"),     # -> no expansion: absent
+    ]
+    out = batch_fuzzy_search(s, batch, k=25, maxdist=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, field, w in batch:
+        want_df = s.search(Q.FuzzyTerm(field, w, maxdist=2), limit=25)
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(want_df.collect())]
+        assert sorted(by_q.get(qid, [])) == want, qid
+    assert "q3" not in by_q
+
+
+def test_batch_fuzzy_expansion_cap(pix):
+    from whoosh_spark.search.batch import batch_fuzzy_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False,
+                 use_local=False, max_expansion=1)
+    with pytest.raises(ValueError, match="max_expansion"):
+        batch_fuzzy_search(s, [("q1", "text", "sorts")], maxdist=2).collect()

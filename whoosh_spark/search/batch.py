@@ -17,7 +17,9 @@ Conjunctive batches add a HAVING count = n_terms filter; phrase batches
 (``batch_phrase_search``) add a positional adjacency chain evaluated as
 JVM higher-order array expressions; prefix batches
 (``batch_prefix_search``) expand against one lexicon scan per field and
-keep the reference's constant-score / single-term-degenerate semantics.
+keep the reference's constant-score / single-term-degenerate semantics;
+fuzzy batches (``batch_fuzzy_search``) expand via one JVM-levenshtein
+lexicon scan into scored Or bags.
 """
 
 from __future__ import annotations
@@ -640,3 +642,75 @@ def batch_prefix_search(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def batch_fuzzy_search(
+    searcher: Searcher,
+    queries: list[tuple[str, str, str]],
+    k: int = 10,
+    maxdist: int = 1,
+    prefixlength: int = 1,
+    round_to: int | None = None,
+    use_wand: bool | str = False,
+) -> DataFrame:
+    """queries: [(query_id, field, word)] -> top-k per query with EXACT
+    single-query FuzzyTerm semantics (reference terms.py:420-485 as a
+    SCORED multiterm: expands to Or-of-Terms, each expanded term scored
+    with its own idf, scores summed). The typo-tolerant lookup shape a
+    dedup / entity-resolution pipeline runs in bulk.
+
+    Expansion is ONE lexicon scan per field, broadcast-joined against the
+    batch's words on JVM ``levenshtein`` + prefix guard (Spark's builtin
+    is plain Levenshtein, identical to the single-query predicate). The
+    expanded bags then route through ``batch_term_search``
+    (sum-of-term-scores == Or). Driver traffic is the expansion itself,
+    clipped at ``Searcher.max_expansion`` terms per query with a loud
+    failure beyond — the same contract as the single-query scored
+    expansion (engine._resolve_multiterms)."""
+    import pandas as pd
+
+    ix = searcher.index
+    qdf = ix.spark.createDataFrame(
+        pd.DataFrame(queries, columns=["query_id", "field", "word"]),
+        schema="query_id string, field string, word string",
+    )
+    fields = sorted({f for _, f, _ in queries})
+    cap = searcher.max_expansion
+
+    exp_parts = []
+    for field in fields:
+        lex = ix.field_terms(field).select("term")
+        qf = qdf.filter(F.col("field") == field).select("query_id", "word")
+        cond = F.levenshtein(F.col("term"), F.col("word")) <= F.lit(int(maxdist))
+        if prefixlength:
+            cond = cond & F.col("term").startswith(
+                F.substring(F.col("word"), 1, int(prefixlength))
+            )
+        exp_parts.append(
+            lex.join(F.broadcast(qf), cond)
+            .select("query_id", F.lit(field).alias("field"), "term")
+        )
+    expansion = exp_parts[0]
+    for p in exp_parts[1:]:
+        expansion = expansion.unionByName(p)
+    # <= cap+1 terms per query ever reach the driver (slice before collect)
+    rows = (
+        expansion.groupBy("query_id", "field")
+        .agg(F.slice(F.sort_array(F.collect_list("term")), 1, cap + 1).alias("terms"))
+        .collect()
+    )
+    bags = []
+    for r in rows:
+        if len(r["terms"]) > cap:
+            raise ValueError(
+                f"fuzzy query {r['query_id']!r} expands to more than "
+                f"max_expansion={cap} terms; lower maxdist or raise "
+                f"Searcher(max_expansion=...)"
+            )
+        bags.append((r["query_id"], r["field"], list(r["terms"])))
+    if not bags:
+        return ix.spark.createDataFrame(
+            [], "query_id string, doc_id bigint, score double, rank int"
+        )
+    return batch_term_search(searcher, bags, k=k, use_wand=use_wand,
+                             round_to=round_to)
