@@ -1,4 +1,16 @@
 from whoosh_spark.search.scoring import BM25F, TF_IDF, Frequency
 from whoosh_spark.search.engine import Searcher
+from whoosh_spark.search.batch import (
+    batch_term_search,
+    batch_conjunctive_search,
+    batch_wand_search,
+    batch_phrase_search,
+    batch_prefix_search,
+    batch_fuzzy_search,
+)
 
-__all__ = ["Searcher", "BM25F", "TF_IDF", "Frequency"]
+__all__ = [
+    "Searcher", "BM25F", "TF_IDF", "Frequency",
+    "batch_term_search", "batch_conjunctive_search", "batch_wand_search",
+    "batch_phrase_search", "batch_prefix_search", "batch_fuzzy_search",
+]
