@@ -357,6 +357,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "doc_id", "score"
         )
 
+    def batch_multiterm(spark, sf):
+        # generic batched constant-score multiterm (search/batch.py
+        # batch_multiterm_search): one Arrow pass over the lexicon
+        # evaluates every query's term_predicate — q1 "s*a*" -> {scan,
+        # small, spark, stream}, q2 regex w$ -> {row, slow}, q4 termrange
+        # [query, scan] -> {query, row, scan} (all constant score 1.0);
+        # q3 "merg?" -> {merge} degenerates to a scored BM25 Term
+        from whoosh_spark.search.batch import batch_multiterm_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("q1", Q.Wildcard("text", "s*a*")),
+            ("q2", Q.Regex("text", "w$")),
+            ("q3", Q.Wildcard("text", "merg?")),
+            ("q4", Q.TermRange("text", "query", "scan")),
+        ]
+        return batch_multiterm_search(s, qs, k=15, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
     def batch_and(spark, sf):
         # conjunctive batch through per-query chunk-intersection block
         # skipping (search/batch.py batch_conjunctive_search): every match
@@ -830,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_phrase": batch_phrase,
         "batch_prefix": batch_prefix,
         "batch_fuzzy": batch_fuzzy,
+        "batch_multiterm": batch_multiterm,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -1096,6 +1117,27 @@ sc AS (
         "f2 AS (SELECT 'q2' AS query_id, doc_id, round(score, 6) AS score "
         "FROM sc_table),\n"
         "u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
+        ") WHERE rn <= 15"
+    )
+    # batch_multiterm: constant-score pattern/range doc sets — q1 glob
+    # s*a* == LIKE 's%a%', q2 regex w$ == LIKE '%w', q4 inclusive term
+    # range; q3 "merg?" expands to the single term "merge" and takes its
+    # exact BM25 scores
+    sql["batch_multiterm"] = (
+        "WITH " + pre + ",\n"
+        + _score_cte("merge", "merge") + ",\n"
+        "m1 AS (SELECT 'q1' AS query_id, doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM tok WHERE term LIKE 's%a%' GROUP BY doc_id),\n"
+        "m2 AS (SELECT 'q2' AS query_id, doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM tok WHERE term LIKE '%w' GROUP BY doc_id),\n"
+        "m3 AS (SELECT 'q3' AS query_id, doc_id, round(score, 6) AS score "
+        "FROM sc_merge),\n"
+        "m4 AS (SELECT 'q4' AS query_id, doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM tok WHERE term >= 'query' AND term <= 'scan' GROUP BY doc_id),\n"
+        "u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 "
+        "UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)\n"
         "SELECT query_id, doc_id, score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
         ") WHERE rn <= 15"

@@ -224,3 +224,35 @@ def test_batch_fuzzy_expansion_cap(pix):
                  use_local=False, max_expansion=1)
     with pytest.raises(ValueError, match="max_expansion"):
         batch_fuzzy_search(s, [("q1", "text", "sorts")], maxdist=2).collect()
+
+
+def test_batch_multiterm_matches_per_query_engine(pix):
+    from whoosh_spark.search.batch import batch_multiterm_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
+    batch = [
+        ("q1", Q.Wildcard("text", "sort*")),            # sort/sorted/sorting
+        ("q2", Q.Regex("text", "er$")),                 # scanner only -> scored
+        ("q3", Q.TermRange("text", "merge", "scan")),   # merge/mergesort/scan
+        ("q4", Q.Wildcard("text", "s*ed")),             # sorted only -> scored
+        ("q5", Q.Wildcard("text", "zzz*")),             # empty -> absent
+    ]
+    out = batch_multiterm_search(s, batch, k=25).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, q in batch:
+        want_df = s.search(q, limit=25)
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(want_df.collect())]
+        assert sorted(by_q.get(qid, [])) == want, qid
+    assert "q5" not in by_q
+
+
+def test_batch_multiterm_rejects_scored_nodes(pix):
+    from whoosh_spark.search.batch import batch_multiterm_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
+    with pytest.raises(ValueError, match="batch_fuzzy_search"):
+        batch_multiterm_search(s, [("q1", Q.FuzzyTerm("text", "sorts"))])

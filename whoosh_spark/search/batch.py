@@ -19,7 +19,9 @@ JVM higher-order array expressions; prefix batches
 (``batch_prefix_search``) expand against one lexicon scan per field and
 keep the reference's constant-score / single-term-degenerate semantics;
 fuzzy batches (``batch_fuzzy_search``) expand via one JVM-levenshtein
-lexicon scan into scored Or bags.
+lexicon scan into scored Or bags; generic pattern/range batches
+(``batch_multiterm_search``) evaluate every query's term predicate in one
+Arrow pass over the lexicon.
 """
 
 from __future__ import annotations
@@ -714,3 +716,112 @@ def batch_fuzzy_search(
         )
     return batch_term_search(searcher, bags, k=k, use_wand=use_wand,
                              round_to=round_to)
+
+
+def batch_multiterm_search(
+    searcher: Searcher,
+    queries: list[tuple[str, "object"]],
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """queries: [(query_id, MultiTerm node)] — any mix of constant-score
+    pattern/range queries (Wildcard / Regex / Prefix / TermRange) served
+    for the whole batch at once with EXACT single-query semantics: >=2
+    expanded terms are a constant-score-1.0 doc set (boost-ignored
+    reference quirk), exactly one term degenerates to a scored BM25F Term,
+    zero terms to no rows. Scored multiterms (FuzzyTerm) belong in
+    ``batch_fuzzy_search`` and are rejected here.
+
+    Scale shape: ONE lexicon scan per field evaluates EVERY query's
+    ``term_predicate`` in a single Arrow-batched pass (the per-query
+    Python regexes are broadcast in the UDF closure and run over distinct
+    terms only — the same work the reference does per term, batched); the
+    posting scan is then restricted to exactly the expansion's terms via a
+    broadcast join (plus each query's native pushdown as a Parquet
+    row-group filter when every query provides one). Driver traffic is
+    the <=1-row-per-query single-term-degenerate list, as in
+    ``batch_prefix_search``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    ix = searcher.index
+    for qid, q in queries:
+        if not getattr(q, "constantscore", False):
+            raise ValueError(
+                f"query {qid!r}: {type(q).__name__} is not a constant-score "
+                "multiterm; use batch_fuzzy_search for scored expansions"
+            )
+    fields = sorted({q.field for _, q in queries})
+
+    exp_parts = []
+    for field in fields:
+        plist = [(qid, q.term_predicate) for qid, q in queries if q.field == field]
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def _match(s, _plist=plist):
+            return s.map(lambda t: [qid for qid, p in _plist if p(t)])
+
+        lex = ix.field_terms(field).select("term")
+        exp_parts.append(
+            lex.withColumn("query_id", F.explode(_match(F.col("term"))))
+            .select("query_id", F.lit(field).alias("field"), "term")
+        )
+    expansion = exp_parts[0]
+    for p in exp_parts[1:]:
+        expansion = expansion.unionByName(p)
+    counts = expansion.groupBy("query_id").agg(F.count("*").alias("_n_exp"))
+
+    # single-term degenerates (scored Term) — bounded collect
+    ones = (
+        expansion.join(F.broadcast(counts.filter(F.col("_n_exp") == 1)),
+                       on="query_id")
+        .select("query_id", "field", "term")
+        .collect()
+    )
+    outs = []
+    if ones:
+        outs.append(batch_term_search(
+            searcher,
+            [(r["query_id"], r["field"], [r["term"]]) for r in ones],
+            k=k, use_wand=False, round_to=round_to,
+        ))
+
+    one_qids = {r["query_id"] for r in ones}
+    multi_nodes = [(qid, q) for qid, q in queries if qid not in one_qids]
+    if multi_nodes:
+        multi = expansion.join(
+            F.broadcast(counts.filter(F.col("_n_exp") >= 2)), on="query_id"
+        ).select("query_id", "field", "term")
+        blocks = ix.postings_blocks().filter(F.col("field").isin(fields))
+        pds = [(q.field, q.spark_term_filter()) for _, q in multi_nodes]
+        if all(p is not None for _, p in pds):
+            pred = None
+            for field, p in pds:
+                c = (F.col("field") == field) & p
+                pred = c if pred is None else (pred | c)
+            blocks = blocks.filter(pred)
+        blocks = blocks.join(
+            F.broadcast(multi.select("field", "term").distinct()),
+            on=["field", "term"],
+        )
+        decoded = ix._mask_deleted(decode_blocks(blocks)).select(
+            "field", "term", "doc_id"
+        )
+        matched = (
+            decoded.join(F.broadcast(multi), on=["field", "term"])
+            .select("query_id", "doc_id")
+            .distinct()
+            .withColumn("score", F.lit(1.0))
+        )
+        if round_to is not None:
+            matched = matched.withColumn("score", F.round(F.col("score"), round_to))
+        outs.append(_topk_window(matched, k))
+
+    if not outs:
+        return ix.spark.createDataFrame(
+            [], "query_id string, doc_id bigint, score double, rank int"
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
