@@ -112,6 +112,31 @@ def run(sf_dir: str, cpus: int, synth_docs: int) -> dict:
             best = dt if best is None or dt < best else best
         times[name] = round(best, 3)
 
+    # ---- batch serving throughput (the 100-TB serving shape: N queries
+    # share ONE posting scan + shuffle instead of N sequential jobs) ----
+    # Deterministic workload: 2-term OR queries over the 400 highest-df
+    # text terms (bounded 400-row collect of lexicon stats, not postings).
+    from whoosh_spark.search.batch import batch_term_search
+
+    top_terms = [
+        r["term"]
+        for r in ix.termstats()
+        .filter(F.col("field") == "text")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(400)
+        .collect()
+    ]
+    batch = [
+        (f"b{i}", "text", [top_terms[2 * i], top_terms[2 * i + 1]])
+        for i in range(min(200, len(top_terms) // 2))
+    ]
+    batch_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        batch_term_search(s, batch, k=10).collect()
+        dt = time.time() - t0
+        batch_sec = dt if batch_sec is None or dt < batch_sec else batch_sec
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "bm25_headline_query_total",
@@ -123,6 +148,9 @@ def run(sf_dir: str, cpus: int, synth_docs: int) -> dict:
         "build_sec": round(build_sec, 3),
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_p50_qps": round(len(times) / total, 3) if total else None,
+        "batch_queries": len(batch),
+        "batch_sec": round(batch_sec, 3),
+        "batch_qps": round(len(batch) / batch_sec, 1),
         "cpus": cpus,
     }
     if synth_build_sec is not None:
