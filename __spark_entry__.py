@@ -394,6 +394,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, qs, k=10, conjunctive=True, round_to=6
         ).select("query_id", "doc_id", "score")
 
+    def batch_query_log(spark, sf):
+        # end-to-end query-log serving (search/batch.py batch_search): ONE
+        # call classifies a mixed batch of query trees and routes each to
+        # the batch kernel matching its shape — qa/qb term bags (auto
+        # WAND), qc conjunctive chunk-skipping, qd one-pass positional
+        # phrase, qe prefix expansion (constant-score quirk), qf wildcard
+        # single-term degenerate (scored merge) — so every bucket shares
+        # one posting scan instead of per-query jobs
+        from whoosh_spark.search.batch import batch_search
+
+        s = _searcher(spark, sf)
+        qs = [
+            ("qa", Q.Term("text", "join")),
+            ("qb", Q.Or([Q.Term("text", "scan"), Q.Term("text", "merge")])),
+            ("qc", Q.And([Q.Term("text", "window"), Q.Term("text", "sort")])),
+            ("qd", Q.Phrase("text", ["order", "sort"])),
+            ("qe", Q.Prefix("text", "b")),
+            ("qf", Q.Wildcard("text", "merg?")),
+        ]
+        return batch_search(s, qs, k=10, round_to=6).select(
+            "query_id", "doc_id", "score"
+        )
+
     def date_range_filter(spark, sf):
         # DateRange over a deterministic derived date column (the corpus has
         # no timestamp column): date = 2020-01-01 + doc_id % 365 days
@@ -851,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_prefix": batch_prefix,
         "batch_fuzzy": batch_fuzzy,
         "batch_multiterm": batch_multiterm,
+        "batch_query_log": batch_query_log,
         "date_range_filter": date_range_filter,
         "facet_range_count": facet_range_count,
         "facet_query_count": facet_query_count,
@@ -1141,6 +1165,36 @@ sc AS (
         "SELECT query_id, doc_id, score FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
         ") WHERE rn <= 15"
+    )
+    # batch_query_log: the batch_search router's mixed batch — qa bare
+    # term, qb Or bag (score sum), qc And (both terms required), qd
+    # adjacency phrase, qe prefix constant-score set, qf wildcard
+    # single-term degenerate taking merge's exact BM25 scores
+    sql["batch_query_log"] = (
+        "WITH " + pre_pos + ",\n"
+        + ",\n".join(_score_cte(t, t)
+                     for t in ["join", "scan", "merge", "window", "sort", "order"]) + ",\n"
+        "ga AS (SELECT 'qa' AS query_id, doc_id, round(score, 6) AS score "
+        "FROM sc_join),\n"
+        "gb AS (SELECT 'qb' AS query_id, doc_id, round(sum(score), 6) AS score "
+        "FROM (SELECT * FROM sc_scan UNION ALL SELECT * FROM sc_merge) "
+        "GROUP BY doc_id),\n"
+        "gc AS (SELECT 'qc' AS query_id, s.doc_id, round(s.score + t.score, 6) AS score "
+        "FROM sc_window s JOIN sc_sort t USING (doc_id)),\n"
+        "gd AS (SELECT 'qd' AS query_id, s.doc_id, round(s.score + t.score, 6) AS score "
+        "FROM sc_order s JOIN sc_sort t USING (doc_id) "
+        "WHERE s.doc_id IN (SELECT a2.doc_id FROM tok a2 JOIN tok b2 USING (doc_id) "
+        "WHERE a2.term = 'order' AND b2.term = 'sort' AND b2.pos = a2.pos + 1)),\n"
+        "ge AS (SELECT 'qe' AS query_id, doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM tok WHERE term LIKE 'b%' GROUP BY doc_id),\n"
+        "gf AS (SELECT 'qf' AS query_id, doc_id, round(score, 6) AS score "
+        "FROM sc_merge),\n"
+        "u AS (SELECT * FROM ga UNION ALL SELECT * FROM gb "
+        "UNION ALL SELECT * FROM gc UNION ALL SELECT * FROM gd "
+        "UNION ALL SELECT * FROM ge UNION ALL SELECT * FROM gf)\n"
+        "SELECT query_id, doc_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM u"
+        ") WHERE rn <= 10"
     )
     sql["date_range_filter"] = (
         "SELECT doc_id, CAST(DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR) AS d "

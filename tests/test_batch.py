@@ -256,3 +256,55 @@ def test_batch_multiterm_rejects_scored_nodes(pix):
     s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
     with pytest.raises(ValueError, match="batch_fuzzy_search"):
         batch_multiterm_search(s, [("q1", Q.FuzzyTerm("text", "sorts"))])
+
+
+def test_batch_search_routes_mixed_query_log(pix):
+    from whoosh_spark.search.batch import batch_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
+    batch = [
+        ("q_term", Q.Term("text", "scan")),
+        ("q_or", Q.Or([Q.Term("text", "sort"), Q.Term("text", "merge")])),
+        ("q_and", Q.And([Q.Term("text", "scan"), Q.Term("text", "merge")])),
+        ("q_phrase", Q.Phrase("text", ["merge", "join"])),
+        ("q_prefix", Q.Prefix("text", "sor")),
+        ("q_fuzzy", Q.FuzzyTerm("text", "sorts")),
+        ("q_wild", Q.Wildcard("text", "s*r*")),
+        ("q_fall", Q.Or([Q.Term("text", "sort"), Q.Term("text", "scan"),
+                         Q.Term("text", "join")], minmatch=2)),
+        ("q_null", Q.NullQuery),
+    ]
+    out = batch_search(s, batch, k=25).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, q in batch:
+        want_df = s.search(q, limit=25)
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(want_df.collect())]
+        assert sorted(by_q.get(qid, [])) == want, qid
+    assert "q_null" not in by_q
+
+
+def test_batch_search_parses_strings_and_strict(pix):
+    from whoosh_spark.query.parser import QueryParser
+    from whoosh_spark.search.batch import batch_search
+
+    s = Searcher(pix, exact_scores=True, cache_postings=False, use_local=False)
+    p = QueryParser("text", pix.schema, group="or")
+    batch = [("q1", "scan merge"), ("q2", '"merge join"'), ("q3", "sor*")]
+    out = batch_search(s, batch, k=25, parser=p).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, text in batch:
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(s.search(p.parse(text), limit=25).collect())]
+        assert sorted(by_q.get(qid, [])) == want, qid
+
+    with pytest.raises(ValueError, match="parser"):
+        batch_search(s, [("q1", "scan")])
+    with pytest.raises(ValueError, match="strict"):
+        batch_search(s, [("q1", Q.Term("text", "scan", boost=2.0))], strict=True)

@@ -825,3 +825,150 @@ def batch_multiterm_search(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _classify_for_batch(q):
+    """Map a query tree onto a batch kernel, or None for engine fallback.
+
+    Returns (kind, payload) where kind is one of "null", "term", "and",
+    "phrase", "prefix", "fuzzy", "multiterm" — the shapes the batch
+    kernels serve with exact single-query semantics — or None when the
+    tree needs the full per-query planner (boosts, minmatch/scale, Not,
+    nested boolean, spans, ranges over stored columns, ...)."""
+    from whoosh_spark import query as Q
+    from whoosh_spark.query.nodes import _NullQuery
+
+    if isinstance(q, _NullQuery):
+        return ("null", None)
+    if q.boost != 1.0:
+        return None
+    if type(q) is Q.Term:
+        return ("term", (q.field, [q.text]))
+    if type(q) is Q.Or and q.minmatch == 0 and q.scale is None:
+        subs = q.subqueries
+        if (subs and all(type(s) is Q.Term and s.boost == 1.0 for s in subs)
+                and len({s.field for s in subs}) == 1):
+            terms = [s.text for s in subs]
+            if len(set(terms)) == len(terms):
+                return ("term", (subs[0].field, terms))
+        return None
+    if type(q) is Q.And:
+        subs = q.subqueries
+        if (subs and all(type(s) is Q.Term and s.boost == 1.0 for s in subs)
+                and len({s.field for s in subs}) == 1):
+            terms = [s.text for s in subs]
+            if len(set(terms)) == len(terms):
+                return ("and", (subs[0].field, terms))
+        return None
+    if type(q) is Q.Phrase:
+        return ("phrase", (q.slop, q.field, list(q.words)))
+    if type(q) is Q.Prefix:
+        return ("prefix", (q.field, q.text))
+    if type(q) is Q.FuzzyTerm:
+        return ("fuzzy", ((q.maxdist, q.prefixlength), q.field, q.text))
+    if type(q) is Q.Variations:
+        return ("term", (q.field, sorted(q._candidates())))
+    if getattr(q, "constantscore", False) and hasattr(q, "term_predicate"):
+        return ("multiterm", q)
+    return None
+
+
+def batch_search(
+    searcher: Searcher,
+    queries: "list[tuple[str, object]]",
+    k: int = 10,
+    parser=None,
+    round_to: int | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Serve a query log: ``queries`` is [(query_id, query)] where each
+    query is a Query node or a raw query-language string (parsed with
+    ``parser``). Every query is routed to the batch kernel matching its
+    tree shape — Term/Or bags and Variations to ``batch_term_search``
+    (auto block-max WAND), all-terms-required Ands to
+    ``batch_conjunctive_search`` (chunk-intersection skipping), Phrases to
+    ``batch_phrase_search`` (grouped by slop, one positional decode pass
+    each), Prefixes to ``batch_prefix_search``, FuzzyTerms to
+    ``batch_fuzzy_search`` (grouped by (maxdist, prefixlength)), and
+    constant-score Wildcard/Regex/TermRange to ``batch_multiterm_search``
+    — so N queries of the same shape share ONE posting scan + shuffle
+    instead of N sequential jobs. Trees no kernel serves exactly (boosts,
+    minmatch/scale, Not/nested boolean, spans, column ranges) fall back to
+    the per-query engine inside the same returned union; pass
+    ``strict=True`` to raise instead (a serving deployment that must never
+    run per-query jobs). Returns DataFrame(query_id, doc_id, score, rank);
+    queries with no matches contribute no rows.
+
+    Fallback note: batch kernels apply ``round_to`` BEFORE their top-k
+    tie-cut; fallback queries keep the engine's exact-score cut and round
+    after, which can differ at a rounded k-boundary tie."""
+    ix = searcher.index
+    if any(isinstance(q, str) for _, q in queries):
+        if parser is None:
+            raise ValueError("string queries need a parser")
+        queries = [(qid, parser.parse(q) if isinstance(q, str) else q)
+                   for qid, q in queries]
+
+    buckets: dict = {"term": [], "and": [], "prefix": [], "multiterm": []}
+    phrase_by_slop: dict = {}
+    fuzzy_by_params: dict = {}
+    fallback = []
+    for qid, q in queries:
+        c = _classify_for_batch(q)
+        if c is None:
+            if strict:
+                raise ValueError(
+                    f"query {qid!r}: {type(q).__name__} tree has no exact "
+                    "batch kernel (strict=True)")
+            fallback.append((qid, q))
+            continue
+        kind, payload = c
+        if kind == "null":
+            continue
+        elif kind == "phrase":
+            slop, field, words = payload
+            phrase_by_slop.setdefault(slop, []).append((qid, field, words))
+        elif kind == "fuzzy":
+            params, field, text = payload
+            fuzzy_by_params.setdefault(params, []).append((qid, field, text))
+        elif kind == "multiterm":
+            buckets["multiterm"].append((qid, payload))
+        else:
+            field, terms = payload
+            buckets[kind].append((qid, field, terms))
+
+    outs = []
+    if buckets["term"]:
+        outs.append(batch_term_search(
+            searcher, buckets["term"], k=k, round_to=round_to))
+    if buckets["and"]:
+        outs.append(batch_term_search(
+            searcher, buckets["and"], k=k, conjunctive=True,
+            round_to=round_to))
+    for slop, qs in sorted(phrase_by_slop.items()):
+        outs.append(batch_phrase_search(
+            searcher, qs, k=k, slop=slop, round_to=round_to))
+    if buckets["prefix"]:
+        outs.append(batch_prefix_search(
+            searcher, buckets["prefix"], k=k, round_to=round_to))
+    for (maxdist, prefixlength), qs in sorted(fuzzy_by_params.items()):
+        outs.append(batch_fuzzy_search(
+            searcher, qs, k=k, maxdist=maxdist, prefixlength=prefixlength,
+            round_to=round_to))
+    if buckets["multiterm"]:
+        outs.append(batch_multiterm_search(
+            searcher, buckets["multiterm"], k=k, round_to=round_to))
+    for qid, q in fallback:
+        r = searcher.search(q, limit=k).select(
+            F.lit(qid).alias("query_id"), "doc_id", "score")
+        if round_to is not None:
+            r = r.withColumn("score", F.round(F.col("score"), round_to))
+        outs.append(_topk_window(r, k))
+
+    if not outs:
+        return ix.spark.createDataFrame(
+            [], "query_id string, doc_id bigint, score double, rank int")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
