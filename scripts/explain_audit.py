@@ -149,6 +149,21 @@ def main() -> None:
         {"broadcast": True, "python_above_filter": True, "startswith": True},
     ))
 
+    from whoosh_spark.search.batch import batch_search
+
+    audits.append(audit(
+        "batch query-log router: mixed shapes, one posting scan per bucket",
+        batch_search(s, [
+            ("qa", Q.Term("text", "join")),
+            ("qb", Q.Or([Q.Term("text", "scan"), Q.Term("text", "merge")])),
+            ("qc", Q.And([Q.Term("text", "window"), Q.Term("text", "sort")])),
+            ("qd", Q.Phrase("text", ["order", "sort"])),
+            ("qe", Q.Prefix("text", "b")),
+        ], k=10),
+        {"pushdown": True, "positional": True, "broadcast": True,
+         "python_above_filter": True},
+    ))
+
     lines = ["# Plan audit (`.explain(\"formatted\")`) — distributed search paths",
              "",
              f"Generated by scripts/explain_audit.py over {SF_DIR} "
