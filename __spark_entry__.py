@@ -559,6 +559,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return minhash_lsh_pairs(_docs(spark, sf), threshold=0.2)
 
+    def dedup_group_ids(spark, sf):
+        # connected components over the near-dup pair graph
+        # (functions/dedup.py dedup_groups): distributed min-label
+        # propagation, group_id = min doc_id per component — the "keep one
+        # representative per duplicate cluster" step after minhash_pairs
+        from whoosh_spark.functions.dedup import dedup_groups, minhash_lsh_pairs
+
+        return dedup_groups(minhash_lsh_pairs(_docs(spark, sf), threshold=0.2))
+
     def simhash(spark, sf):
         from whoosh_spark.functions.dedup import simhash_signatures
 
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_by_field": sorted_by_field,
         "exact_dedup": exact_dedup,
         "minhash_pairs": minhash_pairs,
+        "dedup_group_ids": dedup_group_ids,
         "simhash": simhash,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -1268,6 +1278,9 @@ sc AS (
 
     sql["exact_dedup"] = exact_dedup_sql()
     sql["minhash_pairs"] = minhash_pairs_sql(threshold=0.2)
+    from whoosh_spark.functions.dedup import dedup_groups_sql
+
+    sql["dedup_group_ids"] = dedup_groups_sql(minhash_pairs_sql(threshold=0.2))
     sql["simhash"] = simhash_sql()
     sql["token_count"] = token_count_sql()
     sql["quality_score"] = quality_score_sql()

@@ -291,3 +291,41 @@ def test_kmeans_vectors_and_ivf(spark):
         by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
     for qid in range(5):
         assert by_q[qid][0] == (qid, 1.0)
+
+
+def test_dedup_groups_components(spark):
+    from whoosh_spark.functions.dedup import dedup_groups
+
+    # chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    # plus two isolated pairs
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4),
+         Row(a=10, b=11), Row(a=20, b=21)]
+    )
+    out = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    with pytest.raises(ValueError, match="converge"):
+        dedup_groups(pairs, max_iters=1)
+
+
+def test_dedup_groups_matches_recursive_oracle(spark, docs_df):
+    import duckdb
+
+    from whoosh_spark.functions.dedup import (
+        dedup_groups, dedup_groups_sql, minhash_lsh_pairs, minhash_pairs_sql,
+    )
+
+    got = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in dedup_groups(minhash_lsh_pairs(docs_df, threshold=0.2)).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs_df.toPandas())
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.execute(
+            dedup_groups_sql(minhash_pairs_sql(threshold=0.2))
+        ).fetchall()
+    )
+    assert got == want and got

@@ -291,3 +291,68 @@ def embedding_neardup_oracle(emb: DataFrame, tau: float = 0.95,
         )
     )
     return j.filter(F.col("cosine") >= tau)
+
+
+def dedup_groups(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                 max_iters: int = 25) -> DataFrame:
+    """(doc_id, group_id) connected components over the undirected
+    near-dup pair graph (the output of ``minhash_lsh_pairs`` /
+    ``embedding_neardup``); group_id = min doc_id in the component, so a
+    pipeline keeps exactly one representative per duplicate cluster with
+    ``WHERE doc_id = group_id`` (plus all unpaired docs).
+
+    Distributed min-label propagation: every round each node takes the
+    min of its own label and its neighbors' labels — one shuffle join +
+    one groupBy per round, converging in O(component diameter) rounds.
+    Near-dup clusters are dense (boilerplate families are near-cliques),
+    so the diameter is tiny in practice; labels are localCheckpoint()ed
+    each round to truncate the iterative lineage (the classic Spark
+    iterative-algorithm trap), and driver traffic per round is ONE
+    convergence count. Raises after ``max_iters`` non-converged rounds
+    (a pathological path graph of length > max_iters) rather than
+    looping forever; for such graphs a large-star/small-star contraction
+    (O(log n) rounds) would be the next gear — not needed for the
+    near-dup workload this serves.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
+    ).union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+    labels = edges.select("x").distinct().withColumn("label", F.col("x"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("x", "y"), on="y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = labels.join(nbr, on="x", how="left").persist()
+        changed = merged.filter(F.col("nlabel") < F.col("label")).count()
+        labels = merged.select(
+            "x", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label")
+        ).localCheckpoint()
+        merged.unpersist()
+        if changed == 0:
+            return labels.select(
+                F.col("x").alias("doc_id"), F.col("label").alias("group_id")
+            )
+    raise ValueError(
+        f"dedup_groups did not converge in max_iters={max_iters} rounds; "
+        "the pair graph has a component of diameter > max_iters"
+    )
+
+
+def dedup_groups_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of ``dedup_groups``: recursive closure of the
+    symmetrized pair graph, then min reachable id per node."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+),
+reach(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT rr.x, e.y FROM reach rr JOIN edges e ON rr.r = e.x
+)
+SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x
+""".strip()
