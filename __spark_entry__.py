@@ -568,6 +568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_groups(minhash_lsh_pairs(_docs(spark, sf), threshold=0.2))
 
+    def near_dedup_docs(spark, sf):
+        # the complete dedup pipeline (functions/dedup.py near_dedup):
+        # minhash LSH pairs -> connected components -> anti-join, keeping
+        # each cluster's min-doc_id representative plus all unpaired docs
+        from whoosh_spark.functions.dedup import near_dedup
+
+        return near_dedup(_docs(spark, sf), threshold=0.2).select("doc_id")
+
     def simhash(spark, sf):
         from whoosh_spark.functions.dedup import simhash_signatures
 
@@ -898,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": exact_dedup,
         "minhash_pairs": minhash_pairs,
         "dedup_group_ids": dedup_group_ids,
+        "near_dedup_docs": near_dedup_docs,
         "simhash": simhash,
         "token_count": token_count,
         "quality_score": quality_score,
@@ -1281,6 +1290,12 @@ sc AS (
     from whoosh_spark.functions.dedup import dedup_groups_sql
 
     sql["dedup_group_ids"] = dedup_groups_sql(minhash_pairs_sql(threshold=0.2))
+    sql["near_dedup_docs"] = (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM ("
+        + dedup_groups_sql(minhash_pairs_sql(threshold=0.2))
+        + ") WHERE doc_id <> group_id)"
+    )
     sql["simhash"] = simhash_sql()
     sql["token_count"] = token_count_sql()
     sql["quality_score"] = quality_score_sql()

@@ -126,9 +126,14 @@ def run(sf_dir: str, cpus: int, synth_docs: int) -> dict:
         .limit(400)
         .collect()
     ]
+    # a query log repeats terms, so sample pairs with a fixed seed rather
+    # than slicing (the documents vocabulary can be smaller than 400)
+    import random
+
+    rng = random.Random(1234)
     batch = [
-        (f"b{i}", "text", [top_terms[2 * i], top_terms[2 * i + 1]])
-        for i in range(min(200, len(top_terms) // 2))
+        (f"b{i}", "text", rng.sample(top_terms, min(2, len(top_terms))))
+        for i in range(200)
     ]
     batch_sec = None
     for _ in range(2):

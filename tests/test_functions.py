@@ -329,3 +329,17 @@ def test_dedup_groups_matches_recursive_oracle(spark, docs_df):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_near_dedup_keeps_one_representative(spark, docs_df):
+    from whoosh_spark.functions.dedup import minhash_lsh_pairs, near_dedup
+
+    kept = {r["doc_id"] for r in near_dedup(docs_df, threshold=0.3).collect()}
+    paired = set()
+    for r in minhash_lsh_pairs(docs_df, threshold=0.3).collect():
+        paired.update((r["a"], r["b"]))
+    all_ids = {r["doc_id"] for r in docs_df.collect()}
+    # unpaired docs pass through untouched
+    assert (all_ids - paired) <= kept
+    # docs 0 and 1 are identical -> exactly the min id survives
+    assert 0 in kept and 1 not in kept

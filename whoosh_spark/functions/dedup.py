@@ -356,3 +356,21 @@ reach(x, r) AS (
 )
 SELECT x AS doc_id, min(r) AS group_id FROM reach GROUP BY x
 """.strip()
+
+
+def near_dedup(df: DataFrame, text_col: str = "text", threshold: float = 0.5,
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus -> corpus with near-duplicate clusters collapsed to one
+    representative (the cluster's min id): ``minhash_lsh_pairs`` ->
+    ``dedup_groups`` -> anti-join of the non-representatives. This is the
+    complete dedup pipeline a training-data job runs before tokenizing —
+    the anti-join side is only the clustered docs (tiny vs the corpus),
+    so the corpus is never reshuffled; unpaired docs pass through
+    untouched."""
+    pairs = minhash_lsh_pairs(df, text_col, threshold)
+    losers = (
+        dedup_groups(pairs)
+        .filter(F.col("doc_id") != F.col("group_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, on=id_col, how="left_anti")
