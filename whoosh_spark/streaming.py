@@ -14,6 +14,8 @@ segment count bounded as the stream runs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from whoosh_spark.index.build import build_segment, commit_segment
@@ -60,6 +62,67 @@ def index_stream(
                 apply_merge_policy(spark, index_dir, merge_policy)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def serve_query_stream(
+    index_dir: str,
+    queries_stream: DataFrame,
+    out_dir: str,
+    k: int = 10,
+    parser=None,
+    searcher_opts: dict | None = None,
+    refresh: bool = True,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+):
+    """Serve a STREAM of queries against the index: every micro-batch of
+    (query_id, query) rows is routed through ``batch_search`` (one posting
+    scan per query shape, not one job per query) and the top-k results are
+    appended to ``out_dir`` as parquet with the micro-batch id. The
+    streaming face of the batch serving family — point it at the same
+    ``index_dir`` an ``index_stream`` writer is committing to and, with
+    ``refresh=True`` (default), each micro-batch re-opens the index
+    manifest so newly committed segments become searchable immediately
+    (the reference's near-real-time searcher-refresh loop,
+    writing.py:1102+ BufferedWriter.searcher()).
+
+    ``queries_stream`` schema: (query_id string, query string); strings
+    are parsed with ``parser`` (required). Query rows are collected
+    driver-side per micro-batch — a query log micro-batch is small by
+    construction (bounded by the trigger), the CORPUS never leaves the
+    executors. Replayed micro-batches after a restart overwrite their own
+    partition directory (idempotent by batch_id), so results are
+    exactly-once per query batch."""
+    from whoosh_spark.index import Index
+    from whoosh_spark.search import Searcher
+    from whoosh_spark.search.batch import batch_search
+
+    spark = queries_stream.sparkSession
+    opts = searcher_opts or {}
+    state: dict = {}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        rows = batch_df.select("query_id", "query").collect()
+        if not rows:
+            return
+        if refresh or "searcher" not in state:
+            state["searcher"] = Searcher(Index(spark, index_dir), **opts)
+        out = batch_search(
+            state["searcher"],
+            [(r["query_id"], r["query"]) for r in rows],
+            k=k, parser=parser,
+        )
+        # batch_id comes back as a partition column when out_dir is read
+        # as one parquet dataset — don't also write it as a data column.
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    writer = queries_stream.writeStream.foreachBatch(handle_batch).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger:
