@@ -182,3 +182,155 @@ def test_serve_query_stream(spark, tmp_path):
     q2.awaitTermination(300)
     got2 = spark.read.parquet(out).where("query_id = 'q6'").collect()
     assert sorted(r["doc_id"] for r in got2) == [1000, 1001, 1002, 1003, 1004]
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Stateful streaming exact-dedup: first occurrence of each content wins
+    within a batch (lowest doc_id) and across batches/restarts (state store)."""
+    import time
+    from whoosh_spark.streaming import dedup_stream_df
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    t0 = time.time()
+    batches = [
+        [(0, "alfa bravo"), (1, "charlie delta"), (2, "alfa bravo"),
+         (7, "echo foxtrot"), (3, "echo foxtrot")],
+        [(10, "alfa bravo"), (11, "golf hotel"), (12, "charlie delta")],
+    ]
+    for b, rows in enumerate(batches):
+        p = src / f"docs{b}.json"
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (t0 + b, t0 + b))  # force micro-batch order
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            dedup_stream_df(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    # batch 0: lowest doc_id per content (3 beats 7 for "echo foxtrot");
+    # batch 1: only the genuinely new content survives
+    assert got == {(0, "alfa bravo"), (1, "charlie delta"),
+                   (3, "echo foxtrot"), (11, "golf hotel")}
+
+    # restart: replays nothing, and previously-seen content stays dropped
+    p = src / "docs2.json"
+    with open(p, "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": "alfa bravo"}) + "\n")
+        f.write(json.dumps({"doc_id": 21, "text": "india juliet"}) + "\n")
+    os.utime(p, (t0 + 2, t0 + 2))
+    run_once()
+    got2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got | {(21, "india juliet")}
+
+
+def test_ingest_stats_stream(spark, tmp_path):
+    """Watermarked windowed ingest stats: per-(window, lang) counts/quality,
+    late rows beyond the watermark dropped, open windows never emitted."""
+    import time
+    from pyspark.sql import functions as F
+    from whoosh_spark.streaming import ingest_stats_stream
+    from whoosh_spark.functions.textstats import quality_col, tokens_col
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    base = "2024-01-01 10:{:02d}:00"
+    mk = lambda minute, lang, text: {"ts": base.format(minute), "lang": lang,
+                                     "text": text}
+    batch0 = [
+        mk(0, "en", "the quick brown fox jumps over the lazy dog again"),
+        mk(4, "en", "a be ce de ef"),
+        mk(9, "de", "der und die das nicht mit von ist auch zu"),
+        mk(12, "en", "window b starts here with some more tokens now"),
+    ]
+    # 10:31 pushes the watermark to 10:26, past window A (10:00-10:10) and
+    # B (10:10-10:20) ends — but A/B only flush in a LATER batch (the
+    # watermark used by batch N is computed from batches < N)
+    batch1 = [mk(31, "en", "sentinel advances the watermark for the flush")]
+    # batch2 runs with watermark 10:26 -> A and B are EVICTED (emitted) at
+    # its end; a row for an already-evicted window is true late data
+    batch2 = [mk(32, "en", "second sentinel stays inside the open window")]
+    # batch3: the 10:01 row's window was evicted in batch2 -> dropped by
+    # the watermark; the sentinels' window (10:30-10:40) never closes and
+    # is never emitted
+    batch3 = [
+        mk(1, "en", "late row must be dropped from its expired window"),
+        mk(33, "en", "third sentinel stays inside the open window"),
+    ]
+
+    t0 = time.time()
+    for b, rows in enumerate([batch0, batch1, batch2, batch3]):
+        p = src / f"docs{b}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (t0 + b, t0 + b))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        ingest_stats_stream(stream, window="10 minutes", watermark="5 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (str(r["win_start"]), r["lang"]):
+            (r["n_docs"], r["n_tokens"], r["n_chars"], r["mean_quality"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # expected = the same aggregation computed batch-side over exactly the
+    # rows that belong in closed windows (late row and open windows excluded)
+    want_rows = [r for r in batch0]
+    wdf = spark.createDataFrame(want_rows).select(
+        F.col("ts").cast("timestamp").alias("ts"), "lang", "text")
+    want = {}
+    for r in (
+        wdf.select(F.window("ts", "10 minutes").alias("win"), "lang",
+                   F.size(tokens_col(F.col("text"))).alias("nt"),
+                   F.length("text").alias("nc"),
+                   quality_col(F.col("text")).alias("q"))
+        .groupBy("win", "lang")
+        .agg(F.count("*").alias("n"), F.sum("nt").alias("nt"),
+             F.sum("nc").alias("nc"), F.round(F.avg("q"), 6).alias("mq"))
+        .collect()
+    ):
+        want[(str(r["win"]["start"]), r["lang"])] = (
+            r["n"], r["nt"], r["nc"], r["mq"])
+    assert got == want
+    assert ("2024-01-01 10:00:00", "en") in got  # window A really emitted
+    assert got[("2024-01-01 10:00:00", "en")][0] == 2  # late row excluded
+    # the engine itself reported the drop (numRowsDroppedByWatermark)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress if p["stateOperators"]
+    )
+    assert dropped == 1

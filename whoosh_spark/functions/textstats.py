@@ -52,10 +52,9 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic quality heuristic in [0, 1]:
-    0.25*len_ok + 0.25*(1 - punct_ratio) + 0.25*stop_ratio_ok + 0.25*word_len_ok."""
-    text = F.col(text_col)
+def quality_col(text: Column) -> Column:
+    """The quality heuristic as a reusable column expression (see
+    ``quality_score``) — also used by the streaming ingest monitor."""
     toks = tokens_col(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
@@ -68,8 +67,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ok = F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), 1.0).otherwise(0.0)
     mean_wl = F.when(n_tok > 0, (F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n_tok)).otherwise(F.lit(0.0))
     wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
-    score = F.round(0.25 * len_ok + 0.25 * (1.0 - punct_ratio) + 0.25 * stop_ok + 0.25 * wl_ok, 6)
-    return df.select("doc_id", score.alias("quality"))
+    return F.round(0.25 * len_ok + 0.25 * (1.0 - punct_ratio) + 0.25 * stop_ok + 0.25 * wl_ok, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic in [0, 1]:
+    0.25*len_ok + 0.25*(1 - punct_ratio) + 0.25*stop_ratio_ok + 0.25*word_len_ok."""
+    return df.select("doc_id", quality_col(F.col(text_col)).alias("quality"))
 
 
 def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:

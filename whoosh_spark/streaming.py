@@ -128,3 +128,114 @@ def serve_query_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def dedup_stream_df(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateful streaming exact-dedup: emit each document whose content has
+    never been seen before in the stream; drop later exact duplicates
+    forever. The streaming face of ``functions.dedup.exact_dedup`` — the
+    operation a training-data ingest pipeline runs continuously instead of
+    as a batch job.
+
+    Implementation: group by md5(text) and keep one small record of state
+    per distinct content hash via ``applyInPandasWithState`` (Arrow-batched;
+    the state store is key-partitioned across executors, so at 100 TB the
+    per-key footprint is one int per distinct document — exactly the shape
+    RocksDB state stores handle). Within a micro-batch, the duplicate kept
+    is the lowest ``id_col`` (deterministic); across micro-batches, the
+    earlier batch wins.
+
+    Returns the deduplicated streaming DataFrame (input columns plus
+    ``content_md5``); attach your own sink, e.g.::
+
+        out = dedup_stream_df(stream)
+        q = (out.writeStream.format("parquet")
+                .option("path", dst).option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    keyed = docs_stream.withColumn("content_md5", F.md5(F.col(text_col)))
+    out_schema: StructType = keyed.schema
+    state_schema = "n_seen long"
+
+    def keep_first(key, pdf_iter, state):
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n_new = 0
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            if seen == 0 and len(pdf):
+                head = pdf.sort_values(id_col, kind="stable").iloc[:1]
+                first = head if first is None else (
+                    pd.concat([first, head]).sort_values(
+                        id_col, kind="stable").iloc[:1])
+        state.update((seen + n_new,))
+        if seen == 0 and first is not None:
+            yield first
+
+    return keyed.groupBy("content_md5").applyInPandasWithState(
+        keep_first, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def ingest_stats_stream(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    group_col: str | None = "lang",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked, windowed corpus-quality monitoring for a streaming
+    ingest: per event-time window (and optional ``group_col``, e.g. lang
+    or source), the doc count, total tokens/chars, and mean quality score
+    — the same deterministic heuristics as the batch ``token_count`` /
+    ``quality_score`` operators, as pure column expressions (JVM-side,
+    no Python in the hot path).
+
+    Late data handling: ``withWatermark(ts_col, watermark)`` — rows later
+    than the watermark are dropped, and a window's row is emitted exactly
+    once, when the watermark passes its end (append mode), so the parquet
+    sink never needs upserts. State is one small row per open window per
+    group — bounded by the watermark horizon regardless of corpus size.
+
+    Returns the aggregated streaming DataFrame with columns
+    (win_start, win_end[, <group_col>], n_docs, n_tokens, n_chars,
+    mean_quality); attach a sink with ``outputMode("append")``."""
+    from pyspark.sql import functions as F
+
+    from whoosh_spark.functions.textstats import quality_col, tokens_col
+
+    per_row = docs_stream.select(
+        F.col(ts_col),
+        *([F.col(group_col)] if group_col else []),
+        F.size(tokens_col(F.col(text_col))).alias("_n_tokens"),
+        F.length(F.col(text_col)).alias("_n_chars"),
+        quality_col(F.col(text_col)).alias("_quality"),
+    )
+    agg = (
+        per_row.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            *([F.col(group_col)] if group_col else []),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tokens").alias("n_tokens"),
+            F.sum("_n_chars").alias("n_chars"),
+            F.round(F.avg("_quality"), 6).alias("mean_quality"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *([F.col(group_col)] if group_col else []),
+        "n_docs", "n_tokens", "n_chars", "mean_quality",
+    )
