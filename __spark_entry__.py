@@ -860,6 +860,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_rate", "n_samples", "decoded"
         )
 
+    # ---- Structured Streaming operators, run to completion with
+    #      trigger(availableNow) so the stateful streaming paths are
+    #      oracle-gated like everything else ----
+
+    _DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def stream_dedup(spark, sf):
+        # stateful streaming exact-dedup (streaming.dedup_stream_df,
+        # applyInPandasWithState): micro-batch 1 = the corpus, micro-batch
+        # 2 = exact copies of the first 50 docs under new doc_ids — the
+        # copies must be dropped by state carried across batches. The
+        # result is deterministic under any batch split (originals also
+        # have the lower doc_id, the within-batch tiebreak).
+        import glob as _glob
+        import shutil
+        import time as _time
+
+        from whoosh_spark.streaming import dedup_stream_df
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        root = os.path.join(_CACHE_ROOT, f"streamdedup_{name}_{n}")
+        stage = os.path.join(root, "stage")
+        out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+        a = os.path.join(stage, "a_docs.parquet")
+        bfile = os.path.join(stage, "b_dups.parquet")
+        if not (os.path.exists(a) and os.path.exists(bfile)):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(stage)
+            shutil.copyfile(os.path.join(sf, "documents.parquet"), a)
+            tmp = os.path.join(root, "_tmp_dups")
+            (docs.where(F.col("doc_id") < 50)
+                 .withColumn("doc_id", F.col("doc_id") + 10000)
+                 .coalesce(1).write.parquet(tmp))
+            shutil.move(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], bfile)
+            shutil.rmtree(tmp, ignore_errors=True)
+            now = _time.time()
+            os.utime(a, (now - 10, now - 10))  # originals stream first
+            os.utime(bfile, (now, now))
+        stream = (
+            spark.readStream.schema(_DOCS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (dedup_stream_df(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        return spark.read.parquet(out).select(
+            "doc_id", "text", "lang", "source", "n_chars", "content_md5")
+
+    def stream_ingest_stats(spark, sf):
+        # watermarked tumbling-window ingest stats (streaming.
+        # ingest_stats_stream): synthetic event time ts = 2024-01-01 +
+        # doc_id minutes, 1h windows, 30min watermark. Append mode emits
+        # only windows the final watermark closed (max_ts - 30min), so the
+        # oracle reproduces the emission rule arithmetically.
+        from whoosh_spark.streaming import ingest_stats_stream
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        root = os.path.join(_CACHE_ROOT, f"streamstats_{name}_{n}")
+        out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+        stream = (
+            spark.readStream.schema(_DOCS_DDL)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+        with_ts = stream.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60))
+        stats = ingest_stats_stream(with_ts, window="1 hour",
+                                    watermark="30 minutes")
+        result = stats.select(
+            F.unix_timestamp("win_start").cast("long").alias("win_start_s"),
+            "lang", "n_docs", "n_tokens", "n_chars", "mean_quality")
+        q = (result.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        return spark.read.parquet(out)
+
     return {
         "bm25_term": bm25_term,
         "bm25_and2": bm25_and2,
@@ -923,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posboost_stored": posboost_stored,
         "bm25_stemmed_de": bm25_stemmed_de,
         "media_features": media_features,
+        "stream_dedup": stream_dedup,
+        "stream_ingest_stats": stream_ingest_stats,
     }
 
 
@@ -1297,6 +1382,46 @@ sc AS (
         + ") WHERE doc_id <> group_id)"
     )
     sql["simhash"] = simhash_sql()
+    # streaming stateful exact-dedup: batch-equivalent = min doc_id per
+    # distinct text over the corpus plus the injected exact copies
+    sql["stream_dedup"] = """
+WITH all_docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50
+),
+keep AS (SELECT md5(text) AS m, min(doc_id) AS k FROM all_docs GROUP BY 1)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+       md5(d.text) AS content_md5
+FROM all_docs d JOIN keep g ON d.doc_id = g.k
+""".strip()
+    # streaming windowed ingest stats: append mode emits a window only when
+    # the final watermark (max event time - 30min) passes its end; event
+    # time = 2024-01-01 (epoch 1704067200) + doc_id minutes, 1h windows
+    from whoosh_spark.functions.textstats import quality_score_sql as _qsql
+    from whoosh_spark.functions.textstats import sql_tokens as _sqltok
+
+    sql["stream_ingest_stats"] = f"""
+WITH q AS ({_qsql()}),
+base AS (
+  SELECT d.doc_id, d.lang, len({_sqltok('lower(d.text)')}) AS nt,
+         length(d.text) AS nc, q.quality AS quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+lim AS (SELECT max(doc_id) * 60 - 1800 AS wm_s FROM documents),
+w AS (
+  SELECT CAST(1704067200 + (doc_id // 60) * 3600 AS BIGINT) AS win_start_s,
+         (doc_id // 60) AS widx, lang, nt, nc, quality
+  FROM base
+)
+SELECT win_start_s, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
+       round(avg(quality), 6) AS mean_quality
+FROM w, lim
+WHERE (widx + 1) * 3600 <= wm_s
+GROUP BY win_start_s, lang
+""".strip()
     sql["token_count"] = token_count_sql()
     sql["quality_score"] = quality_score_sql()
     sql["lang_id"] = lang_id_sql()
