@@ -126,3 +126,24 @@ def test_pinpoint_autotrim_matches_whoosh(wix, whoosh_ref, docnum, terms):
     want = _ref_highlights(wix, docnum, terms, PinpointFragmenter(autotrim=True))
     got = highlight_text(DOCS[docnum], terms, fragmenter="pinpoint_autotrim")
     assert got == want
+
+
+@pytest.mark.parametrize("fmt_name", ["uppercase", "null"])
+@pytest.mark.parametrize("docnum,terms", [(0, ["render"]), (3, ["render"]),
+                                          (0, ["render", "texture"])])
+def test_plain_formatters_match_whoosh(wix, whoosh_ref, fmt_name, docnum, terms):
+    from whoosh import highlight as wh
+    from whoosh.query import Or, Term
+
+    from whoosh_spark.search.highlight import NullFormatter, UppercaseFormatter
+
+    ref_fmt = wh.UppercaseFormatter() if fmt_name == "uppercase" else wh.NullFormatter()
+    our_fmt = UppercaseFormatter() if fmt_name == "uppercase" else NullFormatter()
+    q = Term("content", terms[0]) if len(terms) == 1 else Or([Term("content", t) for t in terms])
+    with wix.searcher() as s:
+        r = s.search(q, limit=10)
+        r.formatter = ref_fmt
+        hit = [h for h in r if h.docnum == docnum]
+        want = hit[0].highlights("content")
+    got = highlight_text(DOCS[docnum], terms, formatter=our_fmt)
+    assert got == want

@@ -221,6 +221,51 @@ def _basic_score(f: _Fragment) -> float:
     return score
 
 
+class _PlainFormatter:
+    """Base walk of reference Formatter.format_fragment (highlight.py:
+    683-719): stitch unmatched text verbatim (no escaping) around
+    format_token outputs, join fragments with ``between``."""
+
+    def __init__(self, between="..."):
+        self.between = between
+
+    def format_token(self, text, token) -> str:
+        raise NotImplementedError
+
+    def format_fragment(self, fragment: _Fragment) -> str:
+        output = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in fragment.matches:
+            if t.startchar < index:
+                continue
+            if t.startchar > index:
+                output.append(text[index:t.startchar])
+            output.append(self.format_token(text, t))
+            index = t.endchar
+        output.append(text[index:fragment.endchar])
+        return "".join(output)
+
+    def format(self, fragments) -> str:
+        return self.between.join(self.format_fragment(f) for f in fragments)
+
+
+class NullFormatter(_PlainFormatter):
+    """Reference NullFormatter (highlight.py:726-731): fragment text
+    unchanged — useful for plain-text excerpts."""
+
+    def format_token(self, text, token) -> str:
+        return text[token.startchar:token.endchar]
+
+
+class UppercaseFormatter(_PlainFormatter):
+    """Reference UppercaseFormatter (highlight.py:734-747): matched terms
+    uppercased in place."""
+
+    def format_token(self, text, token) -> str:
+        return text[token.startchar:token.endchar].upper()
+
+
 class HtmlFormatter:
     template = '<%(tag)s class=%(q)s%(cls)s%(tn)s%(q)s>%(t)s</%(tag)s>'
 
