@@ -343,3 +343,40 @@ def test_near_dedup_keeps_one_representative(spark, docs_df):
     assert (all_ids - paired) <= kept
     # docs 0 and 1 are identical -> exactly the min id survives
     assert 0 in kept and 1 not in kept
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """End-to-end IVF training path: cluster.kmeans centers fed into
+    ivf_cosine_topk(centroids=...). Trained cells must match brute-force
+    ground truth at least as well as the md5 pseudo-centroids at the same
+    nprobe budget, and clear an absolute recall floor."""
+    from whoosh_spark.functions.cluster import kmeans
+    from whoosh_spark.functions.similarity import brute_cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    k = 5
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    truth = {}
+    for r in brute_cosine_topk(emb, queries, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    seeds = [r["embedding"] for r in emb.orderBy("vec_id").limit(8).collect()]
+    _, centers = kmeans(
+        emb.select(F.col("embedding").cast("array<double>").alias("embedding")),
+        "embedding", 8, centers=seeds, maxiter=5)
+    r_trained = recall(ivf_cosine_topk(
+        emb, queries, dim=dim, k=k, n_centroids=8, nprobe=2, centroids=centers))
+    r_pseudo = recall(ivf_cosine_topk(
+        emb, queries, dim=dim, k=k, n_centroids=8, nprobe=2))
+    assert r_trained >= r_pseudo
+    assert r_trained >= 0.6
