@@ -576,6 +576,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_dedup(_docs(spark, sf), threshold=0.2).select("doc_id")
 
+    def simhash_neardup(spark, sf):
+        # SimHash-banded near-dup pairs: 4x16-bit band bucket join, full
+        # 64-bit hamming verify (exact for max_hamming<=3 by pigeonhole)
+        from whoosh_spark.functions.dedup import simhash_neardup_pairs
+
+        return simhash_neardup_pairs(_docs(spark, sf), max_hamming=3)
+
     def simhash(spark, sf):
         from whoosh_spark.functions.dedup import simhash_signatures
 
@@ -991,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_group_ids": dedup_group_ids,
         "near_dedup_docs": near_dedup_docs,
         "simhash": simhash,
+        "simhash_neardup": simhash_neardup,
         "token_count": token_count,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -1382,6 +1390,9 @@ sc AS (
         + ") WHERE doc_id <> group_id)"
     )
     sql["simhash"] = simhash_sql()
+    from whoosh_spark.functions.dedup import simhash_neardup_sql
+
+    sql["simhash_neardup"] = simhash_neardup_sql(max_hamming=3)
     # streaming stateful exact-dedup: batch-equivalent = min doc_id per
     # distinct text over the corpus plus the injected exact copies
     sql["stream_dedup"] = """

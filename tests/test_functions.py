@@ -380,3 +380,31 @@ def test_ivf_trained_centroids_recall(spark):
         emb, queries, dim=dim, k=k, n_centroids=8, nprobe=2))
     assert r_trained >= r_pseudo
     assert r_trained >= 0.6
+
+
+def test_simhash_neardup_pairs_exact_for_h3(spark, docs_df):
+    """4-band SimHash candidate generation is EXACT for hamming <= 3
+    (pigeonhole): pairs must equal brute-force all-pairs hamming."""
+    from whoosh_spark.functions.dedup import simhash_neardup_pairs, simhash_signatures
+
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_neardup_pairs(docs_df, max_hamming=3).collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs_df).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    # planted exact duplicates -> hamming 0 pairs found
+    from pyspark.sql import Row
+    texts = [r["text"] for r in docs_df.orderBy("doc_id").limit(2).collect()]
+    planted = docs_df.select("doc_id", "text").unionByName(
+        spark.createDataFrame([Row(doc_id=90000 + i, text=t)
+                               for i, t in enumerate(texts)]))
+    got2 = {(r["a"], r["b"]): r["hamming"]
+            for r in simhash_neardup_pairs(planted, max_hamming=3).collect()}
+    lo = [r["doc_id"] for r in docs_df.orderBy("doc_id").limit(2).collect()]
+    assert got2[(lo[0], 90000)] == 0 and got2[(lo[1], 90001)] == 0

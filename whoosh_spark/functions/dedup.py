@@ -167,6 +167,57 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", bits.alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit signature
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, hamming) by SimHash banding: candidates
+    are pairs sharing at least one of the 4 exact 16-bit bands, verified by
+    full 64-bit hamming distance <= ``max_hamming``. By pigeonhole the
+    4-band split is EXACT (no recall loss) for max_hamming <= 3 — the
+    classic web near-dup operating point (Manku et al., WWW'07); above 3
+    it is a recall-documented heuristic. Same scale shape as
+    minhash_lsh_pairs: bucket join, never all-pairs, with the MAX_BUCKET
+    skew cap mirrored in the SQL oracle."""
+    sigs = simhash_signatures(df, text_col)
+    parts = [
+        sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.substring("simhash", 16 * b + 1, 16).alias("key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionByName(p)
+    bucket_n = bands.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+    bands = bands.join(
+        bucket_n.filter(F.col("_bn") <= MAX_BUCKET).drop("_bn"),
+        on=["band", "key"], how="left_semi",
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_sb"))
+    ham = F.size(F.filter(
+        F.zip_with(F.split(F.col("_sa"), ""), F.split(F.col("_sb"), ""),
+                   lambda x, y: x != y),
+        lambda d: d,
+    ))
+    return (
+        cand.join(sa, on="a").join(sb, on="b")
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _sql_shingles(text_expr: str = "lower(text)", w: int = SHINGLE_W) -> str:
@@ -257,6 +308,31 @@ s AS (
   FROM h GROUP BY doc_id
 )
 SELECT doc_id, concat({bits}) AS simhash FROM s
+""".strip()
+
+
+def simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_neardup_pairs (same banding + bucket cap)."""
+    return f"""
+WITH sig AS ({simhash_sql()}),
+bands AS (
+  SELECT doc_id, b.band, substr(simhash, 16 * b.band + 1, 16) AS key
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+ok AS (
+  SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {MAX_BUCKET}
+),
+kept AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, CAST(mismatches(sa.simhash, sb.simhash) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.a
+JOIN sig sb ON sb.doc_id = c.b
+WHERE mismatches(sa.simhash, sb.simhash) <= {max_hamming}
 """.strip()
 
 
