@@ -38,7 +38,7 @@ from whoosh_spark.search.engine import _span_near_chain
 
 VOCAB = "alfa bravo charlie delta echo foxtrot golf hotel".split()
 N_DOCS = 120
-N_TREES = 30
+N_TREES = 45
 K = 15
 
 
@@ -109,6 +109,14 @@ class PyOracle:
         if isinstance(q, Q.AndMaybe):
             a, b = self.eval(q.a), self.eval(q.b)
             return {d: (s + b.get(d, 0.0)) * q.boost for d, s in a.items()}
+        if isinstance(q, Q.Every):
+            return {d: 1.0 * q.boost for d in range(self.N)}
+        if isinstance(q, Q.ConstantScore):
+            return {d: q.score * q.boost for d in self.eval(q.child)}
+        if isinstance(q, Q.Otherwise):
+            a = self.eval(q.a)
+            return ({d: s * q.boost for d, s in a.items()} if a
+                    else {d: s * q.boost for d, s in self.eval(q.b).items()})
         if isinstance(q, Q.Phrase):
             word_scores = [self.eval(Q.Term(q.field, w)) for w in q.words]
             docs = set(word_scores[0])
@@ -128,7 +136,19 @@ class PyOracle:
 def _gen(rng: random.Random, depth: int = 0):
     if depth >= 2 or rng.random() < 0.4:
         return Q.Term("text", rng.choice(VOCAB), boost=rng.choice([1.0, 1.0, 2.0]))
-    kind = rng.choice(["and", "or", "andnot", "andmaybe", "require", "dismax", "not_in_and", "phrase"])
+    kind = rng.choice(["and", "or", "andnot", "andmaybe", "require", "dismax",
+                       "not_in_and", "phrase", "constscore", "otherwise",
+                       "every_in_and"])
+    if kind == "constscore":
+        return Q.ConstantScore(_gen(rng, depth + 1),
+                               score=rng.choice([0.5, 1.0, 3.0]))
+    if kind == "otherwise":
+        # sometimes an empty-matching first branch so the fallback fires
+        a = (Q.Phrase("text", ["alfa", "alfa", "alfa", "alfa"])
+             if rng.random() < 0.5 else _gen(rng, depth + 1))
+        return Q.Otherwise(a, _gen(rng, depth + 1))
+    if kind == "every_in_and":
+        return Q.And([Q.Every("text"), _gen(rng, depth + 1)])
     if kind in ("and", "or", "dismax"):
         subs = [_gen(rng, depth + 1) for _ in range(rng.randint(2, 4))]
         cls = {"and": Q.And, "or": Q.Or, "dismax": Q.DisjunctionMax}[kind]
