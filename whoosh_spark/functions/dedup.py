@@ -181,17 +181,20 @@ def simhash_neardup_pairs(
     it is a recall-documented heuristic. Same scale shape as
     minhash_lsh_pairs: bucket join, never all-pairs, with the MAX_BUCKET
     skew cap mirrored in the SQL oracle."""
-    sigs = simhash_signatures(df, text_col)
-    parts = [
-        sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.substring("simhash", 16 * b + 1, 16).alias("key"),
-        )
+    # signatures are referenced by the band table AND both verify joins —
+    # materialize once (one row per doc) instead of recomputing the
+    # 64-partial-sum aggregation per reference (same localCheckpoint
+    # pattern as dedup_groups)
+    sigs = simhash_signatures(df, text_col).localCheckpoint(eager=False)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("simhash", 16 * b + 1, 16).alias("key"))
         for b in range(SIMHASH_BANDS)
-    ]
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionByName(p)
+    ])
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
     bucket_n = bands.groupBy("band", "key").agg(F.count("*").alias("_bn"))
     bands = bands.join(
         bucket_n.filter(F.col("_bn") <= MAX_BUCKET).drop("_bn"),
