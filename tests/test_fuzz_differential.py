@@ -87,9 +87,13 @@ class PyOracle:
             return {d: s * q.boost for d, s in out.items()}
         if isinstance(q, Q.Or):
             out: dict[int, float] = {}
+            nmatch: dict[int, int] = {}
             for c in q.subqueries:
                 for d, s in self.eval(c).items():
                     out[d] = out.get(d, 0.0) + s
+                    nmatch[d] = nmatch.get(d, 0) + 1
+            if q.minmatch:
+                out = {d: s for d, s in out.items() if nmatch[d] >= q.minmatch}
             return {d: s * q.boost for d, s in out.items()}
         if isinstance(q, Q.DisjunctionMax):
             out = {}
@@ -138,7 +142,7 @@ def _gen(rng: random.Random, depth: int = 0):
         return Q.Term("text", rng.choice(VOCAB), boost=rng.choice([1.0, 1.0, 2.0]))
     kind = rng.choice(["and", "or", "andnot", "andmaybe", "require", "dismax",
                        "not_in_and", "phrase", "constscore", "otherwise",
-                       "every_in_and"])
+                       "every_in_and", "or_minmatch"])
     if kind == "constscore":
         return Q.ConstantScore(_gen(rng, depth + 1),
                                score=rng.choice([0.5, 1.0, 3.0]))
@@ -149,6 +153,9 @@ def _gen(rng: random.Random, depth: int = 0):
         return Q.Otherwise(a, _gen(rng, depth + 1))
     if kind == "every_in_and":
         return Q.And([Q.Every("text"), _gen(rng, depth + 1)])
+    if kind == "or_minmatch":
+        subs = [_gen(rng, depth + 1) for _ in range(rng.randint(3, 4))]
+        return Q.Or(subs, minmatch=rng.randint(2, len(subs)))
     if kind in ("and", "or", "dismax"):
         subs = [_gen(rng, depth + 1) for _ in range(rng.randint(2, 4))]
         cls = {"and": Q.And, "or": Q.Or, "dismax": Q.DisjunctionMax}[kind]
@@ -188,3 +195,22 @@ def test_random_tree_matches_python_oracle(fuzz_ix, seed):
     ]
     srch.clear_cache()
     assert got == want, f"tree {q!r}\n{got}\n{want}"
+
+
+def test_or_minmatch_same_on_both_scoring_paths(fuzz_ix):
+    """Or(minmatch=m) means "matched by >= m children" on BOTH the exact
+    join-tree path and the aggregation path (the reference's own minmatch
+    is a documented no-op, compound.py:299 — we implement the documented
+    semantics uniformly, like WeightingQuery)."""
+    ix, oracle = fuzz_ix
+    q = Q.Or([Q.Term("text", "alfa"), Q.Term("text", "bravo"),
+              Q.Term("text", "charlie")], minmatch=2)
+    want_scores = oracle.eval(q)
+    want = sorted(((d, round(s, 9)) for d, s in want_scores.items()),
+                  key=lambda x: (-x[1], x[0]))[:K]
+    for exact in (True, False):
+        srch = Searcher(ix, exact_scores=exact, use_local=False)
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in srch.search(q, limit=K).collect()]
+        srch.clear_cache()
+        assert got == want, f"exact_scores={exact}"

@@ -763,6 +763,21 @@ class _PlanContext:
             return _Compiled(df.withColumn("score", F.lit(1.0) + F.col("score")))
         return _Compiled(self._join_add(a.df, b.df, "inner"))
 
+    def _minmatch_filter(self, dfs: list[DataFrame], out: DataFrame, m: int) -> DataFrame:
+        """Keep docs matched by >= m of the Or's children. The reference's
+        own minmatch is documented "not yet implemented"
+        (query/compound.py:299); we implement the documented semantics
+        uniformly across both scoring paths (like WeightingQuery). One
+        narrow count aggregate + a semi join."""
+        u = dfs[0].select("doc_id")
+        for d in dfs[1:]:
+            u = u.unionByName(d.select("doc_id"))
+        ok = (
+            u.groupBy("doc_id").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= m).select("doc_id")
+        )
+        return out.join(ok, on="doc_id", how="left_semi")
+
     def _compile_or(self, q: Q.Or) -> DataFrame:
         if not q.subqueries:
             return self._empty()
@@ -799,13 +814,18 @@ class _PlanContext:
                     lo += 1
                 items.insert(lo, entry)
             out = self._boosted(items[0][2], q.boost)
+            if q.minmatch:
+                out = self._minmatch_filter(dfs, out, q.minmatch)
             return self._coord_scale(out, q)
         # ArrayUnionMatcher accumulation: original child order, left fold
         # (combo.py:211-215); per-child boost multiplication happens at add
         acc = dfs[0]
         for d in dfs[1:]:
             acc = self._join_add(acc, d, "full_outer")
-        return self._boosted(acc, q.boost)
+        out = self._boosted(acc, q.boost)
+        if q.minmatch:
+            out = self._minmatch_filter(dfs, out, q.minmatch)
+        return out
 
     def _coord_scale(self, df: DataFrame, q: Q.Or) -> DataFrame:
         """Or(scale=s) coordination bonus — the reference CoordMatcher SQR
