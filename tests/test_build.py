@@ -95,3 +95,29 @@ def test_hot_term_bucketing(spark, tmp_path_factory):
     assert decoded.count() == 400
     # every block respects the 128-posting cap
     assert blocks.agg(F.max("count")).collect()[0][0] <= 128
+
+
+def test_null_and_empty_text_docs(spark, tmp_path_factory):
+    """Docs with NULL or empty field values build cleanly: the doc exists
+    (stored + counted, like the reference's missing-field add_document)
+    but contributes no postings. Regression: an Arrow batch containing
+    ONLY such docs used to crash the kernel (empty pd.DataFrame types the
+    positions column float64, unconvertible to list<int32>)."""
+    from pyspark.sql import Row
+
+    import whoosh_spark.query as Q
+    from whoosh_spark.search import Searcher
+
+    d = str(tmp_path_factory.mktemp("nulls"))
+    rows = [Row(doc_id=0, text="alfa bravo"), Row(doc_id=1, text=""),
+            Row(doc_id=2, text=None)]
+    # 4 partitions over 3 rows forces at least one all-null/empty batch
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    build_index(spark, df, IndexSchema.of(text=TEXT()), d, sha_col=None)
+    ix = Index(spark, d)
+    assert ix.manifest.doc_count_all() == 3
+    got = Searcher(ix).search(Q.Term("text", "alfa"), limit=5).collect()
+    assert [r["doc_id"] for r in got] == [0]
+    # the NULL doc has no lengths row; the empty-string doc has one with 0
+    lens = {r["doc_id"]: r["length"] for r in ix.lengths().collect()}
+    assert lens == {0: 2, 1: 0}

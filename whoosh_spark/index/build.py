@@ -223,7 +223,12 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
                             b_out.append(bs if (cf is not None and store_b) else None)
                             sc_out.append(scs if (cf is not None and store_c) else None)
                             ec_out.append(ecs if (cf is not None and store_c) else None)
-            lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
+            if not f_out:
+                # a batch of only null-text docs: an all-empty pd.DataFrame
+                # types its list columns float64, which Arrow can't convert
+                # to list<int32> — yield nothing instead
+                continue
+            lens = np.asarray(l_out, dtype=np.int64)
             out = {
                 "field": f_out,
                 "term": t_out,
@@ -264,7 +269,9 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
                     d_out.append(did)
                     f_out.append(name)
                     l_out.append(ana.kept_count(text))
-            lens = np.asarray(l_out, dtype=np.int64) if l_out else np.empty(0, dtype=np.int64)
+            if not d_out:
+                continue  # all-null batch: see extract_postings note
+            lens = np.asarray(l_out, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": d_out,
