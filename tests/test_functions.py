@@ -408,3 +408,26 @@ def test_simhash_neardup_pairs_exact_for_h3(spark, docs_df):
             for r in simhash_neardup_pairs(planted, max_hamming=3).collect()}
     lo = [r["doc_id"] for r in docs_df.orderBy("doc_id").limit(2).collect()]
     assert got2[(lo[0], 90000)] == 0 and got2[(lo[1], 90001)] == 0
+
+
+def test_dedup_short_null_and_empty_docs(spark):
+    """Docs with < SHINGLE_W tokens, empty text, or NULL text must not
+    crash the shingle pipeline (regression: F.sequence(1, 0) is a
+    DESCENDING [1, 0], so the unguarded index range fed slice() a 0 start
+    and any short doc killed the whole minhash job)."""
+    from whoosh_spark.functions.dedup import (
+        minhash_lsh_pairs, near_dedup, shingles_col)
+
+    long = "the quick brown fox jumps over the lazy dog today ok"
+    rows = [Row(doc_id=0, text=long), Row(doc_id=1, text=None),
+            Row(doc_id=2, text=""), Row(doc_id=3, text=long),
+            Row(doc_id=4, text="two words"), Row(doc_id=5, text="single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["s"] for r in
+          df.select("doc_id", shingles_col(F.col("text")).alias("s")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[4] == [] and sh[5] == []
+    assert len(sh[0]) == 9
+    pairs = minhash_lsh_pairs(df, threshold=0.2).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in pairs] == [(0, 3, 1.0)]
+    kept = sorted(r["doc_id"] for r in near_dedup(df, threshold=0.2).select("doc_id").collect())
+    assert kept == [0, 1, 2, 4, 5]  # dup cluster {0,3} -> keep 0; rest unpaired

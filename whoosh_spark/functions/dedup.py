@@ -42,10 +42,14 @@ MAX_BUCKET = 200
 
 
 def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
-    """Distinct word w-shingles (space-joined) as array<string>."""
+    """Distinct word w-shingles (space-joined) as array<string>. Docs with
+    fewer than ``w`` tokens (or null text) yield an empty array — the
+    guard matters: F.sequence(1, 0) is a DESCENDING [1, 0] in Spark, so
+    the unguarded version crashes slice() on any short doc."""
     toks = tokens_col(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(0)))
+    idx = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))).otherwise(
+        F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
     return F.array_distinct(sh)
 
