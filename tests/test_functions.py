@@ -431,3 +431,35 @@ def test_dedup_short_null_and_empty_docs(spark):
     assert [(r["a"], r["b"], r["jaccard"]) for r in pairs] == [(0, 3, 1.0)]
     kept = sorted(r["doc_id"] for r in near_dedup(df, threshold=0.2).select("doc_id").collect())
     assert kept == [0, 1, 2, 4, 5]  # dup cluster {0,3} -> keep 0; rest unpaired
+
+
+def test_similarity_zero_and_null_vectors(spark):
+    """Zero-norm and NULL embeddings are excluded from every cosine path
+    (regression: one zero vector anywhere failed the whole job with ANSI
+    DIVIDE_BY_ZERO). Identical zero vectors must also NOT surface through
+    the exact-duplicate equality pre-pass."""
+    import random
+    from whoosh_spark.functions.dedup import embedding_neardup, embedding_neardup_oracle
+    from whoosh_spark.functions.similarity import (
+        brute_cosine_topk, ivf_cosine_topk, lsh_cosine_topk)
+
+    rng = random.Random(1)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(20)]
+    rows += [Row(vec_id=100, embedding=[0.0] * 8),
+             Row(vec_id=101, embedding=None),
+             Row(vec_id=102, embedding=[0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id in (0, 100, 101)").selectExpr(
+        "vec_id as query_id", "embedding")
+    for fn in (lambda: brute_cosine_topk(emb, q, k=3),
+               lambda: lsh_cosine_topk(emb, q, dim=8, k=3),
+               lambda: ivf_cosine_topk(emb, q, dim=8, k=3)):
+        out = fn().collect()
+        assert {r["query_id"] for r in out} == {0}  # invalid queries dropped
+        assert all(r["vec_id"] < 100 for r in out)  # invalid corpus rows too
+        assert all(r["cosine"] == r["cosine"] for r in out)  # no NaN
+    got = {(r["a"], r["b"]) for r in embedding_neardup(emb, tau=0.8).collect()}
+    want = {(r["a"], r["b"]) for r in embedding_neardup_oracle(emb, tau=0.8).collect()}
+    assert got == want
+    assert all(a < 100 and b < 100 for a, b in got)

@@ -359,8 +359,10 @@ def embedding_neardup_oracle(emb: DataFrame, tau: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs (a < b) with cosine >= tau. O(n^2) comparison — verification
     oracle ONLY; production near-dup goes through embedding_neardup (LSH)."""
+    from whoosh_spark.functions.similarity import _valid_vectors
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    base = _valid_vectors(emb, vec_col).select(F.col(id_col).alias("id"), v.alias("v"))
     dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     norm = base.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     j = (

@@ -34,6 +34,14 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop null and zero-norm vectors before any cosine math: cosine is
+    undefined for them, and under ANSI SQL a SINGLE zero vector anywhere
+    in a 100 TB corpus would fail the whole job with DIVIDE_BY_ZERO."""
+    v = _as_double(F.col(vec_col))
+    return df.filter(F.col(vec_col).isNotNull() & (_dot(v, v) > 0))
+
+
 def _pseudo_plane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic unit-less hyperplane: component j from md5 bits."""
     import hashlib
@@ -57,6 +65,8 @@ def brute_cosine_topk(
     queries: DataFrame with (query_id, embedding). The query side is
     broadcast — at 100 TB the corpus stays distributed and each partition
     scores locally; ties break by vec_id ascending."""
+    emb = _valid_vectors(emb, vec_col)
+    queries = _valid_vectors(queries, vec_col)
     base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
     base = base.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     qs = queries.select(
@@ -111,8 +121,10 @@ WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {tau}
 def lsh_buckets(emb: DataFrame, dim: int, id_col: str = "vec_id",
                 vec_col: str = "embedding", n_tables: int = N_TABLES,
                 n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, table, bucket) — sign pattern of deterministic hyperplanes."""
-    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    """(vec_id, table, bucket) — sign pattern of deterministic hyperplanes.
+    Null/zero vectors are excluded (cosine undefined downstream)."""
+    base = _valid_vectors(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
     parts = []
     for t in range(n_tables):
         bits = []
@@ -158,7 +170,8 @@ def lsh_pair_candidates(emb: DataFrame, dim: int, id_col: str = "vec_id",
     every identical-vector pair even when its LSH bucket is oversized —
     without this, the cap would silently zero recall for exactly the hot
     boilerplate clusters dedup targets (round-2 ADVICE)."""
-    base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    base = _valid_vectors(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
     buckets = lsh_buckets(emb, dim, id_col, vec_col, n_tables=n_tables, n_planes=n_planes)
     sizes = buckets.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
     kept = buckets.join(
@@ -198,7 +211,7 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.95, id_col: str = "vec_
     minus whatever mass sits in capped buckets (count those with
     lsh_dropped_buckets)."""
     if dim is None:
-        head = emb.select(vec_col).head()
+        head = _valid_vectors(emb, vec_col).select(vec_col).head()
         dim = len(head[0]) if head else 0
     if not dim:
         return emb.sparkSession.createDataFrame(
@@ -381,6 +394,8 @@ def ivf_cosine_topk(
     cs = centroids if centroids is not None else [
         _pseudo_centroid(i, dim) for i in range(n_centroids)
     ]
+    emb = _valid_vectors(emb, vec_col)
+    queries = _valid_vectors(queries, vec_col)
     base = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
     base = base.withColumn("cell", _argmax_cell(F.col("v"), cs))
     qs = queries.select("query_id", _as_double(F.col(vec_col)).alias("qv"))
