@@ -122,3 +122,27 @@ def test_update_by_unique_key(spark, tmp_path):
     assert ids == [0, 1, 3, 4, 10]  # old doc 2 replaced by doc 10
     fresh = Searcher(ix).search(Q.Term("value", "fresh"), limit=5).collect()
     assert [r["doc_id"] for r in fresh] == [10]
+
+
+def test_optimize_expunges_single_segment_tombstones(spark, tmp_path):
+    """OPTIMIZE rewrites even a SINGLE segment when it carries tombstones
+    (the reference's commit(optimize=True) expunges deletions without a
+    merge partner). Regression: this used to be a silent no-op, so deleted
+    docs were never physically dropped from a 1-segment index."""
+    from pyspark.sql import Row
+
+    from whoosh_spark.index.merge import apply_merge_policy, delete_by_term
+
+    d = str(tmp_path / "opt1")
+    rows = [Row(doc_id=i, text=("alfa" if i < 5 else "bravo") + f" tok{i}")
+            for i in range(10)]
+    build_index(spark, spark.createDataFrame(rows), IndexSchema.of(text=TEXT()),
+                d, sha_col=None)
+    assert delete_by_term(spark, d, "text", "alfa") == 5
+    assert apply_merge_policy(spark, d, "OPTIMIZE")  # did rewrite
+    ix = Index(spark, d)
+    assert ix.manifest.doc_count_all() == 5 and len(ix.manifest.segments) == 1
+    got = Searcher(Index(spark, d)).search(Q.Term("text", "bravo"), limit=10).collect()
+    assert sorted(r["doc_id"] for r in got) == [5, 6, 7, 8, 9]
+    # a clean single segment stays a no-op
+    assert apply_merge_policy(spark, d, "OPTIMIZE") == []

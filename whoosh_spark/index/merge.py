@@ -81,8 +81,9 @@ def merge_segments(
     manifest generation. Deleted docs are dropped permanently."""
     manifest = read_manifest(index_dir)
     victims = [s for s in manifest.segments if s.name in set(victim_names)]
-    if len(victims) < 2:
-        raise ValueError("need at least two segments to merge")
+    if len(victims) < 2 and not (len(victims) == 1 and victims[0].has_deletes):
+        raise ValueError(
+            "need at least two segments to merge, or one with tombstones to expunge")
     ix = Index(spark, index_dir)
 
     name = next_segment_name(manifest)
@@ -219,11 +220,19 @@ def apply_merge_policy(spark: SparkSession, index_dir: str, policy: str = "MERGE
     manifest = read_manifest(index_dir)
     if policy == "CLEAR":
         return clear_index(index_dir)
-    if policy == "NO_MERGE" or len(manifest.segments) < 2:
+    if policy == "NO_MERGE":
         return []
     if policy == "OPTIMIZE":
         victims = list(manifest.segments)
+        # a single CLEAN segment is already optimal, but a single segment
+        # with tombstones still rewrites — the reference's optimize
+        # expunges deletions even without a merge partner
+        # (writing.py commit(optimize=True))
+        if not victims or (len(victims) == 1 and not victims[0].has_deletes):
+            return []
     elif policy == "MERGE_SMALL":
+        if len(manifest.segments) < 2:
+            return []
         victims, _ = pick_merge_small(manifest.segments)
         if not victims:
             return []
