@@ -408,3 +408,75 @@ def test_sequence_plugin_matches_reference(pair, whoosh_ref):
     for qs in ['"red town"', 'yellow "red (green OR town)"',
                '"red rod~1 town"~2', 'green "red town']:
         _run_pair(pair, wp.parse(qs), op.parse(qs))
+
+
+def test_dangling_not_and_stray_parens(whoosh_ref):
+    """The reference's paren pass strips stray ')' BEFORE operators bind;
+    dangling NOTs (no operand) are dropped. Tree-for-tree parity on the
+    corner family (regression: 'NOT ) x' used to lose the NOT)."""
+    from whoosh import fields as wfields
+    from whoosh.qparser import QueryParser as WParser
+
+    wp = WParser("text", wfields.Schema(text=wfields.TEXT()))
+    p = QueryParser("text", IndexSchema.of(text=TEXT()))
+    for q, want in [
+        ("NOT ) bravo", "Not(Term('text', 'bravo'))"),
+        ("NOT ) ) bravo", "Not(Term('text', 'bravo'))"),
+        ("(alfa NOT) bravo", "And([Term('text', 'alfa'), Term('text', 'bravo')])"),
+        ("alfa NOT", "Term('text', 'alfa')"),
+        ("bravo NOT ( )", "Term('text', 'bravo')"),
+        ("alfa NOT ) bravo", "And([Term('text', 'alfa'), Not(Term('text', 'bravo'))])"),
+    ]:
+        # reference tree agrees (sanity of the expectation itself)
+        assert repr(wp.parse(q)).replace("u'", "'") == want, q
+        assert repr(p.parse(q)) == want, q
+
+
+def test_random_string_fuzz_matches_reference(spark, whoosh_ref, tmp_path):
+    """Seeded random query-string fuzz: parse + search 80 strings built
+    from terms/operators/parens/quotes/prefix/range pieces through BOTH
+    engines on the same corpus; (docnum, score) lists must be identical.
+    Strings where the REFERENCE itself raises are skipped (its parser
+    crashes on e.g. 'NOT AND x' — no defined behavior to match)."""
+    import random
+
+    from whoosh import fields as wfields
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.qparser import QueryParser as WParser
+
+    from whoosh_spark.index import Index, build_index
+    from whoosh_spark.search import Searcher
+
+    rng = random.Random(99)
+    vocab = "alfa bravo charlie delta echo".split()
+    docs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(5, 15)))
+            for _ in range(60)]
+    wix = RamStorage().create_index(wfields.Schema(text=wfields.TEXT()))
+    w = wix.writer()
+    for t in docs:
+        w.add_document(text=t)
+    w.commit()
+    d = str(tmp_path / "pfuzz")
+    build_index(spark, spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]),
+        IndexSchema.of(text=TEXT()), d, sha_col=None)
+    s = Searcher(Index(spark, d))
+    parser = QueryParser("text", IndexSchema.of(text=TEXT()))
+    wparser = WParser("text", wix.schema)
+    pieces = vocab + ['"alfa bravo"', "AND", "OR", "NOT", "(", ")", "alfa^2",
+                      "br*", "text:charlie", "+delta", "-echo", "del?a",
+                      "[alfa TO delta]", "'alfa'", "~2", ""]
+    checked = 0
+    for _ in range(80):
+        q = " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 5)))
+        try:
+            wq = wparser.parse(q)
+            with wix.searcher() as ws:
+                want = [(h.docnum, round(h.score, 6)) for h in ws.search(wq, limit=10)]
+        except Exception:
+            continue
+        got = [(r["doc_id"], round(r["score"], 6))
+               for r in s.search(parser.parse(q), limit=10).collect()]
+        assert got == want, q
+        checked += 1
+    assert checked >= 60  # the skip path must stay the exception

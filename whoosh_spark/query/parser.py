@@ -291,6 +291,16 @@ class QueryParser:
             if t.kind == "op" and self.operators:
                 self._next()
                 if t.value == "NOT":
+                    # the reference's paren pass strips stray ')' BEFORE
+                    # operators bind, so "NOT ) x" is Not(x); inside a
+                    # group the ')' closes the group and the dangling NOT
+                    # is dropped ("(a NOT) b" -> And([a, b]))
+                    while (not stop_at_rparen and self._peek() is not None
+                           and self._peek().kind == ")"):
+                        self._next()
+                    nxt = self._peek()
+                    if nxt is None or nxt.kind == ")":
+                        continue  # dangling NOT: no operand
                     sub = self._parse_unit(field)
                     if sub is not None:
                         items.append(Q.Not(sub))
