@@ -137,6 +137,14 @@ def key_terms(searcher, field: str, doc_ids: list[int], numterms: int = 5,
     reader.vector_as); otherwise re-analyzes the stored field text."""
     ix = searcher.index
     ids = [int(d) for d in doc_ids]
+    if not ids:
+        return []
+    if not ix.has_vectors(field) and field not in ix.docs().columns:
+        # mirror the reference's explicit error (searching.py:519-522
+        # KeyError "term vectors and stored fields both unavailable")
+        raise ValueError(
+            f"key_terms needs field {field!r} indexed with vector=True "
+            "or stored=True (neither available)")
     if use_vectors and ix.has_vectors(field):
         rows = (
             ix.vectors()
