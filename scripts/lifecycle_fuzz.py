@@ -1,0 +1,181 @@
+"""Index-lifecycle fuzz: random add / delete / update / merge / optimize
+sequences graded against a pure-python model of the live corpus.
+
+Invariants checked after EVERY op:
+  - Index.doc_count() == number of live model docs;
+  - for a random probe term, the search doc-id set == the model's set of
+    live docs containing the term (scores not compared here: tombstoned
+    docs legitimately still affect global stats until expunged — reference
+    keeps doc_count_all in idf the same way);
+and after every OPTIMIZE (tombstone-free index, stats == live corpus):
+  - exact BM25 top-k (doc_id, score) equality vs the python oracle from
+    tests/test_fuzz_differential.py.
+
+Usage: python scripts/lifecycle_fuzz.py [episodes] [ops_per_episode] [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+from pyspark.sql import Row  # noqa: E402
+
+import test_fuzz_differential as fz  # noqa: E402
+import whoosh_spark.query as Q  # noqa: E402
+from whoosh_spark.index import Index, build_index  # noqa: E402
+from whoosh_spark.index.build import build_segment  # noqa: E402
+from whoosh_spark.index.merge import (apply_merge_policy, delete_by_term,  # noqa: E402
+                                      delete_docs, update_documents)
+from whoosh_spark.schema import ID, TEXT, IndexSchema  # noqa: E402
+from whoosh_spark.search import Searcher  # noqa: E402
+
+VOCAB = fz.VOCAB
+K = 15
+
+
+def _text(rng: random.Random) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(rng.randint(3, 15)))
+
+
+def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
+    rng = random.Random(seed)
+    d = os.path.join(workdir, f"lifecycle_{seed}")
+    schema = IndexSchema.of(key=ID(stored=True, unique=True), value=TEXT())
+
+    next_id = 0
+    model: dict[int, str] = {}
+
+    def new_docs(n):
+        nonlocal next_id
+        out = []
+        for _ in range(n):
+            out.append((next_id, _text(rng)))
+            next_id += 1
+        return out
+
+    first = new_docs(rng.randint(5, 20))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=f"k{i}", value=t) for i, t in first])
+    build_index(spark, df, schema, d, sha_col=None)
+    model.update(dict(first))
+
+    fails = 0
+
+    def check(where: str, score_exact: bool = False):
+        nonlocal fails
+        ix = Index(spark, d)
+        got_n = ix.doc_count()
+        if got_n != len(model):
+            fails += 1
+            print(f"FAIL seed={seed} after {where}: doc_count {got_n} != "
+                  f"model {len(model)}")
+        word = rng.choice(VOCAB)
+        s = Searcher(ix)
+        rows = s.search(Q.Term("value", word), limit=None).collect()
+        got_ids = sorted(r["doc_id"] for r in rows)
+        want_ids = sorted(i for i, t in model.items() if word in t.split())
+        if got_ids != want_ids:
+            fails += 1
+            print(f"FAIL seed={seed} after {where}: term {word!r} ids\n"
+                  f"  got ={got_ids}\n  want={want_ids}")
+        if score_exact and model:
+            ids = sorted(model)
+            remap = {i: j for j, i in enumerate(ids)}
+            oracle = fz.PyOracle([model[i] for i in ids])
+            q = Q.Or([Q.Term("value", rng.choice(VOCAB)),
+                      Q.Term("value", rng.choice(VOCAB))])
+            want = sorted((d2, round(sc, 9))
+                          for d2, sc in oracle.eval(
+                              Q.Or([Q.Term("text", c.text)
+                                    for c in q.subqueries])).items())
+            got = sorted((remap[r["doc_id"]], round(r["score"], 9))
+                         for r in s.search(q, limit=None).collect())
+            # unlimited + id-sorted: no top-k tie-boundary ambiguity
+            if got != want:
+                fails += 1
+                print(f"FAIL seed={seed} after {where}: optimized scores\n"
+                      f"  got ={got}\n  want={want}")
+        s.clear_cache()
+
+    check("build")
+    for op_i in range(n_ops):
+        op = rng.choice(["add", "add", "delete_ids", "delete_term",
+                         "update", "merge_small", "optimize"])
+        if op == "add":
+            docs = new_docs(rng.randint(1, 12))
+            df = spark.createDataFrame(
+                [Row(doc_id=i, key=f"k{i}", value=t) for i, t in docs])
+            build_segment(spark, df, schema, d, sha_col=None)
+            model.update(dict(docs))
+        elif op == "delete_ids":
+            live = sorted(model)
+            if live:
+                victims = rng.sample(live, min(len(live),
+                                               rng.randint(1, 5)))
+                delete_docs(spark, d, victims)
+                for v in victims:
+                    model.pop(v)
+        elif op == "delete_term":
+            word = rng.choice(VOCAB)
+            n = delete_by_term(spark, d, "value", word)
+            want_victims = [i for i, t in model.items()
+                            if word in t.split()]
+            if n != len(want_victims):
+                fails += 1
+                print(f"FAIL seed={seed} op{op_i} delete_by_term({word!r}) "
+                      f"reported {n}, model expects {len(want_victims)}")
+            for v in want_victims:
+                model.pop(v)
+        elif op == "update":
+            # mix: replace 1-2 existing keys, add 0-1 new key
+            upd = []
+            live = sorted(model)
+            for kid in rng.sample(live, min(len(live), rng.randint(1, 2))):
+                nid, t = new_docs(1)[0]
+                upd.append((nid, f"k{kid}", t))
+                model.pop(kid)
+                model[nid] = t
+            if rng.random() < 0.5:
+                nid, t = new_docs(1)[0]
+                upd.append((nid, f"k{nid}", t))
+                model[nid] = t
+            df = spark.createDataFrame(
+                [Row(doc_id=i, key=k, value=t) for i, k, t in upd])
+            update_documents(spark, df, d, unique_field="key", sha_col=None)
+        elif op == "merge_small":
+            apply_merge_policy(spark, d, "MERGE_SMALL")
+        else:
+            apply_merge_policy(spark, d, "OPTIMIZE")
+        check(f"op{op_i}:{op}", score_exact=(op == "optimize"))
+    return fails
+
+
+if __name__ == "__main__":
+    episodes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 7_000
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder
+             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .appName("lifecycle_fuzz").getOrCreate())
+    total = 0
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        for e in range(episodes):
+            total += episode(spark, td, seed0 + e, n_ops)
+            print(f"episode {e + 1}/{episodes} done, total fails {total}, "
+                  f"{time.time() - t0:.0f}s", flush=True)
+    spark.stop()
+    print(f"DONE {episodes}x{n_ops} ops, {total} fails")
+    sys.exit(1 if total else 0)
