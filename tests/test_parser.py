@@ -480,3 +480,64 @@ def test_random_string_fuzz_matches_reference(spark, whoosh_ref, tmp_path):
         assert got == want, q
         checked += 1
     assert checked >= 60  # the skip path must stay the exception
+
+
+def test_operator_edge_semantics_match_reference(whoosh_ref):
+    """Tree-level parity on the operator edge cases the 35k-string fuzz
+    campaign surfaced (scripts/parser_fuzz_campaign.py): operator words
+    need the reference's whitespace context (plugins.py:922-928) else they
+    are plain words; adjacent operators degenerate to implicit adjacency;
+    a merging fold appends into a parenthesized group of the parser's
+    group class, leaking its boost (syntax.py:608-636 + normalize
+    flatten); words/phrases that analyze to nothing still OCCUPY operand
+    slots (WordNode.query -> None vs Phrase([]) -> NullQuery,
+    syntax.py:343-366); an unmatched open paren drops, splicing its
+    contents flat; a double quote breaks a word only when a closing quote
+    exists later (PhraseTagger pairs quotes left-to-right)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from ref_tree_convert import canon, convert
+
+    from whoosh import fields as wfields
+    from whoosh.qparser import QueryParser as WParser
+
+    wp = WParser("text", wfields.Schema(text=wfields.TEXT()))
+    p = QueryParser("text", IndexSchema.of(text=TEXT()))
+    cases = [
+        # operator whitespace context: danglers are words (stopword or term)
+        "ANDMAYBE alfa^2 echo^0.5", " echo ANDMAYBE", "alfa ANDNOT",
+        "ANDNOT alfa", "OR alfa", "alfa AND", "text:AND alfa",
+        # adjacent operators degenerate to implicit And
+        "delta ANDMAYBE OR alfa", "delta AND OR alfa", "alfa OR OR bravo",
+        "delta AND OR ANDNOT alfa", "alfa OR bravo OR OR charlie OR delta",
+        # fold order And > Or > binaries; left-to-right per type
+        "alfa OR bravo AND charlie", "alfa OR bravo ANDNOT charlie",
+        "alfa ANDMAYBE bravo AND charlie", "alfa ANDNOT bravo ANDNOT charlie",
+        "alfa REQUIRE bravo ANDMAYBE charlie",
+        # paren-group merge incl. the boost leak
+        "(alfa bravo)^2 AND charlie", "(alfa bravo) AND charlie",
+        " (bravo echo)^3  AND [alfa TO delta]", "charlie AND (alfa bravo)^2",
+        # empty-word operands occupy slots; empty phrase is NullQuery
+        "alfa ANDNOT the bravo", "alfa OR the bravo", "the ANDNOT alfa",
+        "charlie ANDNOT ~2 +delta", '" " ANDMAYBE alfa ANDMAYBE bravo',
+        "alfa AND : AND bravo", "delta : ANDNOT ^ ANDMAYBE *lfa",
+        # dangling fieldname reverts to a word
+        "text: alfa", "alfa ANDNOT text:", "text:",
+        # unmatched open paren splices flat
+        "alfa ( bravo OR charlie", "alfa ( OR bravo", "( alfa ( bravo )",
+        "NOT ( alfa bravo", "NOT ( : ^ charlie~",
+        # quote pairing breaks words left-to-right
+        '" "alfa bravo" "alfa bravo"', 'a" b" c', 'bravo" alfa',
+    ]
+    checked = 0
+    for qs in cases:
+        try:
+            want = canon(convert(wp.parse(qs)))
+        except Exception:
+            continue  # reference raises: no defined behavior
+        assert canon(p.parse(qs)) == want, qs
+        checked += 1
+    assert checked >= 30

@@ -300,6 +300,16 @@ class AndNot(BinaryQuery):
 class Require(BinaryQuery):
     """a's docs that also match b; scores from a (compound.py:590-624)."""
 
+    def normalize(self):
+        # reference Require.normalize (compound.py:611-616): EITHER side
+        # Null nulls the whole query (unlike AndNot/AndMaybe, where a
+        # Null b-side degrades to a)
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if a is NullQuery or b is NullQuery:
+            return NullQuery
+        return Require(a, b, boost=self.boost)
+
 
 class AndMaybe(BinaryQuery):
     """a's docs; add b's score where b matches (compound.py:627-652)."""

@@ -35,12 +35,17 @@ _BASE_BRANCHES = r"""
     (?P<range>(?P<lb>[\[{{])(?P<rstart>('[^']*?'\s+)|([^\]}}]+?(?=[Tt][Oo])))?[Tt][Oo](?P<rend>(\s+'[^']*?')|([^\]}}]+?))?(?P<rb>[\]}}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
     (?P<squote>(?:^|(?<=\W))'(?P<sqtext>.*?)'(?=\s|\]|[)}}]|$)) |
     {func_branch}
-    (?P<field>[\w*]+): |
+    (?P<field>[\w*]+):(?=\S) |
     {word_branch}
     (?P<ws>\s+)
 """
 
-_WORD_BRANCH = r"(?P<word>[^\s()]+) |"
+#: a double quote breaks a word ONLY when it would start a phrase match
+#: (i.e. a closing quote exists later) — the reference scanner lets ANY
+#: tagger match terminate a word, and its PhraseTagger pairs quotes
+#: left-to-right non-greedily (plugins.py:677), so an unpaired quote stays
+#: word material ('bravo"x' is one word; 'a" b" c' breaks at the first ")
+_WORD_BRANCH = r"""(?P<word>(?:[^\s()"]|"(?![^"]*"))+) |"""
 #: sequence mode: a double quote always terminates a word (the reference's
 #: interstitial-text model makes any tagger match break a word)
 _WORD_BRANCH_SEQ = r'(?P<word>[^\s()"]+) |'
@@ -74,6 +79,25 @@ _TOKEN_RE = _token_re(False, False)
 _OPERATORS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
 
 
+def _op_context_ok(text: str, w: str, start: int, end: int) -> bool:
+    """The reference's OperatorsPlugin patterns demand whitespace context
+    (plugins.py:1044-1050): infix ops ``(?<=\\s)OP(?=\\s)``; NOT allows
+    start-of-string or a paren before (``(^|(?<=(\\s|[()])))NOT(?=\\s)``);
+    REQUIRE allows start-of-string. A bare operator word at the string
+    edge (``alfa ANDNOT``) is therefore a plain WORD — it flows through
+    the analyzer like any term (so ``and``/``or``/``not`` stopword away
+    while ``andnot``/``andmaybe`` become searchable terms)."""
+    prev = text[start - 1] if start > 0 else ""
+    nxt = text[end] if end < len(text) else ""
+    if not nxt.isspace():
+        return False
+    if w == "NOT":
+        return start == 0 or prev.isspace() or prev in "()"
+    if w == "REQUIRE":
+        return start == 0 or prev.isspace()
+    return bool(prev) and prev.isspace()
+
+
 class _Tok:
     __slots__ = ("kind", "value", "extra")
 
@@ -84,6 +108,38 @@ class _Tok:
 
     def __repr__(self):
         return f"_Tok({self.kind},{self.value!r})"
+
+
+class _Pend:
+    """A group under construction during infix-operator folding (mirror of
+    the reference's AndGroup/OrGroup/BinaryGroup syntax nodes): kids may
+    still contain unprocessed operator marker strings, resolved by the
+    recursive sub-fold."""
+
+    __slots__ = ("opname", "kids")
+
+    def __init__(self, opname: str, kids: list):
+        self.opname = opname
+        self.kids = kids
+
+    def __repr__(self):
+        return f"_Pend({self.opname},{self.kids!r})"
+
+
+class _EmptyType:
+    """Placeholder for a unit that analyzed to NOTHING (stopword, 1-char
+    token, bare punctuation, all-stopword phrase). The reference keeps such
+    WordNodes through operator folding — they can be captured as operands —
+    and only drops them at query-build time (WordNode.query -> None;
+    BinaryGroup.query degenerates to the surviving side, syntax.py:343-366).
+    This sentinel reproduces that: it occupies an operand slot during
+    _structure_items folding and evaporates in _finish_pend."""
+
+    def __repr__(self):
+        return "_EMPTY"
+
+
+_EMPTY = _EmptyType()
 
 
 def _parse_fn_args(argstring: str) -> tuple[list, dict]:
@@ -165,7 +221,8 @@ def _lex(text: str, functions: bool = False, sequence: bool = False) -> list[_To
             toks.append(_Tok("field", m.group("field")[:-1] if False else m.group(0)[:-1]))
         elif kind == "word":
             w = m.group("word")
-            if w in _OPERATORS:
+            if w in _OPERATORS and _op_context_ok(text, w, m.start("word"),
+                                                  m.end("word")):
                 toks.append(_Tok("op", w))
             else:
                 boost = 1.0
@@ -259,6 +316,12 @@ class QueryParser:
         self._toks = toks
         self._pos = 0
         q = self._parse_group(None)  # None = unfielded (default/multifield)
+        # the reference ALWAYS wraps the top level in the parser's group
+        # class before normalize (default.py:361-366) — the wrap is what
+        # lets CompoundQuery.normalize FLATTEN a merged boosted paren
+        # group and distribute its boost onto the promoted children
+        # ("(bravo echo)^3 AND x" -> bravo^3, echo^3, x^3 flat)
+        q = Q.And([q]) if self.group == "and" else Q.Or([q])
         return q.normalize()
 
     def _peek(self):
@@ -271,11 +334,15 @@ class QueryParser:
         return t
 
     def _parse_group(self, field: str, stop_at_rparen: bool = False,
-                     as_list: bool = False):
+                     as_list: bool = False, raw: bool = False):
         """Parse a sequence of units with infix operators; adjacency = And.
         ``as_list`` returns the operator-resolved item list WITHOUT the
         implicit adjacency wrap (FunctionPlugin group consumption: adjacent
-        units stay separate sub-queries, reference plugins.py:596-599)."""
+        units stay separate sub-queries, reference plugins.py:596-599).
+        ``raw`` returns the UNRESOLVED item list (queries + operator
+        markers) so an unclosed paren group can splice into its parent
+        level before folding (reference: the bracket filter drops an
+        unmatched open bracket, leaving its contents flat)."""
         if self.plusminus and not stop_at_rparen:
             return self._parse_plusminus(field)
         items: list = []  # mix of Query and operator strings
@@ -302,7 +369,22 @@ class QueryParser:
                     if nxt is None or nxt.kind == ")":
                         continue  # dangling NOT: no operand
                     sub = self._parse_unit(field)
-                    if sub is not None:
+                    if isinstance(sub, _Inline):
+                        # NOT before an unclosed paren: the bracket drops
+                        # first, so NOT binds the IMMEDIATE next node —
+                        # if that is an operator marker or an empty word,
+                        # the NOT evaporates with it (reference NotGroup
+                        # around a node that builds to None)
+                        rest = list(sub)
+                        head = rest.pop(0) if rest else None
+                        if head is _EMPTY or isinstance(head, str):
+                            items.append(_EMPTY)
+                        elif head is not None:
+                            items.append(Q.Not(head))
+                        items.extend(rest)
+                    elif sub is _EMPTY:
+                        items.append(_EMPTY)  # Not(empty word) builds to nothing
+                    elif sub is not None:
                         items.append(Q.Not(sub))
                 else:
                     items.append(t.value)
@@ -326,8 +408,10 @@ class QueryParser:
                         break
                     sub = self._parse_unit(field)
                     if isinstance(sub, _Inline):
-                        seq_items.extend(sub)
-                    elif sub is not None:
+                        seq_items.extend(
+                            x for x in sub
+                            if not isinstance(x, str) and x is not _EMPTY)
+                    elif sub is not None and sub is not _EMPTY:
                         seq_items.append(sub)
                 if closed and seq_items:
                     from whoosh_spark.query.spans import Sequence as SequenceQ
@@ -341,6 +425,8 @@ class QueryParser:
                 items.extend(sub)
             elif sub is not None:
                 items.append(sub)
+        if raw:
+            return items
         if as_list:
             return self._structure_items(items)
         return self._structure(items)
@@ -363,7 +449,10 @@ class QueryParser:
                 t.value = t.value[1:]
                 bucket = prohibited
             sub = self._parse_unit(field)
-            if sub is not None:
+            if isinstance(sub, _Inline):
+                bucket.extend(x for x in sub
+                              if not isinstance(x, str) and x is not _EMPTY)
+            elif sub is not None and sub is not _EMPTY:
                 bucket.append(sub)
         if required:
             core = Q.AndMaybe(Q.And(required), Q.Or(optional)) if optional else Q.And(required)
@@ -373,43 +462,120 @@ class QueryParser:
             core = Q.AndNot(core, Q.Or(prohibited))
         return core
 
-    def _structure_items(self, items: list) -> list:
-        """Operator resolution only — the item list with ops folded, no
-        implicit adjacency wrap."""
-        # drop leading/trailing dangling operators
-        while items and isinstance(items[0], str):
-            items.pop(0)
-        while items and isinstance(items[-1], str):
-            items.pop()
-        if not items:
-            return []
+    # reference ops-list order (plugins.py:935-951): And, Or, AndNot,
+    # AndMaybe, Require; NOT is a prefix operator bound at parse time.
+    # bool = "merging" (AndGroup/OrGroup append into an existing group of
+    # the same class on the left; binary groups never merge).
+    _FOLD_ORDER = (("AND", True), ("OR", True), ("ANDNOT", False),
+                   ("ANDMAYBE", False), ("REQUIRE", False))
+    _BINARY_CLS = {"ANDNOT": Q.AndNot, "ANDMAYBE": Q.AndMaybe,
+                   "REQUIRE": Q.Require}
 
-        # binary word operators first
-        for opname, cls in (("ANDNOT", Q.AndNot), ("ANDMAYBE", Q.AndMaybe), ("REQUIRE", Q.Require)):
-            i = 1
-            while i < len(items) - 1:
-                if items[i] == opname:
-                    merged = cls(items[i - 1], items[i + 1])
-                    items[i - 1 : i + 2] = [merged]
+    def _structure_items(self, items: list) -> list:
+        """Faithful mirror of the reference OperatorsPlugin.do_operators
+        (plugins.py:961-996) + InfixOperator.replace_self (syntax.py:
+        608-636). Each operator TYPE folds in ops-list order, left-to-
+        right. An operator token at a group edge is simply deleted; an
+        operator token captured as the operand of an earlier-folding type
+        vanishes during the recursive sub-fold — so adjacent operators
+        degenerate to implicit adjacency ("delta AND OR alfa" ==
+        And([delta, alfa])), matching the reference exactly. Merging
+        groups (And/Or) append into a left operand that is already a
+        group of the same class — including a parenthesized group of the
+        parser's group class, which is how "(alfa bravo)^2 AND charlie"
+        leaks the group boost onto charlie in the reference."""
+        items = self._fold(list(items))
+        out = []
+        for x in items:
+            if isinstance(x, str):
+                continue
+            x = self._finish_pend(x)
+            if x is not _EMPTY:
+                out.append(x)
+        return out
+
+    @staticmethod
+    def _mark_paren_group(q):
+        """A parenthesized group of the parser's group class is a live
+        syntax GROUP in the reference, so a later merging fold can append
+        into it (see _structure_items). Single-item parens collapse to
+        the item (reference normalize) and are not mergeable — the one
+        divergence: the reference's "(x)^2 AND y" leaks the boost onto y
+        through a single-item boosted group; we keep "(x)^2" == x^2."""
+        if isinstance(q, (Q.And, Q.Or)):
+            q._paren_group = True
+        return q
+
+    def _mergeable(self, left, opname: str) -> bool:
+        if isinstance(left, _Pend):
+            return left.opname == opname
+        if not getattr(left, "_paren_group", False):
+            return False
+        if opname == "AND":
+            return type(left) is Q.And
+        return (type(left) is Q.Or and not left.minmatch
+                and left.scale is None)
+
+    def _fold(self, items: list) -> list:
+        for opname, merging in self._FOLD_ORDER:
+            i = 0
+            while i < len(items):
+                x = items[i]
+                if isinstance(x, str) and x == opname:
+                    if 0 < i < len(items) - 1:
+                        left, right = items[i - 1], items[i + 1]
+                        if merging and self._mergeable(left, opname):
+                            if isinstance(left, _Pend):
+                                left.kids.append(right)
+                            else:
+                                left.subqueries.append(right)
+                                left._merged_dirty = True
+                            del items[i:i + 2]
+                        else:
+                            items[i - 1:i + 2] = [_Pend(opname,
+                                                        [left, right])]
+                    else:
+                        del items[i]  # dangling at a group edge
                 else:
                     i += 1
-        # AND
-        i = 1
-        while i < len(items) - 1:
-            if items[i] == "AND":
-                merged = Q.And([items[i - 1], items[i + 1]])
-                items[i - 1 : i + 2] = [merged]
-            else:
-                i += 1
-        # OR
-        i = 1
-        while i < len(items) - 1:
-            if items[i] == "OR":
-                merged = Q.Or([items[i - 1], items[i + 1]])
-                items[i - 1 : i + 2] = [merged]
-            else:
-                i += 1
-        return [x for x in items if not isinstance(x, str)]
+        # recursive sub-fold (reference: do_operators descends into every
+        # GroupNode) — resolves operator tokens captured as operands
+        for x in items:
+            if isinstance(x, _Pend):
+                x.kids = self._fold(x.kids)
+            elif getattr(x, "_merged_dirty", False):
+                x.subqueries[:] = [
+                    k for k in (self._finish_pend(k)
+                                for k in self._fold(x.subqueries)
+                                if not isinstance(k, str))
+                    if k is not _EMPTY
+                ]
+                x._merged_dirty = False
+        return items
+
+    def _finish_pend(self, x):
+        if not isinstance(x, _Pend):
+            return x
+        # _EMPTY kids evaporate at build time (reference GroupNode.query
+        # filters None sub-queries; BinaryGroup.query degenerates to the
+        # surviving side, syntax.py:343-366)
+        kids = [k for k in (self._finish_pend(k) for k in x.kids
+                            if not isinstance(k, str))
+                if k is not _EMPTY]
+        cls = self._BINARY_CLS.get(x.opname)
+        if cls is not None:
+            if len(kids) == 2:
+                return cls(kids[0], kids[1])
+            # BinaryGroup.query (reference syntax.py:352-364): one empty
+            # side degenerates to the survivor; BOTH empty -> NullQuery,
+            # a REAL query that then nulls an enclosing AndMaybe/AndNot
+            # a-side at normalize
+            return kids[0] if kids else Q.NullQuery
+        if not kids:
+            return Q.NullQuery  # AndGroup([]) builds And([]) -> Null
+        if len(kids) == 1:
+            return kids[0]
+        return Q.And(kids) if x.opname == "AND" else Q.Or(kids)
 
     def _structure(self, items: list) -> Q.Query:
         """Resolve infix operators (binary ops bind tighter than OR; OR
@@ -486,29 +652,56 @@ class QueryParser:
                 # PseudoFieldPlugin: the node parses UNFIELDED, then the
                 # user fn transforms it (may return None to drop)
                 sub = self._parse_unit(None)
-                if isinstance(sub, _Inline) or sub is None:
+                if isinstance(sub, _Inline) or sub is None or sub is _EMPTY:
                     return sub
                 return self.pseudofields[fieldname](sub)
             nxt = self._peek()
             if nxt is not None and nxt.kind == "(":
                 self._next()
-                q = self._parse_group(fieldname, stop_at_rparen=True)
+                start_pos = self._pos
+                items = self._parse_group(fieldname, stop_at_rparen=True,
+                                          raw=True)
                 closing = self._next()  # consume ')'
-                if closing is not None and closing.kind == ")" and closing.extra.get("boost"):
+                if closing is None:
+                    # unmatched open paren after a fieldname: the bracket
+                    # drops BEFORE fieldnames apply in the reference
+                    # (brackets filter 50 < fieldnames 100), so the field
+                    # binds only the first unit ("title:(alfa delta" ->
+                    # title:alfa AND text:delta). Re-parse from after the
+                    # paren with that scoping.
+                    self._pos = start_pos
+                    first = self._parse_unit(fieldname)
+                    rest = self._parse_group(field, stop_at_rparen=True,
+                                             raw=True)
+                    self._next()  # EOF
+                    out = _Inline([] if first is None else [first])
+                    out.extend(rest)
+                    return out
+                q = self._structure(items)
+                if closing.kind == ")" and closing.extra.get("boost"):
                     q = q.with_boost(q.boost * closing.extra["boost"])
-                return q
+                return self._mark_paren_group(q)
             return self._parse_unit(fieldname)
         if t.kind == "(":
-            q = self._parse_group(field, stop_at_rparen=True)
+            start_pos = self._pos
+            items = self._parse_group(field, stop_at_rparen=True, raw=True)
             closing = self._next()
-            if closing is not None and closing.kind == ")" and closing.extra.get("boost"):
+            if closing is None:
+                # unmatched open paren: the reference bracket filter drops
+                # it, so the contents (incl. operator markers) fold at the
+                # PARENT level ("alfa ( OR bravo" == Or([alfa, bravo]))
+                del start_pos
+                return _Inline(items)
+            q = self._structure(items)
+            if closing.kind == ")" and closing.extra.get("boost"):
                 q = q.with_boost(q.boost * closing.extra["boost"])
-            return q
+            return self._mark_paren_group(q)
         if t.kind == ")":
             return None
         if t.kind == "phrase":
-            return self._fan(field, lambda f, fb: self._make_phrase(
+            q = self._fan(field, lambda f, fb: self._make_phrase(
                 f, t.value, t.extra["slop"], t.extra["boost"] * fb))
+            return Q.NullQuery if q is None else q
         if t.kind == "range":
             start, end = t.value
             return self._fan(field, lambda f, fb: self._make_range(
@@ -522,11 +715,13 @@ class QueryParser:
             rest = self._fan(field, lambda f, fb: self._make_phrase(f, t.value, 1, t.extra["boost"] * fb))
             w = self._fan(field, lambda f, fb: self._make_word(f, "r", fb))
             parts = [p for p in (w, rest) if p is not None]
-            return Q.And(parts) if len(parts) > 1 else (parts[0] if parts else None)
+            return Q.And(parts) if len(parts) > 1 else (parts[0] if parts else _EMPTY)
         if t.kind == "op":  # operator in unit position: treat as plain word
-            return self._fan(field, lambda f, fb: self._make_word(f, t.value, fb))
+            q = self._fan(field, lambda f, fb: self._make_word(f, t.value, fb))
+            return _EMPTY if q is None else q
         if t.kind == "word":
-            return self._fan(field, lambda f, fb: self._make_word(f, t.value, t.extra["boost"] * fb))
+            q = self._fan(field, lambda f, fb: self._make_word(f, t.value, t.extra["boost"] * fb))
+            return _EMPTY if q is None else q
         return None
 
     # --------------------------------------------------------- word -> query
