@@ -35,12 +35,19 @@ def search_sorted(
 ) -> DataFrame:
     """Matches ordered by stored-field value(s) (SortingCollector).
 
-    Ties break by doc_id ascending (the reference emits segment doc order
-    for equal keys)."""
+    Ties break by doc_id — ascending normally, DESCENDING under
+    ``reverse=True``: the reference sorts its (sortkey, docnum) pair list
+    with ``items.sort(reverse=reverse)`` (collectors.py:577-581), so the
+    reversal applies to the docnum tiebreak too. Docs MISSING a sort field
+    order after every present value ascending (first under reverse): the
+    reference categorizer keys missing docs with a greater-than-everything
+    sentinel — so nulls_last asc / nulls_first desc, the opposite of
+    Spark's defaults."""
     keys = [sortedby] if isinstance(sortedby, str) else list(sortedby)
     df = _matches_with_docs(searcher, q)
-    order = [F.col(k).desc() if reverse else F.col(k).asc() for k in keys]
-    order.append(F.col("doc_id").asc())
+    order = [F.col(k).desc_nulls_first() if reverse else F.col(k).asc_nulls_last()
+             for k in keys]
+    order.append(F.col("doc_id").desc() if reverse else F.col("doc_id").asc())
     df = df.orderBy(*order)
     if limit is not None:
         df = df.limit(limit)
