@@ -8,7 +8,8 @@ import pytest
 from pyspark.sql import Row
 
 from whoosh_spark.index import Index, build_index
-from whoosh_spark.query.dateparse import DateParseError, parse_timespan
+from whoosh_spark.query.dateparse import (DateParseError, date_term_range,
+                                          parse_timespan)
 from whoosh_spark.query.parser import QueryParser
 from whoosh_spark.schema import BOOLEAN, DATETIME, ID, IndexSchema, TEXT
 from whoosh_spark.search import Searcher
@@ -50,6 +51,39 @@ QUERIES = [
     "date:'+2 months 10 days'",
     "date:['last tuesday' TO 'next friday']",
     "date:[-2 weeks TO now]",
+    # round 4: full-grammar forms — times, time+date bags, 8 date orders
+    "date:noon",
+    "date:midnight",
+    "date:'12pm'",
+    "date:'10:30am'",
+    "date:'11:00'",
+    "date:'3pm tomorrow'",
+    "date:'tomorrow 3pm'",
+    "date:'noon today'",
+    "date:'may 23'",
+    "date:'23 may'",
+    "date:'2010 may 23'",
+    "date:'2010 23 may'",
+    "date:'23rd may 2010'",
+    "date:'this year'",
+    "date:'this month'",
+    # capital-L "Last" counts as next (reference Daynames dir quirk)
+    "date:'Last friday'",
+    "date:'last friday'",
+    # _parse_datestring fallback forms (grammar fails, field parse succeeds)
+    "date:'2010-05-23'",
+    "date:'2010-05'",
+    "date:20100523103015",
+    # fallback ALSO fails -> NullQuery, matches nothing
+    "date:'2010-05-23 10:30:15'",
+    "date:bogusdate",
+    # ranges exercising timespan.disambiguated heuristics
+    "date:['may 2010' TO june]",
+    "date:[may TO june]",
+    "date:['3pm' TO '5pm']",
+    "date:[december TO february]",
+    "date:['jan 2011' TO 'feb 2010']",
+    "date:[mar TO 20100523]",
 ]
 
 
@@ -99,6 +133,54 @@ def test_date_queries_match_reference(our_index, whoosh_ref, qs):
     assert got == want, (qs, q, got, want)
 
 
+GTLT_QUERIES = [
+    # reference GtLtPlugin + DateParserPlugin: one-sided RangeNode through
+    # range_to_dt — a lone start always uses its span's FLOOR (even for ">")
+    # and a lone end its CEIL (even for "<")
+    "date:>2010",
+    "date:>=2010",
+    "date:<2010",
+    "date:<=2010",
+    "date:>201005",
+    "date:<'may 2010'",
+    "date:>='23 may 2010'",
+    "date:<'next friday'",
+]
+
+
+@pytest.mark.parametrize("qs", GTLT_QUERIES)
+def test_gtlt_date_queries_match_reference(our_index, whoosh_ref, qs):
+    from whoosh import fields, qparser
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.qparser.dateparse import DateParserPlugin
+
+    schema = fields.Schema(
+        doc_id=fields.NUMERIC(stored=True, bits=64),
+        name=fields.ID,
+        date=fields.DATETIME,
+        flag=fields.BOOLEAN,
+    )
+    rix = RamStorage().create_index(schema)
+    w = rix.writer()
+    for did, name, date, flag in DOCS:
+        w.add_document(doc_id=did, name=name, date=date, flag=flag)
+    w.commit()
+    rqp = qparser.QueryParser("name", schema)
+    rqp.add_plugin(DateParserPlugin(basedate=BASEDATE))
+    rqp.add_plugin(qparser.GtLtPlugin())
+    with rix.searcher() as rs:
+        want = sorted(hit["doc_id"] for hit in rs.search(rqp.parse(qs),
+                                                         limit=None))
+
+    ix, our_schema = our_index
+    qp = QueryParser("name", our_schema, gtlt=True)
+    qp.basedate = BASEDATE
+    s = Searcher(ix)
+    got = sorted(r["doc_id"]
+                 for r in s.search(qp.parse(qs), limit=None).collect())
+    assert got == want, (qs, got, want)
+
+
 def test_boolean_field(our_index, whoosh_ref):
     ix, schema = our_index
     s = Searcher(ix)
@@ -109,10 +191,187 @@ def test_boolean_field(our_index, whoosh_ref):
         assert got == expect, (text, got)
 
 
+def _fuzz_pieces(rng):
+    months = ["january", "jan", "february", "febuary", "feb", "march", "mar",
+              "april", "apr", "may", "june", "jun", "july", "jul", "august",
+              "aug", "september", "sept", "sep", "october", "oct",
+              "november", "nov", "december", "dec"]
+    daynames = ["monday", "mon", "mo", "tuesday", "tues", "tue", "tu",
+                "wednesday", "wed", "we", "thursday", "thur", "thu", "th",
+                "friday", "fri", "fr", "saturday", "sat", "sa",
+                "sunday", "sun", "su"]
+    units = ["years", "year", "yrs", "yr", "ys", "y", "months", "month",
+             "mons", "mon", "mos", "mo", "weeks", "week", "wks", "wk", "ws",
+             "w", "days", "day", "dys", "dy", "ds", "d", "hours", "hour",
+             "hrs", "hr", "hs", "h", "minutes", "minute", "mins", "min",
+             "ms", "m", "seconds", "second", "secs", "sec", "s"]
+    words = ["today", "tomorrow", "yesterday", "now", "noon", "midnight",
+             "this year", "this month"]
+
+    def piece():
+        k = rng.randint(0, 12)
+        if k == 0:
+            return str(rng.randint(1000, 9999))
+        if k == 1:
+            return str(rng.randint(0, 39))
+        if k == 2:
+            return rng.choice(months)
+        if k == 3:
+            return rng.choice(words)
+        if k == 4:
+            return (rng.choice(["next", "last", "Next", "Last", "NEXT"])
+                    + " " + rng.choice(daynames))
+        if k == 5:
+            n = rng.randint(1, 3)
+            return rng.choice("+-") + " ".join(
+                str(rng.randint(0, 40)) + rng.choice(["", "", " "])
+                + rng.choice(units) for _ in range(n))
+        if k == 6:
+            return "%d:%02d" % (rng.randint(0, 29), rng.randint(0, 61))
+        if k == 7:
+            return (str(rng.randint(1, 13))
+                    + rng.choice(["", "", ":%02d" % rng.randint(0, 59)])
+                    + rng.choice(["am", "pm", " am", " PM"]))
+        if k == 8:
+            s = str(rng.randint(1000, 9999))
+            for lim in (19, 39, 23, 59, 59):
+                if rng.random() < 0.7:
+                    s += (rng.choice(["", "-", " ", ".", ":", "/", "--"])
+                          + "%02d" % rng.randint(0, lim))
+                else:
+                    break
+            return s
+        if k == 9:
+            return str(rng.randint(1, 31)) + rng.choice(["st", "nd", "rd",
+                                                         "th"])
+        if k == 10:
+            return rng.choice(["to", "TO", "xyzzy", "foo", "feb31", "2010x"])
+        if k == 11:
+            return str(rng.randint(0, 999999))
+        return rng.choice(months).capitalize()
+
+    def gen():
+        n = rng.randint(1, 4)
+        parts = [piece() for _ in range(n)]
+        if rng.random() < 0.3:
+            parts.insert(rng.randint(0, len(parts) - 1), "to")
+        return rng.choice([" ", " ", " ", ", ", ",", "  "]).join(parts)
+
+    return gen
+
+
+def test_grammar_fuzz_vs_reference(whoosh_ref):
+    """Seeded structured fuzz: the full-text grammar parse (toend +
+    disambiguate) must agree with reference English().date_from on value or
+    on erroring, over thousands of generated expressions."""
+    import random
+
+    from whoosh.qparser.dateparse import English
+    from whoosh.util.times import timespan as RefSpan
+
+    from whoosh_spark.query.dateparse import parse_date
+
+    bases = [BASEDATE, datetime(2012, 2, 29), datetime(1999, 12, 31, 23, 59,
+                                                       59, 999999)]
+    eng = English()
+    rng = random.Random(20260818)
+    gen = _fuzz_pieces(rng)
+    mismatches = []
+    for _ in range(4000):
+        s = gen()
+        base = rng.choice(bases)
+        try:
+            r = eng.date_from(s, base)
+            if isinstance(r, RefSpan):
+                r = (r.start, r.end)
+        except Exception:
+            r = "ERR"
+        try:
+            m = parse_date(s, base)
+        except Exception:
+            m = "ERR"
+        if r != m:
+            mismatches.append((s, base, r, m))
+    assert not mismatches, mismatches[:5]
+
+
+def test_range_endpoint_fuzz_vs_reference(whoosh_ref):
+    """Seeded fuzz of date_range_bounds vs the reference range_to_dt path
+    (raw endpoint parse + joint disambiguation + _parse_datestring
+    fallback)."""
+    import random
+
+    from whoosh.qparser.dateparse import English
+    from whoosh.util.times import timespan as RefSpan
+
+    from whoosh_spark.query.dateparse import date_range_bounds
+
+    eng = English()
+    bases = [BASEDATE, datetime(2012, 2, 29), datetime(1999, 12, 31, 23, 59,
+                                                       59, 999999)]
+    rng = random.Random(4816)
+    gen = _fuzz_pieces(rng)
+
+    def ref_range(st, en, base):
+        # mirrors DateParserPlugin.range_to_dt + the ErrorNode fallback to
+        # the REAL reference DATETIME.parse_range (fields.py:893-907)
+        from whoosh import fields as ref_fields
+        from whoosh.util.times import long_to_datetime
+
+        dp = eng.get_parser()
+        try:
+            start = dp.date_from(st, base) if st else None
+            end = dp.date_from(en, base) if en else None
+        except Exception:
+            return "ERR"
+        if (st and start is None) or (en and end is None):
+            try:
+                nr = ref_fields.DATETIME().parse_range(
+                    "date", st or None, en or None, False, False)
+                lo = (long_to_datetime(nr.start)
+                      if nr.start is not None else None)
+                hi = (long_to_datetime(nr.end)
+                      if nr.end is not None else None)
+                return lo, hi
+            except Exception:
+                return "ERR"
+        try:
+            if start is not None and end is not None:
+                ts = RefSpan(start, end).disambiguated(base)
+                return ts.start, ts.end
+            if start is not None:
+                start = start.disambiguated(base)
+                if isinstance(start, RefSpan):
+                    start = start.start
+                return start, None
+            if end is not None:
+                end = end.disambiguated(base)
+                if isinstance(end, RefSpan):
+                    end = end.end
+                return None, end
+            return None, None
+        except Exception:
+            return "ERR"
+
+    mismatches = []
+    for _ in range(3000):
+        st = gen() if rng.random() < 0.85 else ""
+        en = gen() if rng.random() < 0.85 else ""
+        base = rng.choice(bases)
+        r = ref_range(st, en, base)
+        try:
+            m = date_range_bounds(st or None, en or None, base)
+        except Exception:
+            m = "ERR"
+        if r != m:
+            mismatches.append((st, en, base, r, m))
+    assert not mismatches, mismatches[:5]
+
+
 def test_parse_timespan_forms():
     assert parse_timespan("2010") == (datetime(2010, 1, 1),
                                       datetime(2010, 12, 31, 23, 59, 59, 999999))
-    lo, hi = parse_timespan("2010-05-23 10:30:15")
+    lo, hi = parse_timespan("20100523 103015")
     assert lo == datetime(2010, 5, 23, 10, 30, 15)
     assert hi == datetime(2010, 5, 23, 10, 30, 15, 999999)
     lo, hi = parse_timespan("sep 2010")
@@ -121,3 +380,12 @@ def test_parse_timespan_forms():
     assert lo == datetime(2010, 9, 20)
     with pytest.raises(DateParseError):
         parse_timespan("next blursday")
+    # "2010-05-23 10:30:15" fails the reference grammar (the datetime Bag
+    # consumes only the year and ToEnd fails) AND the _parse_datestring
+    # fallback (colons survive the strip and break int()): match-nothing.
+    with pytest.raises(DateParseError):
+        parse_timespan("2010-05-23 10:30:15", BASEDATE)
+    assert date_term_range("2010-05-23 10:30:15", BASEDATE) is None
+    # the fallback handles dashed day-resolution forms the grammar rejects
+    assert date_term_range("2010-05-23", BASEDATE) == (
+        datetime(2010, 5, 23), datetime(2010, 5, 23, 23, 59, 59, 999999))

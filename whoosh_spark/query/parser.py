@@ -33,6 +33,7 @@ _BASE_BRANCHES = r"""
     (?P<rgx>r"(?P<rgxpat>[^"]*)"(?:\^(?P<rgxboost>\d+(?:\.\d+)?))?) |
     {phrase_branch}
     (?P<range>(?P<lb>[\[{{])(?P<rstart>('[^']*?'\s+)|([^\]}}]+?(?=[Tt][Oo])))?[Tt][Oo](?P<rend>(\s+'[^']*?')|([^\]}}]+?))?(?P<rb>[\]}}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
+    {gtlt_branch}
     (?P<squote>(?:^|(?<=\W))'(?P<sqtext>.*?)'(?=\s|\]|[)}}]|$)) |
     {func_branch}
     (?P<field>[\w*]+):(?=\S) |
@@ -57,18 +58,24 @@ _PHRASE_BRANCH = r"""(?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<p
 _QUOTE_BRANCH = r"""(?P<quote>"(?:~(?P<qslop>[1-9][0-9]*))?) |"""
 #: reference FunctionPlugin expr (plugins.py:567-575): #name[args]
 _FUNC_BRANCH = r"""(?P<func>\#(?P<fname>[A-Za-z_][A-Za-z0-9._]*)(?:\[(?P<fargs>.*?)\])?) |"""
+#: with GtLtPlugin enabled, an operator followed by a single-quoted value
+#: lexes as one word with the quotes stripped (in the reference the GtLt
+#: tagger and the SingleQuote tagger match back-to-back, plugins.py:1090,
+#: 115-121)
+_GTLT_BRANCH = r"""(?P<gtq>(?P<gtqop><=|>=|=<|=>|<|>)'(?P<gtqtext>.*?)'(?=\s|\]|[)}}]|$)) |"""
 
 _LEX_CACHE: dict = {}
 
 
-def _token_re(functions: bool, sequence: bool):
-    key = (functions, sequence)
+def _token_re(functions: bool, sequence: bool, gtlt: bool = False):
+    key = (functions, sequence, gtlt)
     rx = _LEX_CACHE.get(key)
     if rx is None:
         pattern = _BASE_BRANCHES.format(
             phrase_branch=_QUOTE_BRANCH if sequence else _PHRASE_BRANCH,
             func_branch=_FUNC_BRANCH if functions else "",
             word_branch=_WORD_BRANCH_SEQ if sequence else _WORD_BRANCH,
+            gtlt_branch=_GTLT_BRANCH if gtlt else "",
         )
         rx = _LEX_CACHE[key] = re.compile(pattern, re.VERBOSE)
     return rx
@@ -164,11 +171,16 @@ def _parse_fn_args(argstring: str) -> tuple[list, dict]:
     return args, kwargs
 
 
-def _lex(text: str, functions: bool = False, sequence: bool = False) -> list[_Tok]:
+def _lex(text: str, functions: bool = False, sequence: bool = False,
+         gtlt: bool = False) -> list[_Tok]:
     toks = []
-    for m in _token_re(functions, sequence).finditer(text):
+    for m in _token_re(functions, sequence, gtlt).finditer(text):
         kind = m.lastgroup
         if kind == "ws":
+            continue
+        if kind == "gtq":
+            toks.append(_Tok("word", m.group("gtqop") + m.group("gtqtext"),
+                             {"boost": 1.0}))
             continue
         if kind == "func":
             argstring = m.group("fargs")
@@ -312,7 +324,7 @@ class QueryParser:
 
     def parse(self, text: str) -> Q.Query:
         toks = _lex(text, functions=self.functions is not None,
-                    sequence=self.sequence)
+                    sequence=self.sequence, gtlt=self.gtlt)
         self._toks = toks
         self._pos = 0
         q = self._parse_group(None)  # None = unfielded (default/multifield)
@@ -741,8 +753,11 @@ class QueryParser:
             from whoosh_spark.query.dateparse import date_range_bounds
 
             lo, hi = date_range_bounds(start or None, end or None, self.basedate)
-            return Q.DateRange(field, lo, hi, startexcl=startexcl,
-                               endexcl=endexcl, boost=boost)
+            # the reference SILENTLY DROPS exclusivity flags for datetime
+            # ranges: DateRangeNode.query (dateparse.py:889-894) and the
+            # DATETIME.parse_range fallback (fields.py:907) both build
+            # inclusive ranges, so date:{2010 TO 2011} == date:[2010 TO 2011]
+            return Q.DateRange(field, lo, hi, boost=boost)
         if kind == "numeric":
             return Q.NumericRange(
                 field,
@@ -789,7 +804,12 @@ class QueryParser:
         from whoosh_spark.query.dateparse import date_term_range
 
         if kind == "datetime":
-            lo, hi = date_term_range(text, self.basedate)
+            span = date_term_range(text, self.basedate)
+            if span is None:
+                # reference: grammar AND _parse_datestring fallback both
+                # failed -> error_query -> NullQuery (matches nothing)
+                return Q.NullQuery
+            lo, hi = span
             return Q.DateRange(field, lo, hi, boost=boost)
         return Q.ColumnTerm(field, self._column_value(kind, text), boost=boost)
 
@@ -797,28 +817,56 @@ class QueryParser:
         kind = self._field_kind(field)
         if kind in ("numeric", "boolean", "datetime") and text != "*":
             if self.gtlt:
-                m = re.match(r"^(>=|<=|>|<)(.+)$", text)
+                m = re.match(r"^(>=|<=|=>|=<|>|<)(.+)$", text)
                 if m:
-                    from whoosh_spark.query.dateparse import parse_timespan
-
                     op, operand = m.group(1), m.group(2)
+                    op = {"=>": ">=", "=<": "<="}.get(op, op)
+                    # the reference's SingleQuotePlugin strips the
+                    # quotes before the GtLt filter sees the operand
+                    if (len(operand) >= 2 and operand.startswith("'")
+                            and operand.endswith("'")):
+                        operand = operand[1:-1]
                     cls = Q.DateRange if kind == "datetime" else Q.NumericRange
                     if kind == "datetime":
-                        lo, hi = parse_timespan(operand, self.basedate)
+                        # reference GtLtPlugin.make_range (plugins.py:1128-
+                        # 1137) builds a one-sided RangeNode, so the endpoint
+                        # goes through range_to_dt: a lone start always uses
+                        # its span's FLOOR (even for ">") and a lone end its
+                        # CEIL (even for "<").
+                        from whoosh_spark.query.dateparse import (
+                            date_range_bounds,
+                        )
+
+                        lo, _ = date_range_bounds(operand, None,
+                                                  self.basedate)
+                        _, hi = date_range_bounds(None, operand,
+                                                  self.basedate)
                     else:
                         lo = hi = self._column_value(kind, operand)
+                    # datetime gtlt ranges are INCLUSIVE regardless of the
+                    # operator: DateRangeNode drops the excl flags
+                    # (dateparse.py:889-894)
+                    dtk = kind == "datetime"
                     if op == ">":
-                        return cls(field, hi, None, startexcl=True, boost=boost)
+                        return cls(field, lo, None,
+                                   startexcl=not dtk, boost=boost)
                     if op == ">=":
                         return cls(field, lo, None, boost=boost)
                     if op == "<":
-                        return cls(field, None, lo, endexcl=True, boost=boost)
+                        return cls(field, None, hi,
+                                   endexcl=not dtk, boost=boost)
                     return cls(field, None, hi, boost=boost)
             return self._make_column_query(field, kind, text, boost)
         if self.gtlt:
-            m = re.match(r"^(>=|<=|>|<)(.+)$", text)
+            m = re.match(r"^(>=|<=|=>|=<|>|<)(.+)$", text)
             if m:
                 op, operand = m.group(1), m.group(2)
+                op = {"=>": ">=", "=<": "<="}.get(op, op)
+                # the reference's SingleQuotePlugin strips the
+                # quotes before the GtLt filter sees the operand
+                if (len(operand) >= 2 and operand.startswith("'")
+                        and operand.endswith("'")):
+                    operand = operand[1:-1]
                 operand = self._range_text(field, operand)
                 if op == ">":
                     return Q.TermRange(field, operand, None, startexcl=True, boost=boost)
