@@ -181,6 +181,56 @@ def test_gtlt_date_queries_match_reference(our_index, whoosh_ref, qs):
     assert got == want, (qs, got, want)
 
 
+FREE_QUERIES = [
+    # DateParserPlugin(free=True): undelimited dates after datefield:
+    "date:last tuesday",
+    "date:next friday",
+    "date:tomorrow",
+    "date:today name:alfa",
+    "name:echo date:today",
+    "date:20100523",
+    "date:may 23 2010",
+    "date:3pm to 5pm",
+    "date:2010 to 2011",
+    "date:-2 weeks to now",
+    "(name:alfa OR name:fox) date:2011",
+    "date:tomorrow^3 name:echo",
+    "date:today^2",
+]
+
+
+@pytest.mark.parametrize("qs", FREE_QUERIES)
+def test_free_date_queries_match_reference(our_index, whoosh_ref, qs):
+    from whoosh import fields, qparser
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.qparser.dateparse import DateParserPlugin
+
+    schema = fields.Schema(
+        doc_id=fields.NUMERIC(stored=True, bits=64),
+        name=fields.ID,
+        date=fields.DATETIME,
+        flag=fields.BOOLEAN,
+    )
+    rix = RamStorage().create_index(schema)
+    w = rix.writer()
+    for did, name, date, flag in DOCS:
+        w.add_document(doc_id=did, name=name, date=date, flag=flag)
+    w.commit()
+    rqp = qparser.QueryParser("name", schema)
+    rqp.add_plugin(DateParserPlugin(basedate=BASEDATE, free=True))
+    with rix.searcher() as rs:
+        want = sorted(hit["doc_id"] for hit in rs.search(rqp.parse(qs),
+                                                         limit=None))
+
+    ix, our_schema = our_index
+    qp = QueryParser("name", our_schema, free_dates=True)
+    qp.basedate = BASEDATE
+    s = Searcher(ix)
+    got = sorted(r["doc_id"]
+                 for r in s.search(qp.parse(qs), limit=None).collect())
+    assert got == want, (qs, got, want)
+
+
 def test_boolean_field(our_index, whoosh_ref):
     ix, schema = our_index
     s = Searcher(ix)
@@ -365,6 +415,66 @@ def test_range_endpoint_fuzz_vs_reference(whoosh_ref):
             m = "ERR"
         if r != m:
             mismatches.append((st, en, base, r, m))
+    assert not mismatches, mismatches[:5]
+
+
+def test_reference_testfile_strings(whoosh_ref):
+    """Every date-string literal in the reference's own tests/test_dateparse.py
+    must parse identically through our grammar — both the raw (no to-end,
+    no disambiguation) endpoint parse and the full to-end parse."""
+    import re as _re
+
+    from whoosh.qparser.dateparse import English
+    from whoosh.util.times import adatetime
+    from whoosh.util.times import timespan as RefSpan
+
+    from whoosh_spark.query.dateparse import (PartialDate, Span, _UNITS,
+                                              _GRAMMAR, parse_date)
+
+    src = open("/root/reference/tests/test_dateparse.py").read()
+    strings = sorted(set(
+        _re.findall(r'date_from\((?:u)?["\']([^"\']+)["\']', src)
+        + _re.findall(r'parse\((?:u)?["\']([^"\']+)["\']', src)))
+    assert len(strings) > 60
+    eng = English()
+
+    def norm(v):
+        if v is None or isinstance(v, datetime):
+            return v
+        if isinstance(v, adatetime):
+            return ("pd",) + tuple(v.tuple())
+        if isinstance(v, PartialDate):
+            return ("pd",) + tuple(getattr(v, u) for u in _UNITS)
+        if isinstance(v, (RefSpan, Span)):
+            return ("span", norm(v.start), norm(v.end))
+        return v
+
+    mismatches = []
+    for s in strings:
+        for base in (BASEDATE, datetime(2012, 2, 29)):
+            # raw parse (range-endpoint path)
+            try:
+                r = norm(eng.get_parser().date_from(s, base))
+            except Exception:
+                r = "ERR"
+            try:
+                m = norm(_GRAMMAR(s, 0, base)[0])
+            except Exception:
+                m = "ERR"
+            if r != m:
+                mismatches.append(("raw", s, base, r, m))
+            # full to-end disambiguated parse
+            try:
+                r2 = eng.date_from(s, base)
+                r2 = (r2.start, r2.end) if isinstance(r2, RefSpan) else r2
+            except Exception:
+                r2 = "ERR"
+            try:
+                m2 = parse_date(s, base)
+            except Exception:
+                m2 = "ERR"
+            if r2 != m2:
+                mismatches.append(("full", s, base, r2, m2))
     assert not mismatches, mismatches[:5]
 
 

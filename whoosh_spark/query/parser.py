@@ -171,78 +171,86 @@ def _parse_fn_args(argstring: str) -> tuple[list, dict]:
     return args, kwargs
 
 
+def _emit_match(m, text: str, toks: list) -> None:
+    """Translate one token-regex match into a _Tok (shared by the finditer
+    lexer and the free-date stepping lexer)."""
+    kind = m.lastgroup
+    if kind == "ws":
+        return
+    if kind == "gtq":
+        toks.append(_Tok("word", m.group("gtqop") + m.group("gtqtext"),
+                         {"boost": 1.0}))
+        return
+    if kind == "func":
+        argstring = m.group("fargs")
+        args, kwargs = _parse_fn_args(argstring) if argstring else ((), {})
+        toks.append(_Tok("func", m.group("fname"),
+                         {"args": tuple(args), "kwargs": dict(kwargs)}))
+        return
+    if kind == "quote":
+        toks.append(_Tok("quote", '"',
+                         {"slop": int(m.group("qslop")) if m.group("qslop") else None}))
+        return
+    if kind == "rgx":
+        toks.append(_Tok("rgx", m.group("rgxpat"),
+                         {"boost": float(m.group("rgxboost")) if m.group("rgxboost") else 1.0}))
+    elif kind == "lparen":
+        toks.append(_Tok("(", "("))
+    elif kind == "rparen":
+        toks.append(_Tok(")", ")", {"boost": float(m.group("gboost")) if m.group("gboost") else None}))
+    elif kind == "phrase":
+        toks.append(
+            _Tok("phrase", m.group("phtext"),
+                 {"slop": int(m.group("slop") or 1),
+                  "boost": float(m.group("phboost")) if m.group("phboost") else 1.0})
+        )
+    elif kind == "range":
+        # RangeTagger.create (reference plugins.py:845-871): strip the
+        # space around TO, then strip single quotes; missing endpoint
+        # stays None (open range)
+        rstart, rend = m.group("rstart"), m.group("rend")
+        if rstart:
+            rstart = rstart.rstrip()
+            if rstart.startswith("'") and rstart.endswith("'"):
+                rstart = rstart[1:-1]
+        if rend:
+            rend = rend.lstrip()
+            if rend.startswith("'") and rend.endswith("'"):
+                rend = rend[1:-1]
+        toks.append(
+            _Tok("range", (rstart, rend),
+                 {"startexcl": m.group("lb") == "{", "endexcl": m.group("rb") == "}",
+                  "boost": float(m.group("rboost")) if m.group("rboost") else 1.0})
+        )
+    elif kind == "squote":
+        # SingleQuotePlugin (reference plugins.py:115-121): quoted value
+        # as one word token, with the reference's boundary guards
+        # ((^|(?<=\W)) before, (?=\s|\]|[)}]|$) after) so 'abc'def lexes
+        # as a plain word, not quote+word
+        toks.append(_Tok("word", m.group("sqtext"), {"boost": 1.0}))
+    elif kind == "field":
+        toks.append(_Tok("field", m.group("field")[:-1] if False else m.group(0)[:-1]))
+    elif kind == "word":
+        w = m.group("word")
+        if w in _OPERATORS and _op_context_ok(text, w, m.start("word"),
+                                              m.end("word")):
+            toks.append(_Tok("op", w))
+        else:
+            boost = 1.0
+            bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", w)
+            if bm and bm.group(1):
+                w, boost = bm.group(1), float(bm.group(2))
+            toks.append(_Tok("word", w, {"boost": boost}))
+
+
 def _lex(text: str, functions: bool = False, sequence: bool = False,
          gtlt: bool = False) -> list[_Tok]:
     toks = []
     for m in _token_re(functions, sequence, gtlt).finditer(text):
-        kind = m.lastgroup
-        if kind == "ws":
-            continue
-        if kind == "gtq":
-            toks.append(_Tok("word", m.group("gtqop") + m.group("gtqtext"),
-                             {"boost": 1.0}))
-            continue
-        if kind == "func":
-            argstring = m.group("fargs")
-            args, kwargs = _parse_fn_args(argstring) if argstring else ((), {})
-            toks.append(_Tok("func", m.group("fname"),
-                             {"args": tuple(args), "kwargs": dict(kwargs)}))
-            continue
-        if kind == "quote":
-            toks.append(_Tok("quote", '"',
-                             {"slop": int(m.group("qslop")) if m.group("qslop") else None}))
-            continue
-        if kind == "rgx":
-            toks.append(_Tok("rgx", m.group("rgxpat"),
-                             {"boost": float(m.group("rgxboost")) if m.group("rgxboost") else 1.0}))
-        elif kind == "lparen":
-            toks.append(_Tok("(", "("))
-        elif kind == "rparen":
-            toks.append(_Tok(")", ")", {"boost": float(m.group("gboost")) if m.group("gboost") else None}))
-        elif kind == "phrase":
-            toks.append(
-                _Tok("phrase", m.group("phtext"),
-                     {"slop": int(m.group("slop") or 1),
-                      "boost": float(m.group("phboost")) if m.group("phboost") else 1.0})
-            )
-        elif kind == "range":
-            # RangeTagger.create (reference plugins.py:845-871): strip the
-            # space around TO, then strip single quotes; missing endpoint
-            # stays None (open range)
-            rstart, rend = m.group("rstart"), m.group("rend")
-            if rstart:
-                rstart = rstart.rstrip()
-                if rstart.startswith("'") and rstart.endswith("'"):
-                    rstart = rstart[1:-1]
-            if rend:
-                rend = rend.lstrip()
-                if rend.startswith("'") and rend.endswith("'"):
-                    rend = rend[1:-1]
-            toks.append(
-                _Tok("range", (rstart, rend),
-                     {"startexcl": m.group("lb") == "{", "endexcl": m.group("rb") == "}",
-                      "boost": float(m.group("rboost")) if m.group("rboost") else 1.0})
-            )
-        elif kind == "squote":
-            # SingleQuotePlugin (reference plugins.py:115-121): quoted value
-            # as one word token, with the reference's boundary guards
-            # ((^|(?<=\W)) before, (?=\s|\]|[)}]|$) after) so 'abc'def lexes
-            # as a plain word, not quote+word
-            toks.append(_Tok("word", m.group("sqtext"), {"boost": 1.0}))
-        elif kind == "field":
-            toks.append(_Tok("field", m.group("field")[:-1] if False else m.group(0)[:-1]))
-        elif kind == "word":
-            w = m.group("word")
-            if w in _OPERATORS and _op_context_ok(text, w, m.start("word"),
-                                                  m.end("word")):
-                toks.append(_Tok("op", w))
-            else:
-                boost = 1.0
-                bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", w)
-                if bm and bm.group(1):
-                    w, boost = bm.group(1), float(bm.group(2))
-                toks.append(_Tok("word", w, {"boost": boost}))
+        _emit_match(m, text, toks)
     return toks
+
+
 
 
 class _Inline(list):
@@ -264,7 +272,9 @@ class QueryParser:
                  copyfield_mirror: bool = False,
                  pseudofields: dict | None = None,
                  functions: dict | None = None,
-                 sequence: bool = False):
+                 sequence: bool = False,
+                 free_dates: bool = False,
+                 free_date_expr: str = r"([A-Za-z][A-Za-z_0-9]*):([^^]+)"):
         """Optional syntaxes mirror the reference's opt-in plugins:
         gtlt (field:>x, qparser/plugins.py:1064), plusminus (+a -b, :1001),
         fuzzy (word~2/p, :449), regex (r"pat", :202).
@@ -295,6 +305,13 @@ class QueryParser:
           group arbitrary sub-queries into query.spans.Sequence (replaces
           plain-phrase parsing, as in the reference where PhrasePlugin must
           be removed); slop from the closing quote's ~N.
+        - ``free_dates``: DateParserPlugin(free=True) — a DateTagger at
+          priority -1 (before fields, dateparse.py:762-766, 897-922):
+          ``datefield:undelimited date text`` parses greedily (no to-end)
+          at any scan position; the matched prefix becomes a date range and
+          lexing resumes right after it. ``free_date_expr`` mirrors the
+          plugin's free_expr (note the reference's ``[^^]+`` runs to the
+          next caret or end of string before the grammar trims it).
         """
         self.default_field = default_field
         self.schema = schema
@@ -318,13 +335,67 @@ class QueryParser:
         self.pseudofields = pseudofields or {}
         self.functions = functions
         self.sequence = sequence
+        self.free_dates = free_dates
+        self.free_date_expr = free_date_expr
         self.basedate = None  # for dateparse 'today'/'now' (tests inject)
 
     # --------------------------------------------------------------- parse
 
+    def _lex_free(self, text: str) -> list[_Tok]:
+        """Stepping lexer with the DateTagger tried first at every scan
+        position (reference dateparse.py:897-922 at tagger priority -1):
+        when ``fieldname:`` names a DATETIME field and the English grammar
+        matches a prefix of the following text, the consumed stretch becomes
+        a single date-span token and lexing resumes right after it."""
+        from datetime import datetime as _dt
+
+        from whoosh_spark.query.dateparse import _GRAMMAR, _disambiguated
+
+        free_re = re.compile(self.free_date_expr)
+        rx = _token_re(self.functions is not None, self.sequence, self.gtlt)
+        basedate = self.basedate or _dt.utcnow()
+        toks: list = []
+        pos, n = 0, len(text)
+        while pos < n:
+            fm = free_re.match(text, pos)
+            if fm:
+                fname = self._aliases.get(fm.group(1), fm.group(1))
+                if (fname in self.schema
+                        and self.schema[fname].kind == "datetime"):
+                    d, newpos = _GRAMMAR(fm.group(2), 0, basedate)
+                    if d is not None:
+                        # DateParser.parse disambiguates the raw result
+                        # (dateparse.py:621-628); crash-quirks propagate
+                        d = _disambiguated(d, basedate)
+                        lo, hi = (d, d) if isinstance(d, _dt) else d
+                        pos = fm.start(2) + newpos
+                        # a trailing ^N (the free_expr stops at carets)
+                        # boosts the date node via the reference's
+                        # BoostPlugin filter (plugins.py:406-447)
+                        boost = 1.0
+                        bsm = re.compile(
+                            r"\^(\d+(?:\.\d+)?)($|(?=[ \t\r\n)]))"
+                        ).match(text, pos)
+                        if bsm:
+                            boost = float(bsm.group(1))
+                            pos = bsm.end()
+                        toks.append(_Tok("dtspan", (fname, lo, hi),
+                                         {"boost": boost}))
+                        continue
+            m = rx.match(text, pos)
+            if m is None or m.end() == pos:
+                pos += 1
+                continue
+            _emit_match(m, text, toks)
+            pos = m.end()
+        return toks
+
     def parse(self, text: str) -> Q.Query:
-        toks = _lex(text, functions=self.functions is not None,
-                    sequence=self.sequence, gtlt=self.gtlt)
+        if self.free_dates and self.schema is not None:
+            toks = self._lex_free(text)
+        else:
+            toks = _lex(text, functions=self.functions is not None,
+                        sequence=self.sequence, gtlt=self.gtlt)
         self._toks = toks
         self._pos = 0
         q = self._parse_group(None)  # None = unfielded (default/multifield)
@@ -639,6 +710,12 @@ class QueryParser:
         t = self._next()
         if t is None:
             return None
+        if t.kind == "dtspan":
+            # free-mode DateTagger result -> DateTimeNode.query semantics
+            # (dateparse.py:860-873): exact instant == inclusive lo=hi range
+            fname, lo, hi = t.value
+            return Q.DateRange(fname, lo, hi,
+                               boost=t.extra.get("boost", 1.0))
         if t.kind == "func":
             # FunctionPlugin: consume the immediately-following group (if
             # any) as the sub-query list; its ^boost becomes kwargs['boost']
