@@ -1,0 +1,172 @@
+"""Results / Hit / ResultsPage API differential vs the reference
+(searching.py:934-1652): pagination attributes, len-vs-scored_length
+semantics, list-surgery combinators, and Hit dict behavior must match on an
+identical corpus."""
+
+import pytest
+from pyspark.sql import Row
+
+from whoosh_spark.index import Index, build_index
+from whoosh_spark.query import nodes as Q
+from whoosh_spark.schema import ID, TEXT, IndexSchema
+from whoosh_spark.search import Searcher
+
+WORDS = ["alfa", "bravo", "charlie", "delta", "echo", "fox"]
+
+DOCS = []
+for i in range(40):
+    # deterministic, term-frequency-varied corpus
+    body = " ".join(WORDS[j % len(WORDS)] for j in range(i, i + (i % 5) + 1))
+    DOCS.append((i, f"doc{i}", body + (" alfa" * (i % 3))))
+
+
+@pytest.fixture(scope="module")
+def ref_index(whoosh_ref):
+    from whoosh import fields
+    from whoosh.filedb.filestore import RamStorage
+
+    schema = fields.Schema(
+        doc_id=fields.NUMERIC(stored=True, bits=64),
+        title=fields.ID(stored=True),
+        body=fields.TEXT(stored=True),
+    )
+    ix = RamStorage().create_index(schema)
+    w = ix.writer()
+    for did, title, body in DOCS:
+        w.add_document(doc_id=did, title=title, body=body)
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def our_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("resix"))
+    schema = IndexSchema.of(title=ID(stored=True), body=TEXT(stored=True))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, title=t, body=b) for i, t, b in DOCS])
+    build_index(spark, df, schema, d, sha_col=None)
+    return Index(spark, d)
+
+
+def _ref_search(ref_index, qtext, limit):
+    from whoosh.query import Term as RTerm
+
+    with ref_index.searcher() as s:
+        r = s.search(RTerm("body", qtext), limit=limit)
+        return ([(h["doc_id"], round(h.score, 5)) for h in r],
+                len(r), r.scored_length())
+
+
+def test_results_len_vs_scored_length(our_index, ref_index):
+    s = Searcher(our_index)
+    r = s.search_results(Q.Term("body", "alfa"), limit=5)
+    ref_items, ref_len, ref_scored = _ref_search(ref_index, "alfa", 5)
+    assert r.scored_length() == ref_scored == 5
+    assert len(r) == ref_len  # total matches beyond the page
+    got = [(h.docnum, round(h.score, 5)) for h in r]
+    assert got == ref_items
+    # ranks and item accessors
+    assert [h.rank for h in r] == [0, 1, 2, 3, 4]
+    assert r.docnum(0) == got[0][0]
+    assert round(r.score(0), 5) == got[0][1]
+    assert list(r.items())[0] == (r.docnum(0), r.score(0))
+    assert got[0][0] in r
+    assert r and not r.is_empty()
+
+
+def test_results_hit_dict_behavior(our_index, ref_index):
+    s = Searcher(our_index)
+    r = s.search_results(Q.Term("body", "bravo"), limit=3)
+    with ref_index.searcher() as rs:
+        from whoosh.query import Term as RTerm
+
+        rr = rs.search(RTerm("body", "bravo"), limit=3)
+        ref_fields = [dict(h.fields()) for h in rr]
+    got_fields = [h.fields() for h in r]
+    for g, want in zip(got_fields, ref_fields):
+        assert g["title"] == want["title"]
+        assert g["body"] == want["body"]
+    h = r[0]
+    assert h["title"] == ref_fields[0]["title"]
+    assert h.get("nope") is None
+    assert "title" in h and "nope" not in h
+    assert set(h.keys()) >= {"title", "body"}
+    with pytest.raises(KeyError):
+        h["nope"]
+    with pytest.raises(NotImplementedError):
+        h["title"] = "x"
+    # slicing mirrors the reference
+    assert [x.docnum for x in r[1:3]] == [r.docnum(1), r.docnum(2)]
+    with pytest.raises(IndexError):
+        r[99]
+
+
+@pytest.mark.parametrize("pagenum,pagelen", [(1, 5), (2, 5), (3, 5), (9, 5),
+                                             (1, 100), (2, 7)])
+def test_search_page_matches_reference(our_index, ref_index, pagenum, pagelen):
+    from whoosh.query import Term as RTerm
+
+    s = Searcher(our_index)
+    page = s.search_page(Q.Term("body", "alfa"), pagenum, pagelen=pagelen)
+    with ref_index.searcher() as rs:
+        rpage = rs.search_page(RTerm("body", "alfa"), pagenum,
+                               pagelen=pagelen)
+        want = [(h["doc_id"], round(h.score, 5)) for h in rpage]
+        attrs = (rpage.total, rpage.pagecount, rpage.pagenum, rpage.offset,
+                 rpage.pagelen, rpage.is_last_page())
+    got = [(h.docnum, round(h.score, 5)) for h in page]
+    assert got == want
+    assert (page.total, page.pagecount, page.pagenum, page.offset,
+            page.pagelen, page.is_last_page()) == attrs
+    if page.pagelen:
+        assert page.docnum(0) == want[0][0]
+        assert round(page.score(0), 5) == want[0][1]
+
+
+def test_search_page_pagenum_validation(our_index):
+    s = Searcher(our_index)
+    with pytest.raises(ValueError):
+        s.search_page(Q.Term("body", "alfa"), 0)
+
+
+def test_results_combinators_match_reference(our_index, ref_index):
+    """extend / filter / upgrade / upgrade_and_extend list surgery."""
+    from whoosh.query import Term as RTerm
+
+    s = Searcher(our_index)
+
+    def ours(word, limit):
+        return s.search_results(Q.Term("body", word), limit=limit)
+
+    def theirs(searcher, word, limit):
+        return searcher.search(RTerm("body", word), limit=limit)
+
+    with ref_index.searcher() as rs:
+        for op in ("extend", "filter", "upgrade", "upgrade_reverse",
+                   "upgrade_and_extend"):
+            a, b = ours("alfa", 8), ours("bravo", 8)
+            ra, rb = theirs(rs, "alfa", 8), theirs(rs, "bravo", 8)
+            if op == "extend":
+                a.extend(b), ra.extend(rb)
+            elif op == "filter":
+                a.filter(b), ra.filter(rb)
+            elif op == "upgrade":
+                a.upgrade(b), ra.upgrade(rb)
+            elif op == "upgrade_reverse":
+                a.upgrade(b, reverse=True), ra.upgrade(rb, reverse=True)
+            else:
+                a.upgrade_and_extend(b), ra.upgrade_and_extend(rb)
+            got = [d for _, d in a.top_n]
+            want = [h["doc_id"] for h in ra]
+            assert got == want, (op, got, want)
+
+
+def test_hit_highlights_and_mlt(our_index):
+    s = Searcher(our_index)
+    r = s.search_results(Q.Term("body", "charlie"), limit=3)
+    h = r[0]
+    hl = h.highlights("body")
+    assert "charlie" in hl.lower()
+    assert 'class="match' in hl  # HtmlFormatter output
+    sub = h.more_like_this("body", top=3)
+    assert sub.count() >= 1

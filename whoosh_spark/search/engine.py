@@ -150,11 +150,97 @@ class Searcher:
         df, _ = wand_topk(plan, terms, limit)
         return df
 
+    def search_results(self, q: Q.Query, limit: int | None = 10, **kw):
+        """Like :meth:`search` but returns the reference-style
+        :class:`~whoosh_spark.search.results.Results` wrapper (list-like of
+        Hit objects over the collected top-k; searching.py:934+).  The
+        DataFrame API remains the scale path — this is the bounded-result
+        convenience layer."""
+        from whoosh_spark.search.results import Results
+
+        rows = self.search(q, limit=limit, **kw).collect()
+        return Results(self, q, [(r["score"], r["doc_id"]) for r in rows],
+                       limit=limit)
+
+    def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw):
+        """Reference Searcher.search_page (searching.py:587-639): search
+        with limit=pagenum*pagelen and slice the requested page."""
+        from whoosh_spark.search.results import ResultsPage
+
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        results = self.search_results(q, limit=pagenum * pagelen, **kw)
+        return ResultsPage(results, pagenum, pagelen)
+
     def search_with_stored(self, q: Q.Query, limit: int | None = 10, **kw) -> DataFrame:
         top = self.search(q, limit=limit, **kw)
         return top.join(self.index.docs(), on="doc_id", how="left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+
+    # ------------------------------------------- reader/browse conveniences
+    # reference IndexReader/Searcher surface (reading.py:244-568,
+    # searching.py:336-440) over search/browse.py DataFrame queries
+
+    def lexicon(self, fieldname: str) -> list[str]:
+        from whoosh_spark.search import browse
+
+        return browse.lexicon(self.index, fieldname)
+
+    def expand_prefix(self, fieldname: str, prefix: str) -> list[str]:
+        from whoosh_spark.search import browse
+
+        return browse.expand_prefix(self.index, fieldname, prefix)
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        from whoosh_spark.search import browse
+
+        return browse.frequency(self.index, fieldname, text)
+
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        from whoosh_spark.search import browse
+
+        return browse.doc_frequency(self.index, fieldname, text)
+
+    def most_frequent_terms(self, fieldname: str, number: int = 5,
+                            prefix: str = ""):
+        from whoosh_spark.search import browse
+
+        return browse.most_frequent_terms(self.index, fieldname, number,
+                                          prefix)
+
+    def most_distinctive_terms(self, fieldname: str, number: int = 5,
+                               prefix: str = ""):
+        from whoosh_spark.search import browse
+
+        return browse.most_distinctive_terms(self.index, fieldname, number,
+                                             prefix)
+
+    def doc_count(self) -> int:
+        return self.index.doc_count()
+
+    def doc_count_all(self) -> int:
+        return self.index.doc_count_all()
+
+    def document(self, **kw):
+        from whoosh_spark.search import browse
+
+        return browse.document(self, **kw)
+
+    def documents(self, **kw):
+        from whoosh_spark.search import browse
+
+        return browse.documents(self, **kw)
+
+    def document_number(self, **kw):
+        from whoosh_spark.search import browse
+
+        return browse.document_number(self, **kw)
+
+    def document_numbers(self, **kw):
+        from whoosh_spark.search import browse
+
+        return browse.document_numbers(self, **kw)
 
     def matches(self, q: Q.Query, filter_q: Q.Query | None = None,
                 mask_q: Q.Query | None = None) -> DataFrame:
