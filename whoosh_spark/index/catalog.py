@@ -24,8 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from whoosh_spark.index import codec
-from whoosh_spark.index.segment import Manifest, read_manifest
-from whoosh_spark.schema import IndexSchema, schema_from_dict
+from whoosh_spark.index.segment import Manifest, read_manifest, write_manifest
+from whoosh_spark.schema import IndexSchema, schema_from_dict, schema_to_dict
 
 # Granularity of doc-range block skipping: bounds and intersections are
 # computed per CHUNK of doc-id space (chunk = doc_id // BOUND_CHUNK).
@@ -78,6 +78,68 @@ class Index:
         self._term_stats_cache: dict = {}
         self._prefetched_fields: set = set()
         self._complete_fields: set = set()  # full lexicon stats cached
+        # Fields recorded in segment stats but no longer in the schema
+        # (remove_field happened after they were indexed). Their postings
+        # physically remain until a merge/optimize rewrites the segments;
+        # readers mask them out (reference writing.py:606-610 +
+        # test_flexible.py:test_removefield).
+        recorded: set = set()
+        for s in self.manifest.segments:
+            recorded.update(s.field_lengths.keys())
+            recorded.update(s.field_term_counts.keys())
+        live = set(self.schema.fields)
+        self._ghost_fields: set = {
+            f for f in recorded
+            if f not in live and not (f.startswith("spell_") and f[6:] in live)
+        }
+
+    # ---- schema evolution (reference index.py:228-248) ----
+
+    def add_field(self, fieldname: str, fieldtype) -> None:
+        """Add a field to the index schema; takes effect for documents
+        indexed from now on (reference Index.add_field, index.py:228-238).
+        Existing segments simply have no data for it."""
+        if fieldname in self.schema:
+            raise ValueError(f"field {fieldname!r} already in schema")
+        manifest = read_manifest(self.index_dir)
+        sch = schema_from_dict(manifest.schema)
+        sch.fields[fieldname] = fieldtype
+        manifest.schema = schema_to_dict(sch)
+        manifest.generation += 1
+        write_manifest(self.index_dir, manifest)
+        self.reload()
+
+    def remove_field(self, fieldname: str) -> None:
+        """Remove a field from the schema. Already-indexed data for the
+        field becomes invisible immediately (term lookups miss, stored
+        values drop out of documents) and is physically expunged by the
+        next merge/optimize — reference Index.remove_field
+        (index.py:240-248) + test_flexible.py:test_removefield/
+        test_optimize_away."""
+        if fieldname not in self.schema:
+            raise ValueError(f"no field named {fieldname!r} in schema")
+        manifest = read_manifest(self.index_dir)
+        sch = schema_from_dict(manifest.schema)
+        del sch.fields[fieldname]
+        manifest.schema = schema_to_dict(sch)
+        manifest.generation += 1
+        write_manifest(self.index_dir, manifest)
+        self.reload()
+
+    def mask_ghost_fields(self, df: DataFrame) -> DataFrame:
+        """Filter rows of removed-but-not-yet-expunged fields out of a
+        per-field table (postings/termstats/lengths). No-op (no filter in
+        the plan) unless a remove_field actually left ghosts behind."""
+        if not self._ghost_fields:
+            return df
+        return df.filter(~F.col("field").isin(sorted(self._ghost_fields)))
+
+    def drop_ghost_doc_columns(self, df: DataFrame) -> DataFrame:
+        """Drop stored columns that no longer correspond to schema fields
+        from a docs table (doc_id and the ingest sha column stay)."""
+        allowed = {"doc_id", "content_sha256"} | set(self.schema.stored_fields())
+        extras = [c for c in df.columns if c not in allowed]
+        return df.drop(*extras) if extras else df
 
     # ---- segment table access ----
 
@@ -87,12 +149,17 @@ class Index:
             for s in self.manifest.segments
         ]
 
-    def _read(self, table: str) -> DataFrame:
+    def _read(self, table: str, merge_schema: bool = False) -> DataFrame:
         if table not in self._df_cache:
             paths = self._seg_paths(table)
             if not paths:
                 raise ValueError("index has no segments")
-            self._df_cache[table] = self.spark.read.parquet(*paths)
+            reader = self.spark.read
+            if merge_schema:
+                # segments written after an add_field carry extra stored
+                # columns; union the footers so they all surface
+                reader = reader.option("mergeSchema", "true")
+            self._df_cache[table] = reader.parquet(*paths)
         return self._df_cache[table]
 
     def postings_blocks(self) -> DataFrame:
@@ -108,20 +175,21 @@ class Index:
         for c in ("pos_boosts", "startchars", "endchars"):
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("binary"))
-        return df
+        return self.mask_ghost_fields(df)
 
     def termstats(self) -> DataFrame:
         df = self._read("termstats.parquet")
         if "total_w" not in df.columns:
             df = df.withColumn("total_w", F.col("total_tf").cast("double"))
-        return df
+        return self.mask_ghost_fields(df)
 
     def lengths(self) -> DataFrame:
         df = self._read("lengths.parquet")
-        return self._mask_deleted(df)
+        return self._mask_deleted(self.mask_ghost_fields(df))
 
     def docs(self) -> DataFrame:
-        return self._mask_deleted(self._read("docs.parquet"))
+        df = self._read("docs.parquet", merge_schema=True)
+        return self._mask_deleted(self.drop_ghost_doc_columns(df))
 
     def has_vectors(self, field: str | None = None) -> bool:
         if field is not None and (field not in self.schema or not self.schema[field].vector):

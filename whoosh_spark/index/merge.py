@@ -81,10 +81,13 @@ def merge_segments(
     manifest generation. Deleted docs are dropped permanently."""
     manifest = read_manifest(index_dir)
     victims = [s for s in manifest.segments if s.name in set(victim_names)]
-    if len(victims) < 2 and not (len(victims) == 1 and victims[0].has_deletes):
-        raise ValueError(
-            "need at least two segments to merge, or one with tombstones to expunge")
     ix = Index(spark, index_dir)
+    if len(victims) < 2 and not (
+        len(victims) == 1 and (victims[0].has_deletes or ix._ghost_fields)
+    ):
+        raise ValueError(
+            "need at least two segments to merge, or one with tombstones "
+            "or removed-field data to expunge")
 
     name = next_segment_name(manifest)
     seg_dir = os.path.join(index_dir, "segments", name)
@@ -101,16 +104,20 @@ def merge_segments(
             return df
         return df.join(F.broadcast(deleted_df), on="doc_id", how="left_anti")
 
-    # docs + lengths: plain filtered unions
-    docs = drop_deleted(spark.read.parquet(*vpaths("docs.parquet")))
+    # docs + lengths: plain filtered unions. Removed-field data (ghosts)
+    # is expunged here — the optimize-away semantics of the reference
+    # (test_flexible.py:test_optimize_away)
+    docs = drop_deleted(ix.drop_ghost_doc_columns(
+        spark.read.option("mergeSchema", "true").parquet(*vpaths("docs.parquet"))))
     docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs.parquet"))
-    lengths = drop_deleted(spark.read.parquet(*vpaths("lengths.parquet")))
+    lengths = drop_deleted(ix.mask_ghost_fields(
+        spark.read.parquet(*vpaths("lengths.parquet"))))
     lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))
 
     # postings: decode victim blocks -> re-bucket -> re-encode.
     # doc_ids are globally stable so this is a pure concatenation + regroup;
     # most (field,term,bucket) groups pass through partition-local.
-    blocks = spark.read.parquet(*vpaths("postings.parquet"))
+    blocks = ix.mask_ghost_fields(spark.read.parquet(*vpaths("postings.parquet")))
     # pre-weight-channel / pre-char-format segments lack the newer payload
     # columns; NULL-pad so mixed-generation merges read cleanly
     if "weights" not in blocks.columns:
@@ -225,10 +232,15 @@ def apply_merge_policy(spark: SparkSession, index_dir: str, policy: str = "MERGE
     if policy == "OPTIMIZE":
         victims = list(manifest.segments)
         # a single CLEAN segment is already optimal, but a single segment
-        # with tombstones still rewrites — the reference's optimize
-        # expunges deletions even without a merge partner
-        # (writing.py commit(optimize=True))
-        if not victims or (len(victims) == 1 and not victims[0].has_deletes):
+        # with tombstones — or with data for since-removed fields — still
+        # rewrites: the reference's optimize expunges deletions and dead
+        # fields even without a merge partner (writing.py
+        # commit(optimize=True), test_flexible.py:test_optimize_away)
+        if not victims or (
+            len(victims) == 1
+            and not victims[0].has_deletes
+            and not Index(spark, index_dir)._ghost_fields
+        ):
             return []
     elif policy == "MERGE_SMALL":
         if len(manifest.segments) < 2:

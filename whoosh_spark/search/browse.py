@@ -120,7 +120,10 @@ def documents(searcher, **kw) -> list[dict]:
     ids = searcher.matches(q).select("doc_id")
     rows = (searcher.index.docs().join(ids, on="doc_id", how="left_semi")
             .orderBy("doc_id").collect())
-    return [r.asDict() for r in rows]
+    # a doc simply lacks fields it never stored (reference stored-dict
+    # semantics, e.g. test_flexible.py: document(id="b") == {"id": "b"})
+    return [{k: v for k, v in r.asDict().items() if v is not None}
+            for r in rows]
 
 
 def document(searcher, **kw) -> dict | None:
@@ -130,7 +133,9 @@ def document(searcher, **kw) -> dict | None:
     ids = searcher.matches(q).select("doc_id").orderBy("doc_id").limit(1)
     rows = (searcher.index.docs().join(ids, on="doc_id", how="left_semi")
             .limit(1).collect())
-    return rows[0].asDict() if rows else None
+    if not rows:
+        return None
+    return {k: v for k, v in rows[0].asDict().items() if v is not None}
 
 
 def document_number(searcher, **kw) -> int | None:
