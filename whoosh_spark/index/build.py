@@ -148,6 +148,7 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     its doc frequency)."""
     import dataclasses
 
+    schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
     cfgs = _field_configs(schema)
     cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
@@ -254,6 +255,7 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
 def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, field) token counts — a dedicated light pass (no per-term
     aggregation, no positions)."""
+    schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
     cfgs = _field_configs(schema)
     cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
@@ -439,6 +441,12 @@ def build_segment(
     seg_dir = os.path.join(index_dir, "segments", name)
     os.makedirs(seg_dir, exist_ok=True)
 
+    # dynamic (glob) fields: materialize against this build's concrete
+    # columns; the manifest keeps the pattern form (commit_segment below
+    # receives the original schema)
+    orig_schema = schema
+    schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
+
     # ---- docs (stored fields) + ingest-fidelity sha256 ----
     stored_cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(c) for c in schema.stored_fields() if c in docs.columns and c != doc_id_col
@@ -537,7 +545,7 @@ def build_segment(
     )
 
     if commit:
-        commit_segment(index_dir, schema, info)
+        commit_segment(index_dir, orig_schema, info)
     return info
 
 

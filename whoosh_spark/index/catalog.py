@@ -87,23 +87,23 @@ class Index:
         for s in self.manifest.segments:
             recorded.update(s.field_lengths.keys())
             recorded.update(s.field_term_counts.keys())
-        live = set(self.schema.fields)
+        # membership (not the static dict) so dynamic-glob matches stay live
         self._ghost_fields: set = {
             f for f in recorded
-            if f not in live and not (f.startswith("spell_") and f[6:] in live)
+            if f not in self.schema
+            and not (f.startswith("spell_") and f[6:] in self.schema)
         }
 
     # ---- schema evolution (reference index.py:228-248) ----
 
-    def add_field(self, fieldname: str, fieldtype) -> None:
-        """Add a field to the index schema; takes effect for documents
-        indexed from now on (reference Index.add_field, index.py:228-238).
+    def add_field(self, fieldname: str, fieldtype, glob: bool = False) -> None:
+        """Add a (possibly dynamic-glob) field to the index schema; takes
+        effect for documents indexed from now on (reference
+        Index.add_field, index.py:228-238 / writing.py:600-604).
         Existing segments simply have no data for it."""
-        if fieldname in self.schema:
-            raise ValueError(f"field {fieldname!r} already in schema")
         manifest = read_manifest(self.index_dir)
         sch = schema_from_dict(manifest.schema)
-        sch.fields[fieldname] = fieldtype
+        sch.add(fieldname, fieldtype, glob=glob)
         manifest.schema = schema_to_dict(sch)
         manifest.generation += 1
         write_manifest(self.index_dir, manifest)
@@ -116,15 +116,28 @@ class Index:
         next merge/optimize — reference Index.remove_field
         (index.py:240-248) + test_flexible.py:test_removefield/
         test_optimize_away."""
-        if fieldname not in self.schema:
-            raise ValueError(f"no field named {fieldname!r} in schema")
         manifest = read_manifest(self.index_dir)
         sch = schema_from_dict(manifest.schema)
-        del sch.fields[fieldname]
+        if fieldname not in sch.fields and fieldname not in sch.dyn_fields:
+            raise ValueError(f"no field named {fieldname!r} in schema")
+        sch.remove(fieldname)
         manifest.schema = schema_to_dict(sch)
         manifest.generation += 1
         write_manifest(self.index_dir, manifest)
         self.reload()
+
+    def live_recorded_fields(self) -> list[str]:
+        """Concrete field names that actually carry data in some segment
+        AND are still in the schema (dynamic-glob matches included,
+        spell_* subfields excluded) — what a merge must preserve."""
+        recorded: set = set()
+        for s in self.manifest.segments:
+            recorded.update(s.field_lengths.keys())
+            recorded.update(s.field_term_counts.keys())
+        return sorted(
+            f for f in recorded
+            if f in self.schema and not f.startswith("spell_")
+        )
 
     def mask_ghost_fields(self, df: DataFrame) -> DataFrame:
         """Filter rows of removed-but-not-yet-expunged fields out of a
@@ -136,9 +149,13 @@ class Index:
 
     def drop_ghost_doc_columns(self, df: DataFrame) -> DataFrame:
         """Drop stored columns that no longer correspond to schema fields
-        from a docs table (doc_id and the ingest sha column stay)."""
-        allowed = {"doc_id", "content_sha256"} | set(self.schema.stored_fields())
-        extras = [c for c in df.columns if c not in allowed]
+        from a docs table (doc_id and the ingest sha column stay;
+        dynamic-glob matches count as schema fields)."""
+        extras = [
+            c for c in df.columns
+            if c not in ("doc_id", "content_sha256")
+            and not (c in self.schema and self.schema[c].stored)
+        ]
         return df.drop(*extras) if extras else df
 
     # ---- segment table access ----

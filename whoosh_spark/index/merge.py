@@ -126,12 +126,13 @@ def merge_segments(
     for _c in ("pos_boosts", "startchars", "endchars"):
         if _c not in blocks.columns:
             blocks = blocks.withColumn(_c, F.lit(None).cast("binary"))
-    has_positions = any(
-        f.phrase for f in ix.schema.fields.values() if f.indexed
-    )
-    has_charfmt = any(
-        (f.chars or f.pos_boosts) for f in ix.schema.fields.values() if f.indexed
-    )
+    # concrete recorded fields (covers dynamic-glob matches) plus the
+    # static schema decide which payloads survive the re-encode
+    live_fts = [ix.schema[f] for f in ix.live_recorded_fields()] + [
+        f for f in ix.schema.fields.values() if f.indexed
+    ]
+    has_positions = any(f.phrase for f in live_fts)
+    has_charfmt = any((f.chars or f.pos_boosts) for f in live_fts)
     decoded = decode_blocks(blocks, with_positions=has_positions,
                             with_char_formats=has_charfmt)
     decoded = drop_deleted(decoded)
@@ -167,7 +168,10 @@ def merge_segments(
     termstats.write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
 
     # term vectors: rebuild for vector=True fields (doc-sorted layout)
-    vector_fields = [f for f in ix.schema.indexed_fields() if ix.schema[f].vector]
+    vector_fields = sorted(
+        {f for f in ix.schema.indexed_fields() if ix.schema[f].vector}
+        | {f for f in ix.live_recorded_fields() if ix.schema[f].vector}
+    )
     if vector_fields:
         vec = decode_blocks(blocks_tbl.filter(F.col("field").isin(vector_fields)))
         (

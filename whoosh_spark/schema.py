@@ -9,6 +9,7 @@ stored) and with which analyzer.
 
 from __future__ import annotations
 
+import fnmatch
 from dataclasses import dataclass, field as dc_field
 
 from whoosh_spark.analysis import Analyzer, id_analyzer, standard_analyzer
@@ -149,12 +150,26 @@ def STORED() -> FieldType:
 @dataclass(frozen=True)
 class IndexSchema:
     fields: dict = dc_field(default_factory=dict)
+    #: dynamic (glob) fields: pattern -> FieldType. An unknown field name
+    #: resolves against these patterns at lookup time (reference
+    #: fields.py:1376-1384, 1486-1488: ``schema.add("*_text", TEXT,
+    #: glob=True)``); concrete columns matching a pattern materialize as
+    #: real fields at build time (bind_columns).
+    dyn_fields: dict = dc_field(default_factory=dict)
 
     def __getitem__(self, name: str) -> FieldType:
-        return self.fields[name]
+        if name in self.fields:
+            return self.fields[name]
+        for pat in sorted(self.dyn_fields):
+            if fnmatch.fnmatchcase(name, pat):
+                return self.dyn_fields[pat]
+        raise KeyError(f"No field named {name!r}")
 
     def __contains__(self, name: str) -> bool:
-        return name in self.fields
+        try:
+            return self[name] is not None
+        except KeyError:
+            return False
 
     def indexed_fields(self) -> list[str]:
         return [n for n, f in sorted(self.fields.items()) if f.indexed]
@@ -164,6 +179,45 @@ class IndexSchema:
 
     def scorable_fields(self) -> list[str]:
         return [n for n, f in sorted(self.fields.items()) if f.scorable]
+
+    def add(self, name: str, fieldtype, glob: bool = False) -> None:
+        """Add a (possibly glob) field — reference Schema.add
+        (fields.py:1446-1491). Accepts a FieldType or a zero-arg factory
+        (the TEXT/ID/KEYWORD constructors)."""
+        if not isinstance(fieldtype, FieldType):
+            fieldtype = fieldtype()
+        if name.startswith("_") or " " in name:
+            raise ValueError(f"invalid field name {name!r}")
+        if name in self.fields or name in self.dyn_fields:
+            raise ValueError(f"{name!r} already in schema")
+        (self.dyn_fields if glob else self.fields)[name] = fieldtype
+
+    def remove(self, name: str) -> None:
+        if name in self.fields:
+            del self.fields[name]
+        elif name in self.dyn_fields:
+            del self.dyn_fields[name]
+        else:
+            raise KeyError(f"No field named {name!r}")
+
+    def bind_columns(self, columns, exclude=("doc_id",)) -> "IndexSchema":
+        """Materialize dynamic fields against a concrete DataFrame: every
+        column matching a glob pattern (and not already a static field)
+        becomes a real field with the pattern's type. The manifest keeps
+        the original schema; binding happens per build."""
+        if not self.dyn_fields:
+            return self
+        bound = dict(self.fields)
+        for c in columns:
+            if c in bound or c in exclude:
+                continue
+            for pat in sorted(self.dyn_fields):
+                if fnmatch.fnmatchcase(c, pat):
+                    bound[c] = self.dyn_fields[pat]
+                    break
+        if len(bound) == len(self.fields):
+            return self
+        return IndexSchema(bound, dict(self.dyn_fields))
 
     @staticmethod
     def of(**fields: FieldType) -> "IndexSchema":
@@ -235,7 +289,16 @@ def _analyzer_from_dict(a: dict | None) -> Analyzer | None:
 def schema_to_dict(schema: IndexSchema) -> dict:
     out = {}
     for name, f in schema.fields.items():
-        out[name] = {
+        out[name] = _fieldtype_to_dict(f)
+    for pat, f in schema.dyn_fields.items():
+        d = _fieldtype_to_dict(f)
+        d["glob"] = True
+        out[pat] = d
+    return out
+
+
+def _fieldtype_to_dict(f: FieldType) -> dict:
+    return {
             "analyzer": _analyzer_to_dict(f.analyzer),
             "query_analyzer": _analyzer_to_dict(f.query_analyzer),
             "indexed": f.indexed,
@@ -251,13 +314,13 @@ def schema_to_dict(schema: IndexSchema) -> dict:
             "field_boost": f.field_boost,
             "kind": f.kind,
         }
-    return out
 
 
 def schema_from_dict(d: dict) -> IndexSchema:
     fields = {}
+    dyn_fields = {}
     for name, fd in d.items():
-        fields[name] = FieldType(
+        (dyn_fields if fd.get("glob") else fields)[name] = FieldType(
             analyzer=_analyzer_from_dict(fd.get("analyzer")),
             query_analyzer=_analyzer_from_dict(fd.get("query_analyzer")),
             indexed=fd["indexed"],
@@ -273,7 +336,7 @@ def schema_from_dict(d: dict) -> IndexSchema:
             field_boost=fd["field_boost"],
             kind=fd["kind"],
         )
-    return IndexSchema(fields)
+    return IndexSchema(fields, dyn_fields)
 
 
 def code_corpus_schema() -> IndexSchema:
