@@ -1,5 +1,5 @@
 from whoosh_spark.index.build import build_index, build_segment, extract_postings
-from whoosh_spark.index.catalog import Index
+from whoosh_spark.index.catalog import Index, create_in, exists_in, open_dir
 from whoosh_spark.index.segment import Manifest, SegmentInfo, read_manifest
 
 __all__ = [
@@ -7,6 +7,9 @@ __all__ = [
     "build_segment",
     "extract_postings",
     "Index",
+    "create_in",
+    "exists_in",
+    "open_dir",
     "Manifest",
     "SegmentInfo",
     "read_manifest",

@@ -126,6 +126,32 @@ class Index:
         write_manifest(self.index_dir, manifest)
         self.reload()
 
+    # ---- generation bookkeeping (reference index.py:251-291) ----
+
+    def latest_generation(self) -> int:
+        """The newest committed generation on disk (reference
+        FileIndex.latest_generation, index.py:440-445)."""
+        try:
+            return read_manifest(self.index_dir).generation
+        except FileNotFoundError:
+            return -1
+
+    def up_to_date(self) -> bool:
+        return self.manifest.generation == self.latest_generation()
+
+    def refresh(self) -> "Index":
+        """Reload if the on-disk index advanced; returns self (the
+        reference returns a possibly-new Index object, index.py:257-264)."""
+        if not self.up_to_date():
+            self.reload()
+        return self
+
+    def last_modified(self) -> float:
+        return self.manifest.created_at
+
+    def is_empty(self) -> bool:
+        return self.doc_count_all() == 0
+
     def live_recorded_fields(self) -> list[str]:
         """Concrete field names that actually carry data in some segment
         AND are still in the schema (dynamic-glob matches included,
@@ -170,14 +196,61 @@ class Index:
         if table not in self._df_cache:
             paths = self._seg_paths(table)
             if not paths:
-                raise ValueError("index has no segments")
-            reader = self.spark.read
-            if merge_schema:
-                # segments written after an add_field carry extra stored
-                # columns; union the footers so they all surface
-                reader = reader.option("mergeSchema", "true")
-            self._df_cache[table] = reader.parquet(*paths)
+                # freshly-created index (create_in) with no commits yet:
+                # reads succeed and return typed empty tables, so searches
+                # on an empty index yield no hits (reference EmptyIndexError
+                # is raised only on a missing TOC, index.py:78-105)
+                self._df_cache[table] = self._empty_table(table)
+            else:
+                reader = self.spark.read
+                if merge_schema:
+                    # segments written after an add_field carry extra stored
+                    # columns; union the footers so they all surface
+                    reader = reader.option("mergeSchema", "true")
+                self._df_cache[table] = reader.parquet(*paths)
         return self._df_cache[table]
+
+    _KIND_DTYPES = {"numeric": T.DoubleType(), "datetime": T.TimestampType(),
+                    "boolean": T.BooleanType()}
+
+    def _empty_table(self, table: str) -> DataFrame:
+        from whoosh_spark.index.build import LENGTHS_SCHEMA, POSTINGS_SCHEMA
+
+        if table == "postings.parquet":
+            sch = POSTINGS_SCHEMA
+        elif table == "lengths.parquet":
+            sch = LENGTHS_SCHEMA
+        elif table == "termstats.parquet":
+            sch = T.StructType([
+                T.StructField("field", T.StringType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("df", T.LongType()),
+                T.StructField("total_tf", T.LongType()),
+                T.StructField("max_tf", T.DoubleType()),
+                T.StructField("total_w", T.DoubleType()),
+                T.StructField("min_len_byte", T.IntegerType()),
+                T.StructField("max_len_byte", T.IntegerType()),
+                T.StructField("min_id", T.LongType()),
+                T.StructField("max_id", T.LongType()),
+            ])
+        elif table == "vectors.parquet":
+            sch = T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("field", T.StringType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("tf", T.LongType()),
+            ])
+        elif table == "docs.parquet":
+            fields = [T.StructField("doc_id", T.LongType())] + [
+                T.StructField(
+                    n, self._KIND_DTYPES.get(self.schema[n].kind, T.StringType())
+                )
+                for n in self.schema.stored_fields()
+            ]
+            sch = T.StructType(fields)
+        else:
+            raise ValueError(f"unknown table {table!r}")
+        return self.spark.createDataFrame([], sch)
 
     def postings_blocks(self) -> DataFrame:
         # pre-weight-channel segments have no sum_w/weights columns; padding
@@ -566,3 +639,31 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
             yield out
 
     return blocks.select(*cols).mapInPandas(decode_iter, out_schema)
+
+
+# ------------------------------------------------------- lifecycle helpers
+# Reference whoosh.index module functions (index.py:85-157): create_in /
+# open_dir / exists_in. An index here is a directory with a manifest; a
+# freshly created one has zero segments and searches empty.
+
+def create_in(spark: SparkSession, index_dir: str, schema: IndexSchema) -> Index:
+    """Create a new empty index (overwriting any existing manifest) and
+    return a handle to it — reference index.py:85-105."""
+    write_manifest(index_dir, Manifest(generation=0,
+                                       schema=schema_to_dict(schema),
+                                       segments=[]))
+    return Index(spark, index_dir)
+
+
+def open_dir(spark: SparkSession, index_dir: str) -> Index:
+    """Open an existing index — reference index.py:107-126. Raises
+    FileNotFoundError when no manifest exists (the EmptyIndexError case)."""
+    return Index(spark, index_dir)
+
+
+def exists_in(index_dir: str) -> bool:
+    """True when the directory holds a committed manifest — reference
+    index.py:128-144."""
+    from whoosh_spark.index.segment import index_exists
+
+    return index_exists(index_dir)
