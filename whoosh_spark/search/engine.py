@@ -242,6 +242,92 @@ class Searcher:
 
         return browse.document_numbers(self, **kw)
 
+    # ---- reference Searcher convenience surface (searching.py:236-585):
+    # thin delegates so a switching user finds the same method names
+
+    def reader(self) -> Index:
+        return self.index
+
+    def is_empty(self) -> bool:
+        return self.index.is_empty()
+
+    def up_to_date(self) -> bool:
+        return self.index.up_to_date()
+
+    def refresh(self) -> "Searcher":
+        """Reload the underlying index if it advanced (reference
+        searching.py:302-320; in-place rather than a new object)."""
+        if not self.index.up_to_date():
+            self.index.reload()
+            self.schema = self.index.schema
+            self.clear_cache()
+        return self
+
+    def avg_field_length(self, fieldname: str, default: float | None = None) -> float:
+        if fieldname not in self.schema or not self.schema[fieldname].scorable:
+            return default
+        return self.index.avg_field_length(fieldname)
+
+    def field_length(self, fieldname: str) -> int:
+        return self.index.manifest.field_length(fieldname)
+
+    def docs_for_query(self, q: Q.Query) -> DataFrame:
+        """Ids of every matching document (reference searching.py:650-664),
+        as a DataFrame(doc_id) — stays distributed, unlike document_numbers."""
+        return self.matches(q).select("doc_id")
+
+    def suggest(self, fieldname: str, text: str, limit: int = 5,
+                maxdist: int = 2, prefix: int = 0) -> list[str]:
+        from whoosh_spark.search import spelling
+
+        return spelling.suggest(self.index, fieldname, text, limit=limit,
+                                maxdist=maxdist, prefix=prefix)
+
+    def correct_query(self, qstring: str, default_field: str = "content",
+                      maxdist: int = 2, prefix: int = 0) -> str:
+        from whoosh_spark.search import spelling
+
+        return spelling.correct_query_string(self.index, qstring,
+                                             default_field,
+                                             maxdist=maxdist, prefix=prefix)
+
+    def key_terms(self, docnums, fieldname: str, numterms: int = 5,
+                  model: str = "bo1") -> list[tuple[str, float]]:
+        from whoosh_spark.search import classify
+
+        return classify.key_terms(self, fieldname, list(docnums),
+                                  numterms=numterms, model=model)
+
+    def key_terms_from_text(self, fieldname: str, text: str,
+                            numterms: int = 5,
+                            model: str = "bo1") -> list[tuple[str, float]]:
+        from whoosh_spark.search import classify
+
+        return classify.expanded_terms(self.index, fieldname, [text],
+                                       numterms=numterms, model=model)
+
+    def more_like(self, docnum: int, fieldname: str, text: str | None = None,
+                  top: int = 10, numterms: int = 5,
+                  model: str = "bo1") -> DataFrame:
+        """Documents similar to the given document, source doc masked out
+        (reference searching.py:543-585)."""
+        if text is not None:
+            kts = self.key_terms_from_text(fieldname, text,
+                                           numterms=numterms, model=model)
+        else:
+            kts = self.key_terms([docnum], fieldname,
+                                 numterms=numterms, model=model)
+        if not kts:
+            return self.index.spark.createDataFrame(
+                [], "doc_id long, score double")
+        q = Q.Or([Q.Term(fieldname, word, boost=weight)
+                  for word, weight in kts])
+        out = self.search(q, limit=None if top is None else top + 1)
+        out = out.filter(F.col("doc_id") != docnum)
+        if top is not None:
+            out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(top)
+        return out
+
     def matches(self, q: Q.Query, filter_q: Q.Query | None = None,
                 mask_q: Q.Query | None = None) -> DataFrame:
         """All matches, unsorted: DataFrame(doc_id, score)."""
