@@ -74,3 +74,15 @@ def test_more_like_masks_source_doc(searcher):
     res2 = searcher.more_like(3, "body",
                               text="golf hotel india juliet").collect()
     assert 3 not in [r["doc_id"] for r in res2]
+
+
+def test_reader_per_doc_api(searcher):
+    rdr = searcher.reader()
+    assert rdr.stored_fields(0) == {"id": "a", "body": DOCS[0][2]}
+    assert rdr.stored_fields(99) is None
+    assert [d["id"] for d in rdr.all_stored_fields()] == list("abcde")
+    assert rdr.doc_field_length(0, "body") == 4
+    assert rdr.doc_field_length(0, "nope", default=-1) == -1
+    terms = rdr.all_terms()
+    assert ("body", "alfa") in terms and ("id", "a") in terms
+    assert terms == sorted(terms)

@@ -312,6 +312,45 @@ class Index:
             blocks = blocks.filter(F.col("term") == term)
         return self._mask_deleted(decode_blocks(blocks, with_char_formats=True))
 
+    # ---- per-doc reader conveniences (reference reading.py:268-420) ----
+
+    @staticmethod
+    def _stored_dict(row) -> dict:
+        return {k: v for k, v in row.asDict().items()
+                if k not in ("doc_id", "content_sha256") and v is not None}
+
+    def stored_fields(self, docnum: int) -> dict | None:
+        """Stored fields of one document (reference
+        IndexReader.stored_fields, reading.py:284-292); None when the doc
+        doesn't exist or is deleted. Driver-side convenience — batch
+        lookups should join against docs() instead."""
+        rows = self.docs().filter(F.col("doc_id") == int(docnum)).limit(1).collect()
+        return self._stored_dict(rows[0]) if rows else None
+
+    def all_stored_fields(self):
+        """Iterator of every live document's stored fields in doc order
+        (reference reading.py:294-301). Collects — intended for small
+        indexes/tests; at scale use docs() directly."""
+        for row in self.docs().orderBy("doc_id").collect():
+            yield self._stored_dict(row)
+
+    def doc_field_length(self, docnum: int, fieldname: str, default: int = 0) -> int:
+        """Exact token count of one (doc, field) — reference
+        reading.py:404-411 (ours stores the exact length next to the
+        quantized byte, so no byte->length rounding here)."""
+        rows = (self.lengths()
+                .filter((F.col("doc_id") == int(docnum))
+                        & (F.col("field") == fieldname))
+                .limit(1).collect())
+        return int(rows[0]["length"]) if rows else default
+
+    def all_terms(self) -> list[tuple[str, str]]:
+        """Sorted (fieldname, term) pairs across the index (reference
+        reading.py:231-242). Collects the lexicon — test/debug scale."""
+        rows = (self.termstats().select("field", "term").distinct()
+                .orderBy("field", "term").collect())
+        return [(r["field"], r["term"]) for r in rows]
+
     # ---- deletes ----
 
     def _delete_paths(self) -> list[str]:
