@@ -542,6 +542,7 @@ def build_segment(
         max_doc_id=int(id_stats["hi"]) if id_stats["hi"] is not None else -1,
         lineage=lineage or {},
         field_term_counts=field_term_counts,
+        stored_cols=list(docs_out.columns),
     )
 
     if commit:

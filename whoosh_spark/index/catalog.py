@@ -278,7 +278,13 @@ class Index:
         return self._mask_deleted(self.mask_ghost_fields(df))
 
     def docs(self) -> DataFrame:
-        df = self._read("docs.parquet", merge_schema=True)
+        # pay the mergeSchema footer sweep only when segments can actually
+        # disagree on stored columns (add_field happened between builds, or
+        # a pre-stat segment can't tell us) — at scale the homogeneous case
+        # must stay a plain single-footer read
+        col_sets = {tuple(s.stored_cols) for s in self.manifest.segments}
+        heterogeneous = () in col_sets or len(col_sets) > 1
+        df = self._read("docs.parquet", merge_schema=heterogeneous)
         return self._mask_deleted(self.drop_ghost_doc_columns(df))
 
     def has_vectors(self, field: str | None = None) -> bool:

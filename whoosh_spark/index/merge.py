@@ -201,6 +201,7 @@ def merge_segments(
         max_doc_id=int(id_stats["hi"]) if id_stats["hi"] is not None else -1,
         lineage={"merged_from": sorted(victim_names)},
         field_term_counts=ftc,
+        stored_cols=list(docs.columns),
     )
 
     manifest = read_manifest(index_dir)

@@ -31,6 +31,10 @@ class SegmentInfo:
     #: field -> distinct-term count (lexicon size); lets readers decide
     #: driver-side whether a full-field stats prefetch is safe WITHOUT a job
     field_term_counts: dict = field(default_factory=dict)
+    #: columns of this segment's docs.parquet; readers only pay a
+    #: mergeSchema footer sweep when segments actually disagree (schema
+    #: evolution happened). Empty = unknown (pre-stat segment) -> merge.
+    stored_cols: list = field(default_factory=list)
 
     @property
     def doc_count_all(self) -> int:
