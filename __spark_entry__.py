@@ -950,6 +950,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.awaitTermination(600)
         return spark.read.parquet(out)
 
+    def bm25_dynamic_field(spark, sf):
+        # dynamic (glob) fields end-to-end (reference fields.py:1446-1491):
+        # the text column arrives under a name only the glob pattern
+        # "*_text" knows; postings/stats/scoring must come out identical to
+        # a static TEXT field, so the oracle is bm25_term's SQL verbatim
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", F.col("text").alias("body_text"))
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"dyn_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            schema = IndexSchema.of()
+            schema.add("*_text", TEXT(), glob=True)
+            build_index(spark, docs, schema, idx_dir, sha_col=None)
+        s = Searcher(Index(spark, idx_dir), exact_scores=False,
+                     cache_postings=False)
+        return _topk(s, Q.Term("body_text", "scan"))
+
+    def schema_evolution_stored(spark, sf):
+        # remove_field end-to-end (reference index.py:240-248): source is
+        # stored at build time and removed from the schema afterwards; the
+        # stored column must vanish from docs() while lang survives —
+        # schema_match fails if removal leaks
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", "lang", "source")
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"evo_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            schema = IndexSchema.of(lang=ID(stored=True), source=ID(stored=True))
+            build_index(spark, docs, schema, idx_dir, sha_col=None)
+        ix = Index(spark, idx_dir)
+        if "source" in ix.schema.fields:  # idempotent across cached runs
+            ix.remove_field("source")
+        return ix.docs().orderBy("doc_id")
+
     return {
         "bm25_term": bm25_term,
         "bm25_and2": bm25_and2,
@@ -1016,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "stream_dedup": stream_dedup,
         "stream_ingest_stats": stream_ingest_stats,
+        "bm25_dynamic_field": bm25_dynamic_field,
+        "schema_evolution_stored": schema_evolution_stored,
     }
 
 
@@ -1610,4 +1666,12 @@ SELECT media_id, kind, payload_sha256,
        kind <> 'video' AS decoded
 FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "media_100.parquet")}')
 """.strip()
+    # dynamic-glob field builds identical postings to a static TEXT field
+    # over the same text -> bm25_term's oracle verbatim
+    sql["bm25_dynamic_field"] = with_scores(
+        ["scan"], "SELECT doc_id, score FROM sc_scan")
+    # remove_field: the dropped stored column must not surface
+    sql["schema_evolution_stored"] = (
+        "SELECT doc_id, lang FROM documents ORDER BY doc_id")
+
     return sql
