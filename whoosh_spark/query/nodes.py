@@ -57,6 +57,59 @@ class Query:
         q.boost = boost
         return q
 
+    # ---- tree introspection / rewriting (reference qcore.py:291-455) ----
+
+    def is_leaf(self) -> bool:
+        return not self.children()
+
+    def leaves(self):
+        """Leaf queries, depth-first (reference qcore.py:400-410)."""
+        cs = self.children()
+        if not cs:
+            yield self
+        for c in cs:
+            yield from c.leaves()
+
+    def apply(self, fn) -> "Query":
+        """Copy of this query with ``fn`` applied to each direct child
+        (reference qcore.py:271-289). Leaves copy unchanged."""
+        import copy
+
+        return copy.copy(self)
+
+    def replace(self, fieldname: str, oldtext: str, newtext: str) -> "Query":
+        """Copy with every occurrence of (fieldname, oldtext) replaced by
+        newtext (reference qcore.py:291-306)."""
+        import copy
+
+        if self.is_leaf():
+            return copy.copy(self)
+        return self.apply(lambda q: q.replace(fieldname, oldtext, newtext))
+
+    def iter_all_terms(self, phrases: bool = True):
+        """(field, text) pairs of every concrete term in the tree
+        (reference qcore.py:412-430)."""
+        for leaf in self.leaves():
+            if not phrases and isinstance(leaf, Phrase):
+                continue
+            yield from leaf.leaf_terms()
+
+    def all_terms(self, phrases: bool = True) -> set:
+        return set(self.iter_all_terms(phrases=phrases))
+
+    def existing_terms(self, ix, phrases: bool = True) -> set:
+        """The subset of all_terms() that actually occur in the index
+        (reference qcore.py:338-368) — one bounded stats lookup per field."""
+        from collections import defaultdict
+
+        by_field = defaultdict(set)
+        for f, t in self.all_terms(phrases=phrases):
+            by_field[f].add(t)
+        out = set()
+        for f, ts in by_field.items():
+            out.update((f, t) for t in ix.term_stats(f, sorted(ts)))
+        return out
+
     def __or__(self, other):
         return Or([self, other])
 
@@ -109,6 +162,11 @@ class Term(Query):
     def leaf_terms(self):
         return [(self.field, self.text)]
 
+    def replace(self, fieldname, oldtext, newtext):
+        if self.field == fieldname and self.text == oldtext:
+            return Term(self.field, newtext, boost=self.boost)
+        return Term(self.field, self.text, boost=self.boost)
+
 
 class CompoundQuery(Query):
     JOINT = " ? "
@@ -135,6 +193,13 @@ class CompoundQuery(Query):
 
     def _rebuild(self, subs):
         return type(self)(subs, boost=self.boost)
+
+    def apply(self, fn):
+        import copy
+
+        q = copy.copy(self)
+        q.subqueries = [fn(s) for s in self.subqueries]
+        return q
 
     #: And/Require-like compounds intersect overlapping ranges; Or-like union
     intersect_merge = True
@@ -251,6 +316,13 @@ class Not(Query):
     def children(self):
         return [self.query]
 
+    def apply(self, fn):
+        import copy
+
+        q = copy.copy(self)
+        q.query = fn(self.query)
+        return q
+
     def normalize(self):
         q = self.query.normalize()
         if q is NullQuery:
@@ -270,6 +342,13 @@ class BinaryQuery(Query):
 
     def children(self):
         return [self.a, self.b]
+
+    def apply(self, fn):
+        import copy
+
+        q = copy.copy(self)
+        q.a, q.b = fn(self.a), fn(self.b)
+        return q
 
     def __repr__(self):
         return f"{type(self).__name__}({self.a!r}, {self.b!r})"
@@ -375,6 +454,14 @@ class Phrase(Query):
 
     def leaf_terms(self):
         return [(self.field, w) for w in self.words]
+
+    def replace(self, fieldname, oldtext, newtext):
+        import copy
+
+        q = copy.copy(self)
+        if self.field == fieldname:
+            q.words = [newtext if w == oldtext else w for w in self.words]
+        return q
 
 
 class Ordered(Phrase):
@@ -844,6 +931,13 @@ class ConstantScore(Query):
     def children(self):
         return [self.child]
 
+    def apply(self, fn):
+        import copy
+
+        q = copy.copy(self)
+        q.child = fn(self.child)
+        return q
+
     def normalize(self):
         c = self.child.normalize()
         if c is NullQuery:
@@ -878,6 +972,13 @@ class WeightingQuery(Query):
 
     def children(self):
         return [self.child]
+
+    def apply(self, fn):
+        import copy
+
+        q = copy.copy(self)
+        q.child = fn(self.child)
+        return q
 
     def normalize(self):
         c = self.child.normalize()
