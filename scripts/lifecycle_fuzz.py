@@ -50,6 +50,14 @@ def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
 
     next_id = 0
     model: dict[int, str] = {}
+    #: unique key per live doc — an updated doc KEEPS its victim's key, so
+    #: later updates must target keys[kid], not f"k{kid}"
+    keys: dict[int, str] = {}
+    #: schema evolution state: live keyword fields -> {doc_id: tag value};
+    #: dead_tags = removed fields whose data must stay invisible
+    tags: dict[str, dict[int, str]] = {}
+    dead_tags: list[str] = []
+    n_tags = 0
 
     def new_docs(n):
         nonlocal next_id
@@ -59,9 +67,31 @@ def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
             next_id += 1
         return out
 
+    def add_df(docs):
+        # each live doc carries each live tag with p=0.7 (else NULL),
+        # exercising absent/None values through the build kernels; explicit
+        # schema so an all-NULL tag column can't infer as NullType
+        tag_names = sorted(tags)
+        rows = []
+        for i, t in docs:
+            vals = []
+            for tf in tag_names:
+                if rng.random() < 0.7:
+                    v = rng.choice(VOCAB)
+                    vals.append(v)
+                    tags[tf][i] = v
+                else:
+                    vals.append(None)
+            keys[i] = f"k{i}"
+            rows.append((i, keys[i], t, *vals))
+        ddl = "doc_id long, key string, value string" + "".join(
+            f", {tf} string" for tf in tag_names)
+        return spark.createDataFrame(rows, schema=ddl)
+
     first = new_docs(rng.randint(5, 20))
+    keys.update({i: f"k{i}" for i, _ in first})
     df = spark.createDataFrame(
-        [Row(doc_id=i, key=f"k{i}", value=t) for i, t in first])
+        [Row(doc_id=i, key=keys[i], value=t) for i, t in first])
     build_index(spark, df, schema, d, sha_col=None)
     model.update(dict(first))
 
@@ -84,6 +114,28 @@ def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
             fails += 1
             print(f"FAIL seed={seed} after {where}: term {word!r} ids\n"
                   f"  got ={got_ids}\n  want={want_ids}")
+        # live tag fields: search ids == model; dead fields: invisible
+        for tf, vals in tags.items():
+            live_vals = {i: v for i, v in vals.items() if i in model}
+            if live_vals:
+                probe = rng.choice(sorted(set(live_vals.values())))
+                got_t = sorted(r["doc_id"] for r in
+                               s.search(Q.Term(tf, probe),
+                                        limit=None).collect())
+                want_t = sorted(i for i, v in live_vals.items() if v == probe)
+                if got_t != want_t:
+                    fails += 1
+                    print(f"FAIL seed={seed} after {where}: tag {tf}={probe!r}"
+                          f"\n  got ={got_t}\n  want={want_t}")
+        for tf in dead_tags:
+            if s.search(Q.Term(tf, rng.choice(VOCAB)), limit=None).collect():
+                fails += 1
+                print(f"FAIL seed={seed} after {where}: removed field {tf} "
+                      f"still matches")
+            if tf in ix.docs().columns:
+                fails += 1
+                print(f"FAIL seed={seed} after {where}: removed field {tf} "
+                      f"still a stored column")
         if score_exact and model:
             ids = sorted(model)
             remap = {i: j for j, i in enumerate(ids)}
@@ -106,13 +158,25 @@ def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
     check("build")
     for op_i in range(n_ops):
         op = rng.choice(["add", "add", "delete_ids", "delete_term",
-                         "update", "merge_small", "optimize"])
+                         "update", "merge_small", "optimize",
+                         "add_field", "remove_field"])
         if op == "add":
             docs = new_docs(rng.randint(1, 12))
-            df = spark.createDataFrame(
-                [Row(doc_id=i, key=f"k{i}", value=t) for i, t in docs])
-            build_segment(spark, df, schema, d, sha_col=None)
+            cur = Index(spark, d).schema  # evolution-aware schema
+            build_segment(spark, add_df(docs), cur, d, sha_col=None)
             model.update(dict(docs))
+        elif op == "add_field":
+            if len(tags) < 3:  # bound schema growth
+                name = f"tag{n_tags}"
+                n_tags += 1
+                Index(spark, d).add_field(name, ID(stored=True))
+                tags[name] = {}
+        elif op == "remove_field":
+            if tags:
+                name = rng.choice(sorted(tags))
+                Index(spark, d).remove_field(name)
+                del tags[name]
+                dead_tags.append(name)
         elif op == "delete_ids":
             live = sorted(model)
             if live:
@@ -138,12 +202,14 @@ def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
             live = sorted(model)
             for kid in rng.sample(live, min(len(live), rng.randint(1, 2))):
                 nid, t = new_docs(1)[0]
-                upd.append((nid, f"k{kid}", t))
+                upd.append((nid, keys[kid], t))  # the VICTIM'S actual key
+                keys[nid] = keys[kid]
                 model.pop(kid)
                 model[nid] = t
             if rng.random() < 0.5:
                 nid, t = new_docs(1)[0]
-                upd.append((nid, f"k{nid}", t))
+                keys[nid] = f"k{nid}"
+                upd.append((nid, keys[nid], t))
                 model[nid] = t
             df = spark.createDataFrame(
                 [Row(doc_id=i, key=k, value=t) for i, k, t in upd])

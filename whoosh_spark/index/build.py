@@ -149,7 +149,10 @@ def extract_postings(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "do
     import dataclasses
 
     schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
-    cfgs = _field_configs(schema)
+    # a schema field absent from this batch's columns is simply not
+    # indexed for these docs (reference add_document omits absent fields,
+    # writing.py:725-760) — common right after an add_field
+    cfgs = [c for c in _field_configs(schema) if c[0] in docs.columns]
     cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
     ]
@@ -256,7 +259,7 @@ def lengths_table(docs: DataFrame, schema: IndexSchema, doc_id_col: str = "doc_i
     """Per-(doc, field) token counts — a dedicated light pass (no per-term
     aggregation, no positions)."""
     schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
-    cfgs = _field_configs(schema)
+    cfgs = [c for c in _field_configs(schema) if c[0] in docs.columns]
     cols = [F.col(doc_id_col).alias("doc_id")] + [
         F.col(name).cast("string").alias(name) for name, *_ in cfgs
     ]

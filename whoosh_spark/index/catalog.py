@@ -126,6 +126,21 @@ class Index:
         write_manifest(self.index_dir, manifest)
         self.reload()
 
+    def writer(self) -> "IndexWriter":
+        """Buffered per-document writer (reference Index.writer,
+        index.py:342-372) — see whoosh_spark.index.writer; bulk loads
+        should use build_index on a DataFrame instead."""
+        from whoosh_spark.index.writer import IndexWriter
+
+        return IndexWriter(self)
+
+    def searcher(self, **kwargs):
+        """A Searcher over this index (reference Index.searcher,
+        index.py:319-327); usable as a context manager."""
+        from whoosh_spark.search.engine import Searcher
+
+        return Searcher(self, **kwargs)
+
     # ---- generation bookkeeping (reference index.py:251-291) ----
 
     def latest_generation(self) -> int:

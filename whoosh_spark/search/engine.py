@@ -356,6 +356,16 @@ class Searcher:
                 pass
         self._persisted = []
 
+    # context manager: `with ix.searcher() as s:` (reference
+    # searching.py:323-334 — close() releases cached resources)
+    close = clear_cache
+
+    def __enter__(self) -> "Searcher":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.clear_cache()
+
     # ---------------------------------------------------------------- stats
 
     def idf(self, doc_count_all: int, df: int) -> float:
