@@ -170,3 +170,34 @@ def test_hit_highlights_and_mlt(our_index):
     assert 'class="match' in hl  # HtmlFormatter output
     sub = h.more_like_this("body", top=3)
     assert sub.count() >= 1
+
+
+def test_matched_terms_differential(our_index, ref_index):
+    from whoosh.query import Or as ROr, Term as RTerm
+
+    q = Q.Or([Q.Term("body", "alfa"), Q.Term("body", "fox"),
+              Q.Term("body", "zulu")])
+    res = Searcher(our_index).search_results(q, limit=12, terms=True)
+    assert res.has_matched_terms()
+
+    with ref_index.searcher() as s:
+        rres = s.search(ROr([RTerm("body", "alfa"), RTerm("body", "fox"),
+                             RTerm("body", "zulu")]), limit=12, terms=True)
+        want = {h["doc_id"]: {(f, t.decode()) for f, t in h.matched_terms()}
+                for h in rres}
+        want_union = {(f, t.decode()) for f, t in rres.matched_terms()}
+
+    got = {h["doc_id"]: h.matched_terms() for h in res}
+    assert got == want
+    assert res.matched_terms() == want_union
+
+
+def test_matched_terms_requires_flag(our_index):
+    from whoosh_spark.search.results import NoTermsException
+
+    res = Searcher(our_index).search_results(Q.Term("body", "alfa"), limit=3)
+    assert not res.has_matched_terms()
+    with pytest.raises(NoTermsException):
+        res[0].matched_terms()
+    with pytest.raises(NoTermsException):
+        res.matched_terms()

@@ -86,3 +86,15 @@ def test_reader_per_doc_api(searcher):
     terms = rdr.all_terms()
     assert ("body", "alfa") in terms and ("id", "a") in terms
     assert terms == sorted(terms)
+
+
+def test_contains_and_schema_names(searcher):
+    assert ("body", "alfa") in searcher
+    assert ("body", "zulu") not in searcher
+    sch = searcher.schema
+    assert sch.names() == ["body", "id"]
+    assert sch.stored_names() == ["body", "id"]
+    assert sch.scorable_names() == ["body"]
+    sch2 = type(sch)(dict(sch.fields), {"*_text": sch["body"]})
+    assert sch2.names(check_names=["x_text", "nope", "id"]) == [
+        "body", "id", "x_text"]

@@ -171,6 +171,21 @@ class IndexSchema:
         except KeyError:
             return False
 
+    def names(self, check_names=None) -> list[str]:
+        """Sorted static field names; ``check_names`` adds any of the given
+        names the schema accepts (e.g. via a dynamic glob) — reference
+        fields.py:1422-1441."""
+        out = set(self.fields)
+        if check_names is not None:
+            out.update(n for n in set(check_names) - out if n in self)
+        return sorted(out)
+
+    def stored_names(self) -> list[str]:
+        return self.stored_fields()
+
+    def scorable_names(self) -> list[str]:
+        return self.scorable_fields()
+
     def indexed_fields(self) -> list[str]:
         return [n for n, f in sorted(self.fields.items()) if f.indexed]
 

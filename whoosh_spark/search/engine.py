@@ -150,14 +150,28 @@ class Searcher:
         df, _ = wand_topk(plan, terms, limit)
         return df
 
-    def search_results(self, q: Q.Query, limit: int | None = 10, **kw):
+    def search_results(self, q: Q.Query, limit: int | None = 10,
+                       terms: bool = False, **kw):
         """Like :meth:`search` but returns the reference-style
         :class:`~whoosh_spark.search.results.Results` wrapper (list-like of
         Hit objects over the collected top-k; searching.py:934+).  The
         DataFrame API remains the scale path — this is the bounded-result
-        convenience layer."""
+        convenience layer. ``terms=True`` records which query terms matched
+        each hit (reference search(terms=True) + hit.matched_terms())."""
         from whoosh_spark.search.results import Results
 
+        if terms:
+            from whoosh_spark.search.sorting import matched_terms
+
+            rows = matched_terms(self, q, limit=limit, pairs=True).collect()
+            res = Results(self, q, [(r["score"], r["doc_id"]) for r in rows],
+                          limit=limit)
+            res._termlists = {
+                r["doc_id"]: {(p["field"], p["term"])
+                              for p in (r["matched_terms"] or [])}
+                for r in rows
+            }
+            return res
         rows = self.search(q, limit=limit, **kw).collect()
         return Results(self, q, [(r["score"], r["doc_id"]) for r in rows],
                        limit=limit)
@@ -247,6 +261,12 @@ class Searcher:
 
     def reader(self) -> Index:
         return self.index
+
+    def __contains__(self, term: tuple) -> bool:
+        """``("content", "wobble") in searcher`` — reference
+        searching.py:236-244 delegates to the reader's term check."""
+        fieldname, text = term
+        return self.doc_frequency(fieldname, text) > 0
 
     def is_empty(self) -> bool:
         return self.index.is_empty()

@@ -29,6 +29,13 @@ def _field_terms(q, field: str, out: set) -> None:
         _field_terms(c, field, out)
 
 
+class NoTermsException(Exception):
+    """Raised when hit.matched_terms() is called on a search that did not
+    record terms (reference searching.py:26-34)."""
+
+    message = "Results were created without recording terms"
+
+
 class Results:
     """Ranked top-k as a list-like of :class:`Hit` (reference Results,
     searching.py:934-1346).  ``top_n`` is the reference's list of
@@ -97,6 +104,21 @@ class Results:
     def items(self):
         """(docnum, score) pairs in rank order."""
         return ((docnum, score) for score, docnum in self.top_n)
+
+    # ---- matched terms (search_results(terms=True); reference
+    # searching.py:1071-1090 + TermsCollector) ----
+
+    def has_matched_terms(self) -> bool:
+        return getattr(self, "_termlists", None) is not None
+
+    def matched_terms(self) -> set:
+        """Union of (fieldname, text) pairs that matched in any hit."""
+        if not self.has_matched_terms():
+            raise NoTermsException
+        out = set()
+        for terms in self._termlists.values():
+            out.update(terms)
+        return out
 
     def score(self, n):
         return self.top_n[n][0]
@@ -207,6 +229,13 @@ class Hit:
 
     def fields(self):
         return dict(self.results._stored_map().get(self.docnum, {}))
+
+    def matched_terms(self) -> set:
+        """(fieldname, text) pairs of query terms this hit contains; needs
+        search_results(terms=True) (reference searching.py:1393-1414)."""
+        if not self.results.has_matched_terms():
+            raise NoTermsException
+        return set(self.results._termlists.get(self.docnum, set()))
 
     def __repr__(self):
         return "<%s %r>" % (self.__class__.__name__, self.fields())

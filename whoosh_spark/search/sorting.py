@@ -102,9 +102,12 @@ def query_facet_col(searcher, queries: dict[str, Q.Query], df: DataFrame, alias:
     return df.withColumn(alias, label).drop(*[c for c in df.columns if c.startswith("_in_")])
 
 
-def matched_terms(searcher, q: Q.Query, limit: int | None = 10) -> DataFrame:
+def matched_terms(searcher, q: Q.Query, limit: int | None = 10,
+                  pairs: bool = False) -> DataFrame:
     """TermsCollector analog (reference collectors.py:1103-1165): for each
-    hit, the sorted set of query leaf terms it contains."""
+    hit, the sorted set of query leaf terms it contains. ``pairs=True``
+    collects (field, term) structs instead of bare term strings — the
+    shape of the reference's hit.matched_terms()."""
     from pyspark.sql import functions as F
 
     from whoosh_spark.search.engine import _PlanContext
@@ -120,8 +123,10 @@ def matched_terms(searcher, q: Q.Query, limit: int | None = 10) -> DataFrame:
     for f, t in leaves:
         c = (F.col("field") == f) & (F.col("term") == t)
         cond = c if cond is None else (cond | c)
+    collected = (F.collect_set(F.struct("field", "term")) if pairs
+                 else F.collect_set("term"))
     tm = base.filter(cond).groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("term")).alias("matched_terms")
+        F.sort_array(collected).alias("matched_terms")
     )
     return top.join(tm, on="doc_id", how="left").orderBy(F.desc("score"), F.asc("doc_id"))
 
