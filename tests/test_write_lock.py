@@ -1,0 +1,86 @@
+"""Manifest write lock: concurrent committers must not lose each other's
+updates (reference serializes writers via the storage WRITELOCK,
+index.py:342-372). The manifest rename is atomic, but without the lock the
+read-modify-write interleaves and the last rename silently drops the other
+writer's segment."""
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import Row
+
+import whoosh_spark.query as Q
+from whoosh_spark.index import Index, create_in
+from whoosh_spark.index.build import build_segment
+from whoosh_spark.index.lock import LOCK_NAME, LockError, index_lock
+from whoosh_spark.schema import ID, TEXT, IndexSchema
+from whoosh_spark.search import Searcher
+
+
+def test_lock_mutual_exclusion(tmp_path):
+    d = str(tmp_path / "lk")
+    order = []
+
+    def worker(tag):
+        with index_lock(d):
+            order.append(("in", tag))
+            time.sleep(0.15)
+            order.append(("out", tag))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    # strictly serialized: every "in" is immediately followed by its "out"
+    for i in range(0, 6, 2):
+        assert order[i][0] == "in" and order[i + 1][0] == "out"
+        assert order[i][1] == order[i + 1][1]
+    assert not os.path.exists(os.path.join(d, LOCK_NAME))
+
+
+def test_lock_timeout_and_stale_break(tmp_path):
+    d = str(tmp_path / "lk2")
+    os.makedirs(d)
+    path = os.path.join(d, LOCK_NAME)
+    with open(path, "w") as f:
+        f.write("held\n")
+    with pytest.raises(LockError):
+        with index_lock(d, timeout=0.3):
+            pass
+    # a stale lock (older than STALE_SECS) is broken, not waited on
+    old = time.time() - 10_000
+    os.utime(path, (old, old))
+    with index_lock(d, timeout=0.3):
+        pass
+    assert not os.path.exists(path)
+
+
+def test_concurrent_commits_keep_every_segment(spark, tmp_path):
+    d = str(tmp_path / "conc")
+    schema = IndexSchema.of(key=ID(stored=True), body=TEXT())
+    create_in(spark, d, schema)
+
+    n_writers, errs = 4, []
+
+    def writer(w):
+        try:
+            rows = [Row(doc_id=w * 100 + j, key=f"w{w}_{j}",
+                        body=f"alfa writer{w} doc{j}") for j in range(3)]
+            build_segment(spark, spark.createDataFrame(rows), schema, d,
+                          sha_col=None)
+        except Exception as e:  # surface failures to the main thread
+            errs.append((w, e))
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+
+    ix = Index(spark, d)
+    # no committer's segment was dropped by another's read-modify-write
+    assert ix.doc_count() == n_writers * 3
+    assert len(ix.manifest.segments) == n_writers
+    assert len({s.name for s in ix.manifest.segments}) == n_writers
+    got = Searcher(ix).search(Q.Term("body", "alfa"), limit=None).collect()
+    assert len(got) == n_writers * 3

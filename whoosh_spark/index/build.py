@@ -440,9 +440,22 @@ def build_segment(
     """Build one immutable segment from ``docs`` and (optionally) commit it
     into the index manifest."""
     manifest = read_manifest(index_dir) if index_exists(index_dir) else None
-    name = segment_name or next_segment_name(manifest)
-    seg_dir = os.path.join(index_dir, "segments", name)
-    os.makedirs(seg_dir, exist_ok=True)
+    if segment_name is not None:
+        name = segment_name
+        seg_dir = os.path.join(index_dir, "segments", name)
+        os.makedirs(seg_dir, exist_ok=True)
+    else:
+        # atomically CLAIM a fresh directory: concurrent builders that all
+        # read the same manifest must not write into the same segment dir
+        # (mkdir is the mutex; the manifest commit is separately locked)
+        while True:
+            name = next_segment_name(manifest, index_dir)
+            seg_dir = os.path.join(index_dir, "segments", name)
+            try:
+                os.makedirs(seg_dir, exist_ok=False)
+                break
+            except FileExistsError:
+                continue
 
     # dynamic (glob) fields: materialize against this build's concrete
     # columns; the manifest keeps the pattern form (commit_segment below
@@ -554,14 +567,19 @@ def build_segment(
 
 
 def commit_segment(index_dir: str, schema: IndexSchema, info: SegmentInfo, chunk_id=None) -> Manifest:
-    manifest = read_manifest(index_dir) if index_exists(index_dir) else None
-    if manifest is None:
-        manifest = Manifest(generation=0, schema=schema_to_dict(schema), segments=[])
-    manifest.generation += 1
-    manifest.segments = [s for s in manifest.segments if s.name != info.name] + [info]
-    if chunk_id is not None and chunk_id not in manifest.completed_chunks:
-        manifest.completed_chunks.append(chunk_id)
-    write_manifest(index_dir, manifest)
+    from whoosh_spark.index.lock import index_lock
+
+    # the read-modify-write below must not interleave with another
+    # committer's (reference WRITELOCK, index.py:342-372)
+    with index_lock(index_dir):
+        manifest = read_manifest(index_dir) if index_exists(index_dir) else None
+        if manifest is None:
+            manifest = Manifest(generation=0, schema=schema_to_dict(schema), segments=[])
+        manifest.generation += 1
+        manifest.segments = [s for s in manifest.segments if s.name != info.name] + [info]
+        if chunk_id is not None and chunk_id not in manifest.completed_chunks:
+            manifest.completed_chunks.append(chunk_id)
+        write_manifest(index_dir, manifest)
     return manifest
 
 

@@ -101,12 +101,15 @@ class Index:
         effect for documents indexed from now on (reference
         Index.add_field, index.py:228-238 / writing.py:600-604).
         Existing segments simply have no data for it."""
-        manifest = read_manifest(self.index_dir)
-        sch = schema_from_dict(manifest.schema)
-        sch.add(fieldname, fieldtype, glob=glob)
-        manifest.schema = schema_to_dict(sch)
-        manifest.generation += 1
-        write_manifest(self.index_dir, manifest)
+        from whoosh_spark.index.lock import index_lock
+
+        with index_lock(self.index_dir):
+            manifest = read_manifest(self.index_dir)
+            sch = schema_from_dict(manifest.schema)
+            sch.add(fieldname, fieldtype, glob=glob)
+            manifest.schema = schema_to_dict(sch)
+            manifest.generation += 1
+            write_manifest(self.index_dir, manifest)
         self.reload()
 
     def remove_field(self, fieldname: str) -> None:
@@ -116,14 +119,17 @@ class Index:
         next merge/optimize — reference Index.remove_field
         (index.py:240-248) + test_flexible.py:test_removefield/
         test_optimize_away."""
-        manifest = read_manifest(self.index_dir)
-        sch = schema_from_dict(manifest.schema)
-        if fieldname not in sch.fields and fieldname not in sch.dyn_fields:
-            raise ValueError(f"no field named {fieldname!r} in schema")
-        sch.remove(fieldname)
-        manifest.schema = schema_to_dict(sch)
-        manifest.generation += 1
-        write_manifest(self.index_dir, manifest)
+        from whoosh_spark.index.lock import index_lock
+
+        with index_lock(self.index_dir):
+            manifest = read_manifest(self.index_dir)
+            sch = schema_from_dict(manifest.schema)
+            if fieldname not in sch.fields and fieldname not in sch.dyn_fields:
+                raise ValueError(f"no field named {fieldname!r} in schema")
+            sch.remove(fieldname)
+            manifest.schema = schema_to_dict(sch)
+            manifest.generation += 1
+            write_manifest(self.index_dir, manifest)
         self.reload()
 
     def writer(self) -> "IndexWriter":

@@ -89,9 +89,15 @@ def merge_segments(
             "need at least two segments to merge, or one with tombstones "
             "or removed-field data to expunge")
 
-    name = next_segment_name(manifest)
-    seg_dir = os.path.join(index_dir, "segments", name)
-    os.makedirs(seg_dir, exist_ok=True)
+    # claim a fresh directory atomically (same race as build_segment)
+    while True:
+        name = next_segment_name(manifest, index_dir)
+        seg_dir = os.path.join(index_dir, "segments", name)
+        try:
+            os.makedirs(seg_dir, exist_ok=False)
+            break
+        except FileExistsError:
+            continue
 
     vpaths = lambda table: [os.path.join(s.path(index_dir), table) for s in victims]
     deletes = [
@@ -204,10 +210,13 @@ def merge_segments(
         stored_cols=list(docs.columns),
     )
 
-    manifest = read_manifest(index_dir)
-    manifest.generation += 1
-    manifest.segments = [s for s in manifest.segments if s.name not in set(victim_names)] + [info]
-    write_manifest(index_dir, manifest)
+    from whoosh_spark.index.lock import index_lock
+
+    with index_lock(index_dir):
+        manifest = read_manifest(index_dir)
+        manifest.generation += 1
+        manifest.segments = [s for s in manifest.segments if s.name not in set(victim_names)] + [info]
+        write_manifest(index_dir, manifest)
     for s in victims:
         shutil.rmtree(s.path(index_dir), ignore_errors=True)
     return info
@@ -216,14 +225,17 @@ def merge_segments(
 def clear_index(index_dir: str) -> list[str]:
     """CLEAR policy (reference writing.py:119-125): drop every existing
     segment; the next build starts from an empty index."""
-    manifest = read_manifest(index_dir)
-    names = [s.name for s in manifest.segments]
-    for s in manifest.segments:
-        shutil.rmtree(s.path(index_dir), ignore_errors=True)
-    manifest.generation += 1
-    manifest.segments = []
-    manifest.completed_chunks = []
-    write_manifest(index_dir, manifest)
+    from whoosh_spark.index.lock import index_lock
+
+    with index_lock(index_dir):
+        manifest = read_manifest(index_dir)
+        names = [s.name for s in manifest.segments]
+        for s in manifest.segments:
+            shutil.rmtree(s.path(index_dir), ignore_errors=True)
+        manifest.generation += 1
+        manifest.segments = []
+        manifest.completed_chunks = []
+        write_manifest(index_dir, manifest)
     return names
 
 
@@ -264,6 +276,13 @@ def apply_merge_policy(spark: SparkSession, index_dir: str, policy: str = "MERGE
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int]) -> int:
     """Tombstone the given doc_ids (per-segment deletes.parquet)."""
+    from whoosh_spark.index.lock import index_lock
+
+    with index_lock(index_dir):
+        return _delete_docs_locked(spark, index_dir, doc_ids)
+
+
+def _delete_docs_locked(spark: SparkSession, index_dir: str, doc_ids) -> int:
     manifest = read_manifest(index_dir)
     if isinstance(doc_ids, list):
         doc_ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")

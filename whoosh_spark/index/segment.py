@@ -131,8 +131,14 @@ def index_exists(index_dir: str) -> bool:
     return os.path.exists(manifest_path(index_dir))
 
 
-def next_segment_name(manifest: Manifest | None) -> str:
+def next_segment_name(manifest: Manifest | None, index_dir: str | None = None) -> str:
     taken = {s.name for s in manifest.segments} if manifest else set()
+    if index_dir is not None:
+        # also avoid on-disk directories (another writer's in-flight
+        # segment, or an interrupted build's leftovers)
+        segroot = os.path.join(index_dir, "segments")
+        if os.path.isdir(segroot):
+            taken |= set(os.listdir(segroot))
     i = len(taken)
     while f"seg_{i:06d}" in taken:
         i += 1
