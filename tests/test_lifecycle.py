@@ -65,3 +65,18 @@ def test_refresh_sees_new_commits(spark, tmp_path):
     assert stale.last_modified() > 0
     got = Searcher(stale).search(Q.Term("content", "alfa"), limit=5).collect()
     assert [r["doc_id"] for r in got] == [0]
+
+
+def test_index_optimize_method(spark, tmp_path):
+    d = str(tmp_path / "opt")
+    schema = IndexSchema.of(id=ID(stored=True), content=TEXT())
+    create_in(spark, d, schema)
+    for base in (0, 10):
+        build_segment(spark, spark.createDataFrame(
+            [Row(doc_id=base, id=f"d{base}", content="alfa")]),
+            schema, d, sha_col=None)
+    ix = open_dir(spark, d)
+    assert len(ix.manifest.segments) == 2
+    ix.optimize()
+    assert len(ix.manifest.segments) == 1
+    assert ix.doc_count() == 2

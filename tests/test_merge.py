@@ -70,8 +70,14 @@ def test_merge_small_policy_e2e(spark, multi_ix):
     assert m1.doc_count_all() == 30
     ix = Index(spark, multi_ix)
     assert ix.postings_for("value", ["alfa"]).count() == 30
-    # old segment dirs removed
+    # old segment dirs linger for the snapshot-isolation grace window,
+    # then clean_files removes exactly them (reference clean_files)
+    from whoosh_spark.index.merge import clean_files
+
     live = {s.name for s in m1.segments}
+    on_disk = set(os.listdir(os.path.join(multi_ix, "segments")))
+    assert live <= on_disk
+    clean_files(multi_ix, grace_secs=0.0)
     on_disk = set(os.listdir(os.path.join(multi_ix, "segments")))
     assert on_disk == live
 
@@ -146,3 +152,42 @@ def test_optimize_expunges_single_segment_tombstones(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got) == [5, 6, 7, 8, 9]
     # a clean single segment stays a no-op
     assert apply_merge_policy(spark, d, "OPTIMIZE") == []
+
+
+def test_merge_keeps_snapshot_for_open_readers(spark, tmp_path):
+    """Victim segment dirs survive a merge for the grace window, so a
+    reader holding the previous manifest snapshot keeps working
+    (reference clean_files generation semantics, index.py:374-403)."""
+    import os
+
+    from whoosh_spark.index.build import build_segment
+    from whoosh_spark.index.merge import clean_files, merge_segments
+    from whoosh_spark.schema import IndexSchema, ID, TEXT
+
+    d = str(tmp_path / "snap")
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    for base in (0, 10):
+        rows = [Row(doc_id=base + j, key=f"k{base+j}", value="alfa bravo")
+                for j in range(3)]
+        build_segment(spark, spark.createDataFrame(rows), schema, d,
+                      sha_col=None)
+
+    stale = Index(spark, d)                      # snapshot BEFORE the merge
+    old_names = [s.name for s in stale.manifest.segments]
+    assert len(old_names) == 2
+
+    merge_segments(spark, d, old_names)
+
+    # old dirs still on disk (grace window) -> the stale snapshot searches
+    for n in old_names:
+        assert os.path.isdir(os.path.join(d, "segments", n))
+    got = Searcher(stale).search(Q.Term("value", "alfa"), limit=10).collect()
+    assert len(got) == 6
+
+    # grace expired -> orphans removed; live segment untouched
+    removed = clean_files(d, grace_secs=0.0)
+    assert sorted(removed) == sorted(old_names)
+    fresh = Index(spark, d)
+    assert len(fresh.manifest.segments) == 1
+    got = Searcher(fresh).search(Q.Term("value", "alfa"), limit=10).collect()
+    assert len(got) == 6

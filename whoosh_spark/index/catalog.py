@@ -140,6 +140,14 @@ class Index:
 
         return IndexWriter(self)
 
+    def optimize(self) -> None:
+        """Merge everything into one tombstone-free segment (reference
+        Index.optimize, index.py:307-312)."""
+        from whoosh_spark.index.merge import apply_merge_policy
+
+        apply_merge_policy(self.spark, self.index_dir, "OPTIMIZE")
+        self.reload()
+
     def searcher(self, **kwargs):
         """A Searcher over this index (reference Index.searcher,
         index.py:319-327); usable as a context manager."""

@@ -217,9 +217,46 @@ def merge_segments(
         manifest.generation += 1
         manifest.segments = [s for s in manifest.segments if s.name not in set(victim_names)] + [info]
         write_manifest(index_dir, manifest)
-    for s in victims:
-        shutil.rmtree(s.path(index_dir), ignore_errors=True)
+    # victim dirs are NOT removed here: a reader holding the previous
+    # manifest snapshot may still be scanning them. They become orphans
+    # cleaned after a grace window (reference clean_files keeps prior
+    # generations alive the same way, index.py:374-403).
+    clean_files(index_dir)
     return info
+
+
+#: how long an unreferenced segment directory survives after it leaves the
+#: manifest — the snapshot-isolation window for concurrently open readers
+CLEAN_GRACE_SECS = 300.0
+
+
+def clean_files(index_dir: str, grace_secs: float = CLEAN_GRACE_SECS) -> list[str]:
+    """Remove segment directories no longer referenced by the CURRENT
+    manifest, once older than ``grace_secs`` (reference clean_files,
+    index.py:374-403: files of superseded generations are deleted only
+    when no reader can still need them; without open-file refcounting we
+    approximate with a time window). Returns the removed names."""
+    import time
+
+    manifest = read_manifest(index_dir)
+    live = {s.name for s in manifest.segments}
+    segroot = os.path.join(index_dir, "segments")
+    removed = []
+    if not os.path.isdir(segroot):
+        return removed
+    now = time.time()
+    for name in os.listdir(segroot):
+        if name in live:
+            continue
+        path = os.path.join(segroot, name)
+        try:
+            age = now - os.stat(path).st_mtime
+        except FileNotFoundError:
+            continue
+        if age >= grace_secs:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def clear_index(index_dir: str) -> list[str]:
@@ -230,12 +267,12 @@ def clear_index(index_dir: str) -> list[str]:
     with index_lock(index_dir):
         manifest = read_manifest(index_dir)
         names = [s.name for s in manifest.segments]
-        for s in manifest.segments:
-            shutil.rmtree(s.path(index_dir), ignore_errors=True)
         manifest.generation += 1
         manifest.segments = []
         manifest.completed_chunks = []
         write_manifest(index_dir, manifest)
+    # dirs linger for the snapshot-isolation grace window (clean_files)
+    clean_files(index_dir)
     return names
 
 
