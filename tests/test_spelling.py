@@ -123,3 +123,37 @@ def test_spelling_word_graph_matches_reference(spark, whoosh_ref, tmp_path):
             want = s.suggest("value", text, limit=limit, maxdist=maxdist, prefix=prefix)
         got = suggest(ix, "value", text, limit=limit, maxdist=maxdist, prefix=prefix)
         assert got == want, f"{text}: {got} != {want}"
+
+
+def test_correct_query_tree_matches_reference(pair, whoosh_ref):
+    """Searcher.correct_query(q, qstring) returns a Correction whose QUERY
+    tree has the misspelled terms replaced (reference
+    test_spelling.py:test_correct_query / searching.py:820-905)."""
+    import whoosh_spark.query as Q
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_spark.query.parser import QueryParser
+    from whoosh_spark.search import Searcher
+
+    ix, wix = pair
+    s = Searcher(ix)
+    qp = QueryParser("value", ix.schema)
+    wqp = WQP("value", wix.schema)
+
+    for qs in ["rendar bender", "rendar AND blendr",
+               '"rendar sender" OR zender', "render"]:
+        c = s.correct_query(qp.parse(qs), qs)
+        with wix.searcher() as ws:
+            want = ws.correct_query(wqp.parse(qs), qs)
+        assert c.string == want.string, qs
+        got_terms = sorted(c.query.all_terms())
+        want_terms = sorted((f, t if isinstance(t, str) else t.decode())
+                            for f, t in want.query.iter_all_terms())
+        assert got_terms == want_terms, qs
+        # the original tree is untouched (our replace copies)
+        assert sorted(c.original_query.all_terms()) == sorted(
+            qp.parse(qs).all_terms())
+
+    # string-only back-compat path
+    assert s.correct_query("rendar bender",
+                           default_field="value") == "render bender"

@@ -303,13 +303,21 @@ class Searcher:
         return spelling.suggest(self.index, fieldname, text, limit=limit,
                                 maxdist=maxdist, prefix=prefix)
 
-    def correct_query(self, qstring: str, default_field: str = "content",
-                      maxdist: int = 2, prefix: int = 0) -> str:
+    def correct_query(self, q, qstring: str | None = None,
+                      default_field: str | None = None,
+                      maxdist: int = 2, prefix: int = 0):
+        """Reference-shaped: pass a Query (+ optional original string) and
+        get a Correction with .query/.string (searching.py:820-905). A bare
+        string still works and returns the corrected string only."""
         from whoosh_spark.search import spelling
 
-        return spelling.correct_query_string(self.index, qstring,
-                                             default_field,
-                                             maxdist=maxdist, prefix=prefix)
+        if isinstance(q, str):
+            return spelling.correct_query_string(self.index, q,
+                                                 default_field or "content",
+                                                 maxdist=maxdist,
+                                                 prefix=prefix)
+        return spelling.correct_query(self.index, q, qstring, default_field,
+                                      maxdist=maxdist, prefix=prefix)
 
     def key_terms(self, docnums, fieldname: str, numterms: int = 5,
                   model: str = "bo1") -> list[tuple[str, float]]:

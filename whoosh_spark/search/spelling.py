@@ -159,3 +159,49 @@ def correct_query_terms(ix: Index, field: str, words: list[str],
         if sugs:
             out[w] = sugs[0]
     return out
+
+
+class Correction:
+    """Corrected version of a user query (reference spelling.py:178-230):
+    ``query``/``string`` carry the corrected forms, ``original_query``/
+    ``original_string`` the inputs."""
+
+    def __init__(self, original_query, query, original_string, string):
+        self.original_query = original_query
+        self.query = query
+        self.original_string = original_string
+        self.string = string
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({self.query!r}, {self.string!r})"
+
+
+def correct_query(ix: Index, q, qstring: str | None,
+                  default_field: str | None = None,
+                  maxdist: int = 2, prefix: int = 0) -> Correction:
+    """Reference Searcher.correct_query (searching.py:820-905): correct
+    every query term missing from its field's lexicon, rewriting both the
+    query TREE (Query.replace) and, when given, the original string.
+    ``default_field`` (for unfielded words in the string) defaults to the
+    query's dominant term field — the reference reads each token's field
+    off the parsed query, which for unfielded words IS the parser's
+    default field."""
+    from collections import Counter, defaultdict
+
+    by_field: dict[str, set] = defaultdict(set)
+    for fld, text in q.all_terms():
+        if fld in ix.schema:
+            by_field[fld].add(text)
+    if default_field is None:
+        counts = Counter(fld for fld, _ in q.all_terms() if fld in ix.schema)
+        default_field = counts.most_common(1)[0][0] if counts else "content"
+    corrected = q
+    for fld in sorted(by_field):
+        fixes = correct_query_terms(ix, fld, sorted(by_field[fld]),
+                                    maxdist=maxdist, prefix=prefix)
+        for old, new in sorted(fixes.items()):
+            corrected = corrected.replace(fld, old, new)
+    string = (correct_query_string(ix, qstring, default_field,
+                                   maxdist=maxdist, prefix=prefix)
+              if qstring is not None else None)
+    return Correction(q, corrected, qstring, string)
