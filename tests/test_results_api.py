@@ -201,3 +201,10 @@ def test_matched_terms_requires_flag(our_index):
         res[0].matched_terms()
     with pytest.raises(NoTermsException):
         res.matched_terms()
+
+
+def test_query_terms(our_index):
+    q = Q.Or([Q.Term("body", "alfa"), Q.Term("body", "zulu")])
+    res = Searcher(our_index).search_results(q, limit=5)
+    assert res.query_terms() == {("body", "alfa")}
+    assert res.query_terms(fieldname="title") == set()

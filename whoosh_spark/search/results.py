@@ -105,6 +105,15 @@ class Results:
         """(docnum, score) pairs in rank order."""
         return ((docnum, score) for score, docnum in self.top_n)
 
+    def query_terms(self, expand: bool = False, fieldname: str | None = None) -> set:
+        """The query's terms that exist in the index (reference
+        searching.py:1176-1178; ``expand`` is accepted for signature
+        parity — multiterm expansion happens in the engine)."""
+        out = self.q.existing_terms(self.searcher.index)
+        if fieldname is not None:
+            out = {(f, t) for f, t in out if f == fieldname}
+        return out
+
     # ---- matched terms (search_results(terms=True); reference
     # searching.py:1071-1090 + TermsCollector) ----
 
