@@ -208,3 +208,14 @@ def test_query_terms(our_index):
     res = Searcher(our_index).search_results(q, limit=5)
     assert res.query_terms() == {("body", "alfa")}
     assert res.query_terms(fieldname="title") == set()
+
+
+def test_estimated_lengths_bound_the_truth(our_index):
+    s = Searcher(our_index)
+    q = Q.Or([Q.Term("body", "alfa"), Q.Term("body", "bravo")])
+    res = s.search_results(q, limit=5)
+    true_n = len(s.search(q, limit=None).collect())
+    assert res.estimated_min_length() <= true_n <= res.estimated_length()
+    # once the exact total is known, the estimate collapses to it
+    assert len(res) == true_n
+    assert res.estimated_length() == true_n

@@ -96,10 +96,33 @@ class Results:
         return self._total is not None
 
     def estimated_length(self):
-        return len(self)
+        """Upper-bound hit estimate from term statistics without running
+        the unscored count (reference searching.py:1110-1130 delegates to
+        q.estimate_size); exact when the exact total is already known."""
+        if self._total is not None:
+            return self._total
+        from collections import defaultdict
+
+        from whoosh_spark.search.engine import _Stats
+
+        by_field = defaultdict(set)
+        for f, t in self.q.all_terms():
+            by_field[f].add(t)
+        stats = {}
+        ix = self.searcher.index
+        for f, ts in by_field.items():
+            for t, row in ix.term_stats(f, sorted(ts)).items():
+                stats[(f, t)] = row
+        try:
+            est = int(self.q.estimate_size(_Stats(stats, ix.doc_count_all())))
+        except NotImplementedError:
+            return len(self)
+        return min(est, ix.doc_count_all())
 
     def estimated_min_length(self):
-        return len(self)
+        # the scored hits are a true lower bound (reference
+        # estimate_min_size flavor)
+        return self.scored_length()
 
     def items(self):
         """(docnum, score) pairs in rank order."""
