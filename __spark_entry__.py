@@ -1004,6 +1004,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ix.remove_field("source")
         return ix.docs().orderBy("doc_id")
 
+    def writer_bm25(spark, sf):
+        # the buffered per-document writer end-to-end (reference
+        # ix.writer()/add_document idiom, writing.py:196-520): every doc
+        # enters through add_document and the result must score exactly
+        # like the bulk DataFrame build -> bm25_term's oracle verbatim
+        from whoosh_spark.index.catalog import create_in
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", "lang", "text")
+        n = docs.count()
+        name = os.path.basename(os.path.normpath(sf))
+        idx_dir = os.path.join(_CACHE_ROOT, f"writer_{name}_{n}")
+        rebuild = True
+        if index_exists(idx_dir):
+            try:
+                rebuild = read_manifest(idx_dir).doc_count_all() != n
+            except Exception:
+                rebuild = True
+        if rebuild:
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            ix = create_in(spark, idx_dir,
+                           IndexSchema.of(lang=ID(stored=True), text=TEXT()))
+            with ix.writer() as w:
+                for r in docs.collect():
+                    w.add_document(doc_id=int(r["doc_id"]), lang=r["lang"],
+                                   text=r["text"])
+        s = Searcher(Index(spark, idx_dir), exact_scores=False,
+                     cache_postings=False)
+        return _topk(s, Q.Term("text", "scan"))
+
     return {
         "bm25_term": bm25_term,
         "bm25_and2": bm25_and2,
@@ -1072,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_stats": stream_ingest_stats,
         "bm25_dynamic_field": bm25_dynamic_field,
         "schema_evolution_stored": schema_evolution_stored,
+        "writer_bm25": writer_bm25,
     }
 
 
@@ -1673,5 +1706,8 @@ FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "media_100.parquet"
     # remove_field: the dropped stored column must not surface
     sql["schema_evolution_stored"] = (
         "SELECT doc_id, lang FROM documents ORDER BY doc_id")
+    # per-document writer build must be score-identical to the bulk build
+    sql["writer_bm25"] = with_scores(
+        ["scan"], "SELECT doc_id, score FROM sc_scan")
 
     return sql
