@@ -219,3 +219,53 @@ def test_estimated_lengths_bound_the_truth(our_index):
     # once the exact total is known, the estimate collapses to it
     assert len(res) == true_n
     assert res.estimated_length() == true_n
+
+
+def test_search_results_groupedby_and_sortedby(spark, tmp_path, whoosh_ref):
+    """search_results(groupedby=) / (sortedby=) vs reference
+    search(groupedby=/sortedby=) on an identical corpus."""
+    from whoosh import fields, sorting as wsorting
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.query import Term as RTerm
+
+    rows = [(i, ["red", "green", "blue"][i % 3],
+             "alfa " + ("bravo" if i % 2 else "charlie"))
+            for i in range(12)]
+
+    d = str(tmp_path / "gidx")
+    schema = IndexSchema.of(cat=ID(stored=True), body=TEXT())
+    df = spark.createDataFrame([Row(doc_id=i, cat=c, body=b)
+                                for i, c, b in rows])
+    build_index(spark, df, schema, d, sha_col=None)
+    s = Searcher(Index(spark, d))
+
+    wschema = fields.Schema(doc_id=fields.NUMERIC(stored=True, bits=64),
+                            cat=fields.ID(stored=True),
+                            body=fields.TEXT)
+    wix = RamStorage().create_index(wschema)
+    w = wix.writer()
+    for i, c, b in rows:
+        w.add_document(doc_id=i, cat=c, body=b)
+    w.commit()
+
+    q = Q.Term("body", "bravo")
+    res = s.search_results(q, limit=None, groupedby="cat")
+    assert res.facet_names() == ["cat"]
+    with wix.searcher() as ws:
+        wres = ws.search(RTerm("body", "bravo"), limit=None,
+                         groupedby="cat")
+        want_groups = {k: list(v) for k, v in wres.groups("cat").items()}
+    assert res.groups("cat") == want_groups
+    assert res.groups() == want_groups  # single facet -> name optional
+
+    res2 = s.search_results(q, limit=None, sortedby="cat")
+    with wix.searcher() as ws:
+        wres2 = ws.search(RTerm("body", "bravo"), limit=None,
+                          sortedby="cat")
+        want_order = [h["doc_id"] for h in wres2]
+    assert [res2.docnum(i) for i in range(len(want_order))] == want_order
+    assert res2.score(0) is None  # unscored sort, reference parity
+
+    plain = s.search_results(q, limit=5)
+    with pytest.raises(KeyError):
+        plain.groups()

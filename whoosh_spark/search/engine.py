@@ -151,15 +151,34 @@ class Searcher:
         return df
 
     def search_results(self, q: Q.Query, limit: int | None = 10,
-                       terms: bool = False, **kw):
+                       terms: bool = False, sortedby=None,
+                       reverse: bool = False, groupedby=None, **kw):
         """Like :meth:`search` but returns the reference-style
         :class:`~whoosh_spark.search.results.Results` wrapper (list-like of
         Hit objects over the collected top-k; searching.py:934+).  The
         DataFrame API remains the scale path — this is the bounded-result
         convenience layer. ``terms=True`` records which query terms matched
-        each hit (reference search(terms=True) + hit.matched_terms())."""
+        each hit (reference search(terms=True) + hit.matched_terms());
+        ``sortedby=``/``reverse=`` order by stored field(s) instead of
+        score (hits carry score None, like the reference's unscored sort);
+        ``groupedby=`` attaches facet groups readable via
+        Results.groups() (reference search(groupedby=...))."""
         from whoosh_spark.search.results import Results
 
+        if sortedby is not None:
+            if terms:
+                raise ValueError("terms=True requires scored search "
+                                 "(no sortedby)")
+            from whoosh_spark.search.sorting import search_sorted
+
+            rows = search_sorted(self, q, sortedby, limit=limit,
+                                 reverse=reverse).select("doc_id").collect()
+            res = Results(self, q, [(None, r["doc_id"]) for r in rows],
+                          limit=limit)
+            return self._attach_groups(res, q, groupedby)
+        if groupedby is not None and not terms:
+            res = self.search_results(q, limit=limit, **kw)
+            return self._attach_groups(res, q, groupedby)
         if terms:
             from whoosh_spark.search.sorting import matched_terms
 
@@ -171,10 +190,24 @@ class Searcher:
                               for p in (r["matched_terms"] or [])}
                 for r in rows
             }
-            return res
+            return self._attach_groups(res, q, groupedby)
         rows = self.search(q, limit=limit, **kw).collect()
         return Results(self, q, [(r["score"], r["doc_id"]) for r in rows],
                        limit=limit)
+
+    def _attach_groups(self, res, q: Q.Query, groupedby):
+        """Record facet groups on a Results (reference FacetCollector with
+        the default OrderedList map: facet value -> ranked doc ids)."""
+        if groupedby is None:
+            return res
+        from whoosh_spark.search.sorting import facet_groups
+
+        names = [groupedby] if isinstance(groupedby, str) else list(groupedby)
+        res._groups = {}
+        for name in names:
+            rows = facet_groups(self, q, name).collect()
+            res._groups[name] = {r["value"]: list(r["doc_ids"]) for r in rows}
+        return res
 
     def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10, **kw):
         """Reference Searcher.search_page (searching.py:587-639): search

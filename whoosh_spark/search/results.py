@@ -128,6 +128,24 @@ class Results:
         """(docnum, score) pairs in rank order."""
         return ((docnum, score) for score, docnum in self.top_n)
 
+    def facet_names(self) -> list[str]:
+        """Names of the facets this search was grouped by (reference
+        searching.py:1042-1048)."""
+        return sorted(getattr(self, "_groups", {}) or {})
+
+    def groups(self, name: str | None = None) -> dict:
+        """Facet value -> ranked doc ids, for a search run with
+        ``groupedby=`` (reference Results.groups, searching.py:1050-1069;
+        name optional when only one facet was used)."""
+        gs = getattr(self, "_groups", None)
+        if not gs:
+            raise KeyError("results were not grouped (pass groupedby=)")
+        if name is None:
+            if len(gs) == 1:
+                return next(iter(gs.values()))
+            raise KeyError(f"multiple facets {sorted(gs)}; pass a name")
+        return gs[name]
+
     def query_terms(self, expand: bool = False, fieldname: str | None = None) -> set:
         """The query's terms that exist in the index (reference
         searching.py:1176-1178; ``expand`` is accepted for signature
