@@ -177,6 +177,35 @@ def topk(scores: dict[int, float], nd: int = 9):
                   key=lambda x: (-x[1], x[0]))[:K]
 
 
+def canon(rows) -> list:
+    """(doc, rounded-score) rows re-sorted by (score desc, doc asc): docs
+    whose scores agree at nd digits form a tie GROUP whose internal order
+    is not comparable across float-association orders (the engine and the
+    python oracle can differ by 1 ulp inside a group, flipping it).
+    Bit-exactness against the real reference is asserted in
+    tests/test_search_differential.py; this campaign checks semantics."""
+    return sorted(rows, key=lambda x: (-x[1], x[0]))
+
+
+def equivalent_topk(got, want) -> bool:
+    """Equal after tie-group canonicalization; the k-th (boundary) score
+    group additionally only needs matching GROUP SIZE, because a 1-ulp
+    flip at the cut can legitimately swap which tied doc makes top-k."""
+    if len(got) != len(want):
+        return False
+    if not got:
+        return True
+    g, w = canon(got), canon(want)
+    if g == w:
+        return True
+    gb, wb = g[-1][1], w[-1][1]
+    if gb != wb:
+        return False
+    g_in = [x for x in g if x[1] > gb]
+    w_in = [x for x in w if x[1] > wb]
+    return g_in == w_in
+
+
 def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
     docs = fz._docs()
     from pyspark.sql import Row
@@ -211,7 +240,7 @@ def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
                    for r in srch.search(q, limit=K,
                                         use_wand=(name == "wand")).collect()]
             wr = [(dd, round(ss, nd)) for dd, ss in want]
-            if got != wr:
+            if not equivalent_topk(got, wr):
                 fails += 1
                 print(f"MISMATCH seed={base_seed + i} path={name}\n"
                       f"  q={q!r}\n  got ={got}\n  want={wr}")
@@ -219,7 +248,7 @@ def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
             want_t = topk(oracle.tfidf_eval(rq))
             got_t = [(r["doc_id"], round(r["score"], 9))
                      for r in s_tfidf.search(q, limit=K).collect()]
-            if got_t != want_t:
+            if not equivalent_topk(got_t, want_t):
                 fails += 1
                 print(f"MISMATCH seed={base_seed + i} path=tfidf\n"
                       f"  q={q!r}\n  got ={got_t}\n  want={want_t}")
