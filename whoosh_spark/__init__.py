@@ -20,6 +20,15 @@ join strategy; Python appears only inside Arrow-batched pandas UDFs.
 
 __version__ = "0.1.0"
 
-from whoosh_spark.schema import IndexSchema, TEXT, ID, NUMERIC, STORED
+from whoosh_spark.index import (Index, build_index, create_in, exists_in,
+                                open_dir)
+from whoosh_spark.schema import (BOOLEAN, DATETIME, ID, KEYWORD, NGRAM,
+                                 NGRAMWORDS, NUMERIC, STORED, TEXT,
+                                 IndexSchema)
 
-__all__ = ["IndexSchema", "TEXT", "ID", "NUMERIC", "STORED", "__version__"]
+__all__ = [
+    "IndexSchema", "TEXT", "ID", "KEYWORD", "NUMERIC", "DATETIME",
+    "BOOLEAN", "NGRAM", "NGRAMWORDS", "STORED",
+    "Index", "build_index", "create_in", "open_dir", "exists_in",
+    "__version__",
+]
