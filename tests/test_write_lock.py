@@ -84,3 +84,31 @@ def test_concurrent_commits_keep_every_segment(spark, tmp_path):
     assert len({s.name for s in ix.manifest.segments}) == n_writers
     got = Searcher(ix).search(Q.Term("body", "alfa"), limit=None).collect()
     assert len(got) == n_writers * 3
+
+
+def test_lock_keepalive_prevents_stale_break(tmp_path, monkeypatch):
+    """A long-held lock stays fresh via the heartbeat: another writer must
+    wait (or time out), never break a LIVE lock."""
+    import whoosh_spark.index.lock as lk
+
+    monkeypatch.setattr(lk, "STALE_SECS", 0.3)   # heartbeat every 0.1s
+    d = str(tmp_path / "lk3")
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with lk.index_lock(d):
+            entered.set()
+            release.wait(5.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    entered.wait(5.0)
+    time.sleep(0.8)  # well past STALE_SECS — heartbeat must keep it live
+    with pytest.raises(lk.LockError):
+        with lk.index_lock(d, timeout=0.4):
+            pass
+    release.set()
+    t.join()
+    with lk.index_lock(d, timeout=1.0):  # released -> acquirable
+        pass

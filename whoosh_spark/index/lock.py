@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 
 LOCK_NAME = "write.lock"
@@ -60,8 +61,22 @@ def index_lock(index_dir: str, timeout: float = TIMEOUT_SECS):
                     f"could not acquire {path} within {timeout}s "
                     f"(held for {age:.0f}s)") from None
             time.sleep(RETRY_SECS)
+    # keepalive: a mutation legitimately holding the lock through long
+    # Spark jobs (e.g. tombstone writes over many segments) must not look
+    # stale to other writers — touch the lock while held
+    stop = threading.Event()
+
+    def _heartbeat():
+        while not stop.wait(STALE_SECS / 3):
+            with contextlib.suppress(FileNotFoundError):
+                os.utime(path)
+
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
+        hb.join(timeout=1.0)
         with contextlib.suppress(FileNotFoundError):
             os.unlink(path)
