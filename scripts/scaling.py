@@ -302,8 +302,18 @@ Notes
   run 4.6x faster under chunk-intersection skipping (91% pruned),
   which IS their default plan.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written evidence sections (2M robustness run,
+    # spark-submit deployment) appended after the generated part
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## Robustness")
+        if idx != -1:
+            extra = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + extra)
 
 
 if __name__ == "__main__":
