@@ -1037,7 +1037,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk(s, Q.Term("text", "scan"))
 
     return {
-        "bm25_term": bm25_term,
+        # ---- run order note (round 5): the driver's correctness gate has
+        # a finite budget — round 4 recorded only the first 50 of 68
+        # entries. Entries NEVER yet driver-checked run first, then the
+        # ones that were green in r03 but cut from r04, then the
+        # long-proven r03+r04-green core. Every entry is also verified
+        # locally via scripts/check_oracle.py (CORRECTNESS_LOCAL_r05.json).
+        "bm25_term": bm25_term,  # flagship first: warms the shared index
+        # never driver-checked (added late in round 4)
+        "posboost_stored": posboost_stored,
+        "bm25_stemmed_de": bm25_stemmed_de,
+        "media_features": media_features,
+        "stream_dedup": stream_dedup,
+        "stream_ingest_stats": stream_ingest_stats,
+        "bm25_dynamic_field": bm25_dynamic_field,
+        "schema_evolution_stored": schema_evolution_stored,
+        "writer_bm25": writer_bm25,
+        # green in r03, cut from r04's truncated run
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "kmeans_1d": kmeans_1d,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_exact": embedding_neardup_exact,
+        "bm25_token_boost": bm25_token_boost,
+        "bm25_stemmed": bm25_stemmed,
+        # r03+r04-proven core
         "bm25_and2": bm25_and2,
         "bm25_or3": bm25_or3,
         "bm25_andnot": bm25_andnot,
@@ -1087,24 +1114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": simhash_neardup,
         "token_count": token_count,
         "quality_score": quality_score,
-        "lang_id": lang_id,
-        "doc_fingerprint": doc_fingerprint,
-        "ann_brute_topk": ann_brute_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "kmeans_1d": kmeans_1d,
-        "embedding_neardup": embedding_neardup,
-        "embedding_neardup_exact": embedding_neardup_exact,
-        "bm25_token_boost": bm25_token_boost,
-        "bm25_stemmed": bm25_stemmed,
-        "posboost_stored": posboost_stored,
-        "bm25_stemmed_de": bm25_stemmed_de,
-        "media_features": media_features,
-        "stream_dedup": stream_dedup,
-        "stream_ingest_stats": stream_ingest_stats,
-        "bm25_dynamic_field": bm25_dynamic_field,
-        "schema_evolution_stored": schema_evolution_stored,
-        "writer_bm25": writer_bm25,
     }
 
 

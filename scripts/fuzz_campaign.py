@@ -187,10 +187,14 @@ def canon(rows) -> list:
     return sorted(rows, key=lambda x: (-x[1], x[0]))
 
 
-def equivalent_topk(got, want) -> bool:
+def equivalent_topk(got, want, want_full=None) -> bool:
     """Equal after tie-group canonicalization; the k-th (boundary) score
-    group additionally only needs matching GROUP SIZE, because a 1-ulp
-    flip at the cut can legitimately swap which tied doc makes top-k."""
+    group only needs matching GROUP SIZE — a 1-ulp flip at the cut can
+    legitimately swap WHICH tied doc makes top-k — but every engine doc at
+    the boundary score must come from the oracle's tie group at that score
+    (``want_full``: the oracle's complete untruncated rows; without it the
+    check can only see the oracle's in-k boundary docs). An engine result
+    with fabricated doc ids at the boundary therefore fails."""
     if len(got) != len(want):
         return False
     if not got:
@@ -203,7 +207,12 @@ def equivalent_topk(got, want) -> bool:
         return False
     g_in = [x for x in g if x[1] > gb]
     w_in = [x for x in w if x[1] > wb]
-    return g_in == w_in
+    if g_in != w_in:
+        return False
+    g_tie = {d for d, s in g if s == gb}
+    cand_rows = want if want_full is None else want_full
+    candidates = {d for d, s in cand_rows if s == wb}
+    return g_tie <= candidates
 
 
 def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
@@ -227,7 +236,8 @@ def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
         rng = random.Random(base_seed + i)
         q = gen(rng)
         rq = resolve_multiterms(q)
-        want = topk(oracle.eval(rq))
+        raw = oracle.eval(rq)
+        want = topk(raw)
         configs = [("local", s_local, 9)]
         if i % 4 == 0:
             configs.append(("dist", s_dist, 9))
@@ -240,15 +250,20 @@ def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
                    for r in srch.search(q, limit=K,
                                         use_wand=(name == "wand")).collect()]
             wr = [(dd, round(ss, nd)) for dd, ss in want]
-            if not equivalent_topk(got, wr):
+            # the oracle's COMPLETE row set at this rounding (same
+            # double-round as wr) anchors the boundary-tie check
+            wf = [(dd, round(round(ss, 9), nd)) for dd, ss in raw.items()]
+            if not equivalent_topk(got, wr, want_full=wf):
                 fails += 1
                 print(f"MISMATCH seed={base_seed + i} path={name}\n"
                       f"  q={q!r}\n  got ={got}\n  want={wr}")
         if i % 10 == 5:  # TF_IDF slice on the distributed path
-            want_t = topk(oracle.tfidf_eval(rq))
+            raw_t = oracle.tfidf_eval(rq)
+            want_t = topk(raw_t)
             got_t = [(r["doc_id"], round(r["score"], 9))
                      for r in s_tfidf.search(q, limit=K).collect()]
-            if not equivalent_topk(got_t, want_t):
+            wf_t = [(dd, round(ss, 9)) for dd, ss in raw_t.items()]
+            if not equivalent_topk(got_t, want_t, want_full=wf_t):
                 fails += 1
                 print(f"MISMATCH seed={base_seed + i} path=tfidf\n"
                       f"  q={q!r}\n  got ={got_t}\n  want={want_t}")

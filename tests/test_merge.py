@@ -191,3 +191,87 @@ def test_merge_keeps_snapshot_for_open_readers(spark, tmp_path):
     assert len(fresh.manifest.segments) == 1
     got = Searcher(fresh).search(Q.Term("value", "alfa"), limit=10).collect()
     assert len(got) == 6
+
+
+def test_midmerge_delete_not_resurrected(spark, tmp_path, monkeypatch):
+    """A delete_docs landing between a merge's snapshot and its commit must
+    survive the merge: the commit section compares victims' deleted_count
+    under the lock and re-applies late tombstones to the merged segment."""
+    import contextlib
+
+    import whoosh_spark.index.lock as lockmod
+    from whoosh_spark.index.build import build_segment
+    from whoosh_spark.index.merge import _delete_docs_locked, merge_segments
+
+    d = str(tmp_path / "mmd")
+    schema = IndexSchema.of(body=TEXT())
+    build_index(spark, spark.createDataFrame(
+        [Row(doc_id=i, body=f"alfa doc{i}") for i in range(5)]),
+        schema, d, sha_col=None)
+    build_segment(spark, spark.createDataFrame(
+        [Row(doc_id=i, body=f"alfa doc{i}") for i in range(5, 10)]),
+        Index(spark, d).schema, d, sha_col=None)
+
+    real_lock = lockmod.index_lock
+    fired = {"done": False}
+
+    @contextlib.contextmanager
+    def race_lock(index_dir, timeout=lockmod.TIMEOUT_SECS):
+        # fire ONCE, at the merge's commit-lock acquisition: the delete
+        # lands after the merge read its snapshot but before the swap
+        if not fired["done"]:
+            fired["done"] = True
+            _delete_docs_locked(spark, d, [3, 7])
+        with real_lock(index_dir, timeout):
+            yield
+
+    monkeypatch.setattr(lockmod, "index_lock", race_lock)
+    victims = [s.name for s in Index(spark, d).manifest.segments]
+    info = merge_segments(spark, d, victims)
+    assert info.has_deletes and info.deleted_count == 2
+
+    ix = Index(spark, d)
+    assert len(ix.manifest.segments) == 1
+    live = sorted(r["doc_id"] for r in ix.docs().collect())
+    assert live == [0, 1, 2, 4, 5, 6, 8, 9]
+    got = sorted(r["doc_id"] for r in
+                 Searcher(ix).search(Q.Term("body", "alfa"), limit=None).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_merge_aborts_when_victim_replaced(spark, tmp_path, monkeypatch):
+    """If a victim segment vanished from the manifest during the rewrite
+    (e.g. a concurrent merge already committed over it), committing would
+    resurrect its removed docs — the merge must abort instead."""
+    import contextlib
+
+    import whoosh_spark.index.lock as lockmod
+    from whoosh_spark.index.build import build_segment
+    from whoosh_spark.index.merge import merge_segments
+    from whoosh_spark.index.segment import write_manifest
+
+    d = str(tmp_path / "mab")
+    schema = IndexSchema.of(body=TEXT())
+    build_index(spark, spark.createDataFrame(
+        [Row(doc_id=0, body="alfa")]), schema, d, sha_col=None)
+    build_segment(spark, spark.createDataFrame(
+        [Row(doc_id=1, body="bravo")]), Index(spark, d).schema, d, sha_col=None)
+
+    real_lock = lockmod.index_lock
+    fired = {"done": False}
+
+    @contextlib.contextmanager
+    def race_lock(index_dir, timeout=lockmod.TIMEOUT_SECS):
+        if not fired["done"]:
+            fired["done"] = True
+            m = read_manifest(d)
+            m.segments = m.segments[1:]  # concurrent commit replaced victim 0
+            m.generation += 1
+            write_manifest(d, m)
+        with real_lock(index_dir, timeout):
+            yield
+
+    monkeypatch.setattr(lockmod, "index_lock", race_lock)
+    victims = [s.name for s in Index(spark, d).manifest.segments]
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        merge_segments(spark, d, victims)

@@ -159,3 +159,26 @@ def test_matched_terms(b4, whoosh_ref):
     )
     got = {r["doc_id"]: list(r["matched_terms"]) for r in got_df.collect()}
     assert got == want
+
+
+def test_sorted_search_respects_filter_and_mask(spark, b4):
+    """search_results(sortedby=...) must honor filter_q/mask_q (they fold
+    into the match set as Require/AndNot on the unscored path); unknown
+    kwargs raise instead of being silently dropped."""
+    ix, _ = b4
+    s = Searcher(ix)
+    every = Q.Term("ev", "a")
+
+    res = s.search_results(every, limit=None, sortedby="num",
+                           filter_q=Q.Term("tag", "three"))
+    ids = [h["id"] for h in res]
+    assert ids == ["xray", "whiskey", "alfa", "bravo"]
+
+    res = s.search_results(every, limit=None, sortedby="num",
+                           mask_q=Q.Term("tag", "three"))
+    ids = [h["id"] for h in res]
+    assert ids == ["foxtrot", "sierra", "tango", "yankee", "zulu"]
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="unsupported search kwargs"):
+        s.search_results(every, sortedby="num", bogus_kwarg=1)

@@ -112,3 +112,68 @@ def test_lock_keepalive_prevents_stale_break(tmp_path, monkeypatch):
     t.join()
     with lk.index_lock(d, timeout=1.0):  # released -> acquirable
         pass
+
+
+def test_release_verifies_owner_token(tmp_path):
+    """finally-release must not unlink a SUCCESSOR's lock: if ours was
+    broken and re-acquired while we held it, the token no longer matches
+    and release leaves the new holder's file alone."""
+    d = str(tmp_path / "tok1")
+    os.makedirs(d)
+    path = os.path.join(d, LOCK_NAME)
+    with index_lock(d):
+        os.unlink(path)  # a breaker removed our (apparently stale) lock
+        with open(path, "w") as f:
+            f.write("successor:deadbeef\n")
+    assert os.path.exists(path), "release unlinked a lock it did not own"
+    with open(path) as f:
+        assert f.readline().strip() == "successor:deadbeef"
+
+
+def test_stale_break_single_winner_no_overlap(tmp_path):
+    """Several waiters racing to break the same stale lock: the rename-to-
+    unique break means exactly one path wins; holders never overlap."""
+    d = str(tmp_path / "tok2")
+    os.makedirs(d)
+    path = os.path.join(d, LOCK_NAME)
+    with open(path, "w") as f:
+        f.write("dead:writer\n")
+    old = time.time() - 10_000
+    os.utime(path, (old, old))
+
+    active, overlap, guard = [], [], threading.Lock()
+
+    def worker(i):
+        with index_lock(d, timeout=10.0):
+            with guard:
+                if active:
+                    overlap.append((i, list(active)))
+                active.append(i)
+            time.sleep(0.05)
+            with guard:
+                active.remove(i)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not overlap, f"two holders at once after stale break: {overlap}"
+    assert not os.path.exists(path)
+
+
+def test_heartbeat_stops_after_lock_stolen(tmp_path, monkeypatch):
+    """Once broken-and-reacquired, the OLD holder's heartbeat must not
+    refresh the new lock file (token check in _heartbeat)."""
+    import whoosh_spark.index.lock as lk
+
+    monkeypatch.setattr(lk, "STALE_SECS", 0.3)
+    d = str(tmp_path / "tok3")
+    os.makedirs(d)
+    path = os.path.join(d, LOCK_NAME)
+    with lk.index_lock(d):
+        os.unlink(path)
+        with open(path, "w") as f:
+            f.write("successor:cafe\n")
+        old = time.time() - 100
+        os.utime(path, (old, old))
+        time.sleep(0.45)  # > heartbeat interval; must NOT utime foreign lock
+        assert time.time() - os.stat(path).st_mtime > 50

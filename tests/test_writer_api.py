@@ -102,3 +102,50 @@ def test_commit_merge_policy(ix):
     assert len(ix.manifest.segments) < 7
     with ix.searcher() as s:
         assert len(s.search(Q.Term("body", "shared"), limit=20).collect()) == 7
+
+
+def test_stored_dtypes_consistent_across_commits(spark, tmp_path):
+    """Stored columns are cast to ONE canonical dtype per schema kind at
+    segment-write time: an all-None NUMERIC batch, an int batch, and a
+    float batch must produce merge-compatible docs.parquet segments (the
+    old behavior let pandas inference pin string/bigint/double per batch
+    and docs()'s mergeSchema read then threw)."""
+    from whoosh_spark.schema import NUMERIC
+
+    d = str(tmp_path / "wdtype")
+    ix = create_in(spark, d, IndexSchema.of(
+        body=TEXT(), n=NUMERIC(), k=ID(stored=True)))
+    with ix.writer() as w:
+        w.add_document(doc_id=0, body="alfa", k="a", n=None)  # all-None batch
+    with ix.writer() as w:
+        w.add_document(doc_id=1, body="bravo", k="b", n=7)    # int batch
+    with ix.writer() as w:
+        w.add_document(doc_id=2, body="charlie", k="c", n=2.5)  # float batch
+    ix.reload()
+    docs = ix.docs()
+    assert dict(docs.dtypes)["n"] == "double"
+    rows = {r["doc_id"]: r["n"] for r in docs.collect()}
+    assert rows == {0: None, 1: 7.0, 2: 2.5}
+
+
+def test_stored_glob_numeric_widths_merge(spark, tmp_path):
+    """Untyped (glob STORED) numeric payloads collapse to double so an
+    int-only segment and a float segment still merge-read."""
+    from pyspark.sql import Row
+
+    from whoosh_spark.index import build_index
+    from whoosh_spark.index.build import build_segment
+    from whoosh_spark.schema import STORED
+
+    d = str(tmp_path / "globw")
+    schema = IndexSchema(fields={}, dyn_fields={})
+    schema.add("f*", STORED, glob=True)
+    schema.add("key", ID(stored=True))
+    build_index(spark, spark.createDataFrame(
+        [Row(doc_id=0, key="k0", f1=1)]), schema, d, sha_col=None)
+    build_segment(spark, spark.createDataFrame(
+        [Row(doc_id=1, key="k1", f1=2.5)]),
+        Index(spark, d).schema, d, sha_col=None)
+    ix = Index(spark, d)
+    rows = {r["doc_id"]: r["f1"] for r in ix.docs().collect()}
+    assert rows == {0: 1.0, 1: 2.5}

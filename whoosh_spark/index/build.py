@@ -425,6 +425,36 @@ def _encode_rows(pdf: pd.DataFrame, starts: np.ndarray, total: int) -> pd.DataFr
 
 # ------------------------------------------------------------------ build
 
+#: canonical docs.parquet dtype per typed schema kind (mirrors
+#: catalog.Index._KIND_DTYPES — the empty-index read assumes the same)
+_STORED_KIND_TYPES = {"numeric": "double", "datetime": "timestamp",
+                      "boolean": "boolean"}
+
+_NUMERIC_SPARK_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                        T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _canonical_stored_col(docs: DataFrame, c: str, kind: str):
+    """One canonical Spark type per stored field, independent of what a
+    particular batch's pandas/py4j inference produced, so docs.parquet
+    dtypes never conflict across segments (catalog.docs() merge-reads)."""
+    dt = docs.schema[c].dataType
+    pin = _STORED_KIND_TYPES.get(kind)
+    if pin is not None:
+        return F.col(c).cast(pin)
+    if kind == "stored":
+        # arbitrary payloads: numeric widths collapse to double (an
+        # int-only batch and a float batch must still merge); all-None
+        # stays readable as string; anything else passes through
+        if isinstance(dt, _NUMERIC_SPARK_TYPES):
+            return F.col(c).cast("double")
+        if isinstance(dt, T.NullType):
+            return F.col(c).cast("string")
+        return F.col(c)
+    # text-ish kinds (text/id/keyword/ngram...) are strings by definition
+    return F.col(c).cast("string")
+
+
 def build_segment(
     spark: SparkSession,
     docs: DataFrame,
@@ -464,8 +494,14 @@ def build_segment(
     schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
 
     # ---- docs (stored fields) + ingest-fidelity sha256 ----
+    # Every stored column is cast to ONE canonical Spark type per schema
+    # kind so segments written by different batches/writers always agree
+    # on docs.parquet dtypes — otherwise docs()'s mergeSchema read throws
+    # "Failed to merge incompatible data types" (e.g. an all-None NUMERIC
+    # batch inferring string, or int/float mixing across writer commits).
     stored_cols = [F.col(doc_id_col).alias("doc_id")] + [
-        F.col(c) for c in schema.stored_fields() if c in docs.columns and c != doc_id_col
+        _canonical_stored_col(docs, c, schema[c].kind)
+        for c in schema.stored_fields() if c in docs.columns and c != doc_id_col
     ]
     if sha_col and sha_col in docs.columns:
         stored_cols.append(F.sha2(F.col(sha_col).cast("string"), 256).alias("content_sha256"))

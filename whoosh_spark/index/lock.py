@@ -22,6 +22,7 @@ import contextlib
 import os
 import threading
 import time
+import uuid
 
 LOCK_NAME = "write.lock"
 STALE_SECS = 300.0
@@ -33,16 +34,35 @@ class LockError(Exception):
     pass
 
 
+def _read_owner(path: str) -> str | None:
+    try:
+        with open(path, "r") as f:
+            return f.readline().strip()
+    except OSError:
+        return None
+
+
 @contextlib.contextmanager
 def index_lock(index_dir: str, timeout: float = TIMEOUT_SECS):
-    """Hold the index's advisory write lock for a manifest mutation."""
+    """Hold the index's advisory write lock for a manifest mutation.
+
+    Every acquisition writes an owner token (pid + random nonce) as the
+    lock file's first line; release, heartbeat, and stale-breaking all
+    verify the token, so (a) two waiters can't both break the same stale
+    lock and both acquire, (b) a breaker can't remove a lock that was
+    heartbeat-refreshed or re-acquired between its stat and unlink, and
+    (c) a holder's finally-release can't remove a successor's lock after
+    its own was broken. Breaking goes through rename-to-unique-name: only
+    one renamer can win, and the staleness re-check happens on the renamed
+    file, which the breaker owns exclusively."""
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, LOCK_NAME)
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.write(fd, f"{token}\n{time.time()}\n".encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -52,9 +72,28 @@ def index_lock(index_dir: str, timeout: float = TIMEOUT_SECS):
                 continue  # released between open and stat; retry now
             if age > STALE_SECS:
                 # break a dead writer's lock (reference storage locks are
-                # advisory the same way)
+                # advisory the same way). Rename-to-unique first: exactly
+                # one breaker wins the rename; the loser just retries.
+                probe = f"{path}.stale.{uuid.uuid4().hex}"
+                try:
+                    os.rename(path, probe)
+                except FileNotFoundError:
+                    continue
+                try:
+                    still_stale = time.time() - os.stat(probe).st_mtime > STALE_SECS
+                except FileNotFoundError:
+                    continue
+                if still_stale:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(probe)
+                    continue  # compete for the lock via O_EXCL as usual
+                # raced a heartbeat refresh — the holder is alive. Restore
+                # the lock without clobbering anyone who slipped in
+                # (os.link fails on an existing target, unlike rename).
+                with contextlib.suppress(FileExistsError, FileNotFoundError):
+                    os.link(probe, path)
                 with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
+                    os.unlink(probe)
                 continue
             if time.monotonic() > deadline:
                 raise LockError(
@@ -63,13 +102,16 @@ def index_lock(index_dir: str, timeout: float = TIMEOUT_SECS):
             time.sleep(RETRY_SECS)
     # keepalive: a mutation legitimately holding the lock through long
     # Spark jobs (e.g. tombstone writes over many segments) must not look
-    # stale to other writers — touch the lock while held
+    # stale to other writers — touch the lock while held (only while we
+    # still own it: a broken-then-reacquired lock must not be refreshed
+    # by the old holder)
     stop = threading.Event()
 
     def _heartbeat():
         while not stop.wait(STALE_SECS / 3):
-            with contextlib.suppress(FileNotFoundError):
-                os.utime(path)
+            if _read_owner(path) == token:
+                with contextlib.suppress(FileNotFoundError):
+                    os.utime(path)
 
     hb = threading.Thread(target=_heartbeat, daemon=True)
     hb.start()
@@ -78,5 +120,6 @@ def index_lock(index_dir: str, timeout: float = TIMEOUT_SECS):
     finally:
         stop.set()
         hb.join(timeout=1.0)
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        if _read_owner(path) == token:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)

@@ -81,6 +81,12 @@ def merge_segments(
     manifest generation. Deleted docs are dropped permanently."""
     manifest = read_manifest(index_dir)
     victims = [s for s in manifest.segments if s.name in set(victim_names)]
+    # Snapshot each victim's delete state NOW: the rewrite below runs
+    # outside the index lock, so a concurrent delete_docs can tombstone
+    # victim docs mid-merge. The commit section compares these counts
+    # against the re-read manifest and re-applies any late tombstones to
+    # the merged segment instead of silently resurrecting the docs.
+    victim_del_counts = {s.name: s.deleted_count for s in victims}
     ix = Index(spark, index_dir)
     if len(victims) < 2 and not (
         len(victims) == 1 and (victims[0].has_deletes or ix._ghost_fields)
@@ -214,6 +220,39 @@ def merge_segments(
 
     with index_lock(index_dir):
         manifest = read_manifest(index_dir)
+        fresh = {s.name: s for s in manifest.segments if s.name in set(victim_names)}
+        if len(fresh) != len(victims):
+            # another committer already replaced a victim (e.g. a
+            # concurrent merge) — committing would resurrect its docs
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            missing = sorted(set(victim_names) - set(fresh))
+            raise RuntimeError(
+                f"merge aborted: victim segment(s) {missing} were replaced "
+                "by a concurrent commit during the merge")
+        # tombstones added by a concurrent delete_docs during the rewrite:
+        # the merged postings/docs were built from a stale snapshot, so
+        # carry the late deletes forward as a deletes.parquet on the
+        # merged segment (doc_ids are globally stable across segments)
+        changed = [
+            s for s in fresh.values()
+            if s.has_deletes and s.deleted_count != victim_del_counts.get(s.name, 0)
+        ]
+        if changed:
+            late = (
+                spark.read.parquet(
+                    *[os.path.join(s.path(index_dir), "deletes.parquet") for s in changed])
+                .select("doc_id").distinct()
+            )
+            merged_ids = spark.read.parquet(
+                os.path.join(seg_dir, "docs.parquet")).select("doc_id")
+            still = late.join(merged_ids, on="doc_id", how="left_semi").persist()
+            n_late = still.count()
+            if n_late:
+                still.write.mode("overwrite").parquet(
+                    os.path.join(seg_dir, "deletes.parquet"))
+                info.has_deletes = True
+                info.deleted_count = n_late
+            still.unpersist()
         manifest.generation += 1
         manifest.segments = [s for s in manifest.segments if s.name not in set(victim_names)] + [info]
         write_manifest(index_dir, manifest)

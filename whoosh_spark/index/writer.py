@@ -159,8 +159,12 @@ class IndexWriter:
         self.cancel()  # clears buffers + closes
 
     def _rows_to_df(self, rows: list[dict], ix: Index):
-        """Driver rows -> DataFrame via pandas (Arrow LocalRelation path);
-        an all-None column is pinned to string so it can't infer NullType."""
+        """Driver rows -> DataFrame via pandas (Arrow LocalRelation path).
+        An all-None column is pinned to the schema kind's canonical dtype
+        (not blanket string) so it can't infer NullType OR conflict with
+        segments where the field had values; build_segment then casts all
+        stored columns to the same canonical types (see
+        build._canonical_stored_col)."""
         cols: list[str] = ["doc_id"]
         for r in rows:
             for k in r:
@@ -171,9 +175,13 @@ class IndexWriter:
         df = self.spark.createDataFrame(pdf)
         from pyspark.sql import functions as F
 
+        from whoosh_spark.index.build import _STORED_KIND_TYPES
+
         for c in cols:
             if c != "doc_id" and pdf[c].isna().all():
-                df = df.withColumn(c, F.col(c).cast("string"))
+                kind = ix.schema[c].kind if c in ix.schema else None
+                df = df.withColumn(
+                    c, F.col(c).cast(_STORED_KIND_TYPES.get(kind, "string")))
         return df
 
     def _check_open(self) -> None:

@@ -171,7 +171,21 @@ class Searcher:
                                  "(no sortedby)")
             from whoosh_spark.search.sorting import search_sorted
 
-            rows = search_sorted(self, q, sortedby, limit=limit,
+            # filter_q/mask_q apply on the sorted path too: the sort is
+            # unscored, so they fold into the match set exactly as
+            # Require (must also match) / AndNot (must not match).  Any
+            # other kwarg would be silently dropped — refuse instead.
+            filter_q = kw.pop("filter_q", None)
+            mask_q = kw.pop("mask_q", None)
+            if kw:
+                raise TypeError(
+                    f"unsupported search kwargs with sortedby: {sorted(kw)}")
+            qq = q
+            if filter_q is not None:
+                qq = Q.Require(qq, filter_q)
+            if mask_q is not None:
+                qq = Q.AndNot(qq, mask_q)
+            rows = search_sorted(self, qq, sortedby, limit=limit,
                                  reverse=reverse).select("doc_id").collect()
             res = Results(self, q, [(None, r["doc_id"]) for r in rows],
                           limit=limit)
@@ -182,7 +196,8 @@ class Searcher:
         if terms:
             from whoosh_spark.search.sorting import matched_terms
 
-            rows = matched_terms(self, q, limit=limit, pairs=True).collect()
+            rows = matched_terms(self, q, limit=limit, pairs=True,
+                                 **kw).collect()
             res = Results(self, q, [(r["score"], r["doc_id"]) for r in rows],
                           limit=limit)
             res._termlists = {

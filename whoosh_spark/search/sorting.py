@@ -103,7 +103,7 @@ def query_facet_col(searcher, queries: dict[str, Q.Query], df: DataFrame, alias:
 
 
 def matched_terms(searcher, q: Q.Query, limit: int | None = 10,
-                  pairs: bool = False) -> DataFrame:
+                  pairs: bool = False, **search_kw) -> DataFrame:
     """TermsCollector analog (reference collectors.py:1103-1165): for each
     hit, the sorted set of query leaf terms it contains. ``pairs=True``
     collects (field, term) structs instead of bare term strings — the
@@ -114,7 +114,7 @@ def matched_terms(searcher, q: Q.Query, limit: int | None = 10,
 
     plan = _PlanContext(searcher)
     qn = plan.prepare(q)
-    top = searcher.search(q, limit=limit)
+    top = searcher.search(q, limit=limit, **search_kw)
     leaves = sorted({(f, t) for f, t in qn.leaf_terms()})
     if not leaves or plan.base is None:
         return top.withColumn("matched_terms", F.array())
