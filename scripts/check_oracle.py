@@ -28,8 +28,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    record: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from whoosh_spark.session import get_spark
@@ -53,10 +60,16 @@ def main():
             ours = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark {type(e).__name__}: {e}"}
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         dt_spark = time.time() - t0
         if name not in oracles:
+            record[name] = {"rows_only": True, "spark_rows": len(ours),
+                            "err": None}
             print(f"OK?   {name}: rows-only ({len(ours)} rows, no oracle) {dt_spark:.1f}s")
             continue
         t0 = time.time()
@@ -64,6 +77,9 @@ def main():
             want = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(ours),
+                            "oracle_rows": None, "err": f"duckdb: {e}"}
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         dt_duck = time.time() - t0
@@ -86,8 +102,24 @@ def main():
         status = "OK  " if ok else "FAIL"
         if not ok:
             failures.append(name)
+        record[name] = {
+            "rows_match": len(a) == len(b),
+            "schema_match": list(a.columns) == list(b.columns),
+            "hash_match": bool(ok),
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": None,
+            "sec_spark": round(dt_spark, 2),
+            "sec_duckdb": round(dt_duck, 2),
+        }
         print(f"{status}  {name}: {len(a)} rows  spark={dt_spark:.1f}s duck={dt_duck:.1f}s")
     print()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {json_out} ({len(record)} entries)")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
