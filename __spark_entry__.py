@@ -598,6 +598,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return op(_docs(spark, sf))
 
+    _MIX_RATES = {"en": 0.5, "de": 0.8, "fr": 0.25, "zh": 1.0}  # es -> 0
+
+    def mixture_sample(spark, sf):
+        # deterministic per-lang corpus mixing (functions/pipeline.py):
+        # hash-of-doc_id sampling at exact rates, rates via broadcast join
+        from whoosh_spark.functions.pipeline import mixture_sample as op
+
+        return op(_docs(spark, sf), _MIX_RATES).select("doc_id", "lang")
+
+    def sequence_pack(spark, sf):
+        # greedy context-window packing: docs laid end-to-end per lang in
+        # doc_id order, cut into 512-token windows (functions/pipeline.py)
+        from whoosh_spark.functions.pipeline import sequence_pack as op
+
+        return op(_docs(spark, sf), window_tokens=512)
+
+    def contamination_flag(spark, sf):
+        # n-gram-overlap decontamination: flag corpus docs sharing any
+        # word shingle with a benchmark set (here: every 97th doc, so the
+        # check is self-contained and deterministic)
+        from whoosh_spark.functions.pipeline import contamination_flag as op
+
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return op(docs, bench)
+
     def lang_id(spark, sf):
         from whoosh_spark.functions.textstats import lang_id_heuristic
 
@@ -1053,6 +1079,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dynamic_field": bm25_dynamic_field,
         "schema_evolution_stored": schema_evolution_stored,
         "writer_bm25": writer_bm25,
+        # new in round 5 (training-pipeline ops, functions/pipeline.py)
+        "mixture_sample": mixture_sample,
+        "sequence_pack": sequence_pack,
+        "contamination_flag": contamination_flag,
         # green in r03, cut from r04's truncated run
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -1533,6 +1563,16 @@ GROUP BY win_start_s, lang
 """.strip()
     sql["token_count"] = token_count_sql()
     sql["quality_score"] = quality_score_sql()
+    from whoosh_spark.functions.pipeline import (
+        contamination_flag_sql,
+        mixture_sample_sql,
+        sequence_pack_sql,
+    )
+
+    sql["mixture_sample"] = mixture_sample_sql(
+        {"en": 0.5, "de": 0.8, "fr": 0.25, "zh": 1.0})
+    sql["sequence_pack"] = sequence_pack_sql(window_tokens=512)
+    sql["contamination_flag"] = contamination_flag_sql("doc_id % 97 = 0")
     sql["lang_id"] = lang_id_sql()
     sql["doc_fingerprint"] = doc_fingerprint_sql()
     sql["ann_brute_topk"] = brute_cosine_topk_sql(n_queries=3, k=5)

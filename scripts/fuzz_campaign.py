@@ -270,6 +270,12 @@ def run(spark, n_trees: int, base_seed: int, workdir: str) -> int:
         if (i + 1) % 50 == 0:
             print(f"  {i + 1}/{n_trees} trees, {fails} mismatches, "
                   f"{time.time() - t0:.0f}s", flush=True)
+        if (i + 1) % 100 == 0:
+            # bound long-campaign JVM growth: drop cached posting frames
+            # and any persisted RDDs before the next hundred trees
+            for s in (s_local, s_dist, s_agg, s_tfidf):
+                s.clear_cache()
+            spark.catalog.clearCache()
     for s in (s_local, s_dist, s_agg, s_tfidf):
         s.clear_cache()
     print(f"DONE {n_trees} trees, {fails} mismatches, "
@@ -282,12 +288,16 @@ if __name__ == "__main__":
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     import tempfile
 
-    from pyspark.sql import SparkSession
+    # library session (8g driver heap): a long campaign accumulates JVM
+    # state across ~40 stages/tree — the default 1g driver OOMs on
+    # broadcast builds around tree 300
+    from whoosh_spark.session import get_spark
 
-    spark = (SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .appName("fuzz_campaign").getOrCreate())
+    spark = get_spark(
+        "fuzz_campaign",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
     with tempfile.TemporaryDirectory() as td:
         rc = run(spark, n, seed, td)
     spark.stop()
