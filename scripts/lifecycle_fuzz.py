@@ -211,6 +211,8 @@ def episode(spark, workdir: str, seed: int, n_ops: int) -> int:
                 keys[nid] = f"k{nid}"
                 upd.append((nid, keys[nid], t))
                 model[nid] = t
+            if not upd:  # model empty + no-new-key roll: nothing to update
+                continue
             df = spark.createDataFrame(
                 [Row(doc_id=i, key=k, value=t) for i, k, t in upd])
             update_documents(spark, df, d, unique_field="key", sha_col=None)
@@ -228,13 +230,13 @@ if __name__ == "__main__":
     seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 7_000
     import tempfile
 
-    from pyspark.sql import SparkSession
+    from whoosh_spark.session import get_spark
 
-    spark = (SparkSession.builder
-             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .appName("lifecycle_fuzz").getOrCreate())
+    spark = get_spark(
+        "lifecycle_fuzz",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
     total = 0
     t0 = time.time()
     with tempfile.TemporaryDirectory() as td:
