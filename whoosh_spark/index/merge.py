@@ -387,8 +387,18 @@ def _delete_docs_locked(spark: SparkSession, index_dir: str, doc_ids) -> int:
             tombstones = hits if n_new else None
         if n_new:
             tombstones.write.mode("overwrite").parquet(dpath + ".new")
-            shutil.rmtree(dpath, ignore_errors=True)
-            os.replace(dpath + ".new", dpath)
+            # swap via two renames, not rmtree-then-rename: a reader whose
+            # manifest says has_deletes must never catch the path missing
+            # for longer than the instant between the renames (parquet
+            # "files" are directories, so a true atomic replace isn't
+            # available; the old dir is removed only after the new one is
+            # in place)
+            old = dpath + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dpath):
+                os.rename(dpath, old)
+            os.rename(dpath + ".new", dpath)
+            shutil.rmtree(old, ignore_errors=True)
             seg.has_deletes = True
             seg.deleted_count += n_new
             total += n_new
