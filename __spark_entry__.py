@@ -624,6 +624,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.filter(F.col("doc_id") % 97 == 0)
         return op(docs, bench)
 
+    def gopher_quality(spark, sf):
+        # Gopher-style repetition/quality flags (functions/pipeline.py):
+        # pure column expressions over a deterministically line-decorated
+        # corpus (the synthetic docs are single-line, so the entry adds
+        # footers/bullets/ellipses — identically mirrored in oracle SQL)
+        from whoosh_spark.functions.pipeline import decorate_docs
+        from whoosh_spark.functions.pipeline import gopher_quality as op
+
+        return op(decorate_docs(_docs(spark, sf)))
+
+    def line_dedup(spark, sf):
+        # C4-style boilerplate line removal: corpus-hot lines (>= 3 docs)
+        # dropped via broadcast anti-join, text reassembled per doc
+        from whoosh_spark.functions.pipeline import decorate_docs
+        from whoosh_spark.functions.pipeline import line_dedup as op
+
+        return op(decorate_docs(_docs(spark, sf)), min_docs=3)
+
+    def pii_redact(spark, sf):
+        # PII-shaped span counting + redaction (emails/IPv4/phones) over
+        # the same decorated corpus; redacted_md5 proves the replacement
+        from whoosh_spark.functions.pipeline import decorate_docs
+        from whoosh_spark.functions.pipeline import pii_redact as op
+
+        return op(decorate_docs(_docs(spark, sf)))
+
     def lang_id(spark, sf):
         from whoosh_spark.functions.textstats import lang_id_heuristic
 
@@ -1083,6 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": mixture_sample,
         "sequence_pack": sequence_pack,
         "contamination_flag": contamination_flag,
+        "gopher_quality": gopher_quality,
+        "line_dedup": line_dedup,
+        "pii_redact": pii_redact,
         # green in r03, cut from r04's truncated run
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -1565,7 +1594,11 @@ GROUP BY win_start_s, lang
     sql["quality_score"] = quality_score_sql()
     from whoosh_spark.functions.pipeline import (
         contamination_flag_sql,
+        decorate_sql,
+        gopher_quality_sql,
+        line_dedup_sql,
         mixture_sample_sql,
+        pii_redact_sql,
         sequence_pack_sql,
     )
 
@@ -1573,6 +1606,9 @@ GROUP BY win_start_s, lang
         {"en": 0.5, "de": 0.8, "fr": 0.25, "zh": 1.0})
     sql["sequence_pack"] = sequence_pack_sql(window_tokens=512)
     sql["contamination_flag"] = contamination_flag_sql("doc_id % 97 = 0")
+    sql["gopher_quality"] = gopher_quality_sql(text_expr=decorate_sql())
+    sql["line_dedup"] = line_dedup_sql(min_docs=3, text_expr=decorate_sql())
+    sql["pii_redact"] = pii_redact_sql(text_expr=decorate_sql())
     sql["lang_id"] = lang_id_sql()
     sql["doc_fingerprint"] = doc_fingerprint_sql()
     sql["ann_brute_topk"] = brute_cosine_topk_sql(n_queries=3, k=5)

@@ -121,3 +121,132 @@ def test_contamination_flag_semantics_and_broadcast(spark, corpus):
             assert got.get(r["doc_id"]) == len(overlap), r["doc_id"]
         else:
             assert r["doc_id"] not in got
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: gopher_quality / line_dedup / pii_redact
+
+
+def _toks(text):
+    return [m.group(0) for m in re.finditer(TOKEN_PATTERN, text.lower())]
+
+
+def _lines(text):
+    return [l.strip() for l in text.split("\n") if l.strip()]
+
+
+@pytest.fixture(scope="module")
+def lined_corpus(spark):
+    footer = "shared boilerplate footer"
+    rows = [
+        # 0: plenty of words, stops, a dup line
+        {"doc_id": 0, "text": "the cat and the dog have to be of that with help\n"
+                              + footer + "\nunique zero\n" + footer},
+        # 1..3: footer appears in >= 3 docs -> corpus-hot
+        {"doc_id": 1, "text": "alpha beta gamma\n" + footer},
+        {"doc_id": 2, "text": "delta epsilon\n" + footer},
+        # 3: ONLY the hot footer -> everything removed
+        {"doc_id": 3, "text": footer},
+        # 4: bullets + ellipsis + symbols + PII
+        {"doc_id": 4, "text": "- one\n- two\nwait...\n### x # y\n"
+                              "mail a.b@test.org and 10.0.0.1 call 555-123-4567"},
+        # 5: empty text
+        {"doc_id": 5, "text": ""},
+    ]
+    return _mk_docs(spark, rows), rows
+
+
+def test_gopher_quality_matches_python_model(spark, lined_corpus):
+    from whoosh_spark.functions.pipeline import GOPHER_STOPS, gopher_quality
+
+    df, rows = lined_corpus
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    for r in rows:
+        toks, lines = _toks(r["text"]), _lines(r["text"])
+        m = got[r["doc_id"]]
+        assert m["n_words"] == len(toks)
+        assert m["stop_hits"] == sum(1 for w in GOPHER_STOPS if w in toks)
+        n_dup = len(lines) - len(dict.fromkeys(lines))
+        assert m["dup_line_frac"] == round(n_dup / len(lines), 6) if lines else m["dup_line_frac"] == 0.0
+        chars_all = sum(len(l) for l in lines)
+        chars_dup = chars_all - sum(len(l) for l in dict.fromkeys(lines))
+        assert m["dup_line_char_frac"] == (round(chars_dup / chars_all, 6) if chars_all else 0.0)
+        n_sym = len(re.findall(r"#|\.\.\.", r["text"]))
+        assert m["symbol_word_ratio"] == (round(n_sym / len(toks), 6) if toks else 0.0)
+        n_bullet = sum(1 for l in lines if re.match(r"^[-*•]", l))
+        assert m["bullet_line_frac"] == (round(n_bullet / len(lines), 6) if lines else 0.0)
+        n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l))
+        assert m["ellipsis_line_frac"] == (round(n_ell / len(lines), 6) if lines else 0.0)
+        n_alpha = sum(1 for w in toks if re.search("[a-z]", w))
+        assert m["alpha_word_frac"] == (round(n_alpha / len(toks), 6) if toks else 0.0)
+        assert m["gopher_ok"] in (0, 1)
+    # none of these tiny docs pass the 50-word floor
+    assert all(m["gopher_ok"] == 0 for m in got.values())
+
+
+def test_gopher_quality_is_shuffle_free(spark, lined_corpus):
+    from whoosh_spark.functions.pipeline import gopher_quality
+
+    df, _ = lined_corpus
+    plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # single projected scan, no shuffle
+
+
+def test_line_dedup_removes_hot_lines(spark, lined_corpus):
+    from whoosh_spark.functions.pipeline import line_dedup
+
+    df, rows = lined_corpus
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(df, min_docs=3).collect()}
+    footer = "shared boilerplate footer"
+    # python model: footer is in docs 0,1,2,3 (>=3) -> removed everywhere
+    for r in rows:
+        lines = [(i, l) for i, l in enumerate(r["text"].split("\n")) if l.strip()]
+        if not lines:  # doc 5: no non-empty lines at all -> absent
+            assert r["doc_id"] not in out
+            continue
+        kept = [l for _, l in lines if l.strip() != footer]
+        m = out[r["doc_id"]]
+        assert m["n_lines"] == len(lines)
+        assert m["n_kept"] == len(kept)
+        assert m["clean_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+    assert out[3]["n_kept"] == 0
+    assert out[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_line_dedup_broadcasts_hot_set(spark, lined_corpus):
+    from whoosh_spark.functions.pipeline import line_dedup
+
+    df, _ = lined_corpus
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pii_redact_counts_and_hash(spark, lined_corpus):
+    from whoosh_spark.functions.pipeline import PII_PATTERNS, pii_redact
+
+    df, rows = lined_corpus
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    for r in rows:
+        m = out[r["doc_id"]]
+        assert m["n_emails"] == len(re.findall(PII_PATTERNS["email"], r["text"]))
+        assert m["n_ipv4"] == len(re.findall(PII_PATTERNS["ipv4"], r["text"]))
+        assert m["n_phones"] == len(re.findall(PII_PATTERNS["phone"], r["text"]))
+        red = r["text"]
+        for name, pat in PII_PATTERNS.items():
+            red = re.sub(pat, f"<{name.upper()}>", red)
+        assert m["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+    assert out[4]["n_emails"] == 1 and out[4]["n_ipv4"] == 1 and out[4]["n_phones"] == 1
+
+
+def test_decorate_docs_matches_sql_mirror(spark, lined_corpus):
+    import duckdb
+
+    from whoosh_spark.functions.pipeline import decorate_docs, decorate_sql
+
+    df, rows = lined_corpus
+    got = {r["doc_id"]: r["text"] for r in decorate_docs(df).collect()}
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows))
+    want = dict(con.execute(
+        f"SELECT doc_id, {decorate_sql()} FROM documents").fetchall())
+    assert got == want
