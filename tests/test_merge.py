@@ -275,3 +275,82 @@ def test_merge_aborts_when_victim_replaced(spark, tmp_path, monkeypatch):
     victims = [s.name for s in Index(spark, d).manifest.segments]
     with pytest.raises(RuntimeError, match="concurrent commit"):
         merge_segments(spark, d, victims)
+
+
+def test_delete_writes_new_tombstone_generation(spark, tmp_path):
+    """Each delete_docs commit must write a NEW deletes.<gen>.parquet and
+    repoint the manifest (atomic rename) — never rewrite the live file in
+    place. Readers holding the previous manifest keep a complete file."""
+    d = str(tmp_path / "idx")
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=str(i), value="alfa shared") for i in range(20)])
+    build_index(spark, df, schema, d, sha_col=None)
+    delete_docs(spark, d, [0, 1])
+    m1 = read_manifest(d)
+    (seg1,) = m1.segments
+    assert seg1.deletes_gen == 1
+    p1 = seg1.deletes_path(d)
+    assert os.path.exists(p1)
+    delete_docs(spark, d, [2, 3])
+    m2 = read_manifest(d)
+    (seg2,) = m2.segments
+    assert seg2.deletes_gen == 2
+    # the previous generation is still on disk for snapshot readers...
+    assert os.path.exists(p1) and os.path.exists(seg2.deletes_path(d))
+    # ...and the old manifest snapshot still reads cleanly through it
+    old_ids = {r["doc_id"] for r in spark.read.parquet(p1).collect()}
+    assert old_ids == {0, 1}
+    # GC drops superseded generations after the grace window (0 here)
+    from whoosh_spark.index.merge import clean_files
+
+    removed = clean_files(d, grace_secs=0.0)
+    assert any(name.endswith(seg1.deletes_filename()) for name in removed)
+    assert not os.path.exists(p1)
+    assert os.path.exists(seg2.deletes_path(d))  # live gen survives GC
+    # no-op delete (already tombstoned) must not burn a generation
+    delete_docs(spark, d, [2, 3])
+    assert read_manifest(d).segments[0].deletes_gen == 2
+
+
+def test_concurrent_reader_during_deletes(spark, tmp_path):
+    """A reader loop re-opening the index while delete_docs commits in
+    another thread must never error (no partial/missing tombstone file)
+    and must observe monotonically shrinking result sets."""
+    import threading
+
+    d = str(tmp_path / "idx")
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=str(i), value="alfa shared") for i in range(120)])
+    build_index(spark, df, schema, d, sha_col=None)
+
+    errors, counts = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = Searcher(Index(spark, d)).search(
+                    Q.Term("value", "alfa"), limit=200).collect()
+                counts.append(len(got))
+            except Exception as e:  # noqa: BLE001 — the test records any failure
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for b in range(6):
+            delete_docs(spark, d, list(range(b * 10, b * 10 + 10)))
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    assert counts, "reader never completed a search"
+    # every snapshot is consistent: between the final and initial doc sets,
+    # and non-increasing (manifest generations only add tombstones)
+    assert all(60 <= c <= 120 for c in counts), counts
+    assert counts == sorted(counts, reverse=True), counts
+    final = Searcher(Index(spark, d)).search(Q.Term("value", "alfa"), limit=200).collect()
+    assert sorted(r["doc_id"] for r in final) == list(range(60, 120))

@@ -390,7 +390,7 @@ class Index:
 
     def _delete_paths(self) -> list[str]:
         return [
-            os.path.join(s.path(self.index_dir), "deletes.parquet")
+            s.deletes_path(self.index_dir)
             for s in self.manifest.segments
             if s.has_deletes
         ]

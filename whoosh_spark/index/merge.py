@@ -106,9 +106,7 @@ def merge_segments(
             continue
 
     vpaths = lambda table: [os.path.join(s.path(index_dir), table) for s in victims]
-    deletes = [
-        os.path.join(s.path(index_dir), "deletes.parquet") for s in victims if s.has_deletes
-    ]
+    deletes = [s.deletes_path(index_dir) for s in victims if s.has_deletes]
     deleted_df = spark.read.parquet(*deletes).select("doc_id").distinct() if deletes else None
 
     def drop_deleted(df: DataFrame) -> DataFrame:
@@ -239,8 +237,7 @@ def merge_segments(
         ]
         if changed:
             late = (
-                spark.read.parquet(
-                    *[os.path.join(s.path(index_dir), "deletes.parquet") for s in changed])
+                spark.read.parquet(*[s.deletes_path(index_dir) for s in changed])
                 .select("doc_id").distinct()
             )
             merged_ids = spark.read.parquet(
@@ -278,7 +275,7 @@ def clean_files(index_dir: str, grace_secs: float = CLEAN_GRACE_SECS) -> list[st
     import time
 
     manifest = read_manifest(index_dir)
-    live = {s.name for s in manifest.segments}
+    live = {s.name: s for s in manifest.segments}
     segroot = os.path.join(index_dir, "segments")
     removed = []
     if not os.path.isdir(segroot):
@@ -286,6 +283,27 @@ def clean_files(index_dir: str, grace_secs: float = CLEAN_GRACE_SECS) -> list[st
     now = time.time()
     for name in os.listdir(segroot):
         if name in live:
+            # live segment: GC superseded tombstone generations (each
+            # delete_docs commit writes a new deletes.<gen>.parquet and
+            # repoints the manifest; older files exist only for readers
+            # holding earlier manifest snapshots)
+            seg = live[name]
+            current = seg.deletes_filename()
+            segdir = os.path.join(segroot, name)
+            for f in os.listdir(segdir):
+                if not (f == "deletes.parquet" or
+                        (f.startswith("deletes.") and f.endswith(".parquet"))):
+                    continue
+                if f == current:
+                    continue
+                fpath = os.path.join(segdir, f)
+                try:
+                    age = now - os.stat(fpath).st_mtime
+                except FileNotFoundError:
+                    continue
+                if age >= grace_secs:
+                    shutil.rmtree(fpath, ignore_errors=True)
+                    removed.append(f"{name}/{f}")
             continue
         path = os.path.join(segroot, name)
         try:
@@ -351,7 +369,8 @@ def apply_merge_policy(spark: SparkSession, index_dir: str, policy: str = "MERGE
 # ------------------------------------------------------------------ deletes
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int]) -> int:
-    """Tombstone the given doc_ids (per-segment deletes.parquet)."""
+    """Tombstone the given doc_ids (per-segment ``deletes.<gen>.parquet``
+    generations, repointed by the atomic manifest commit)."""
     from whoosh_spark.index.lock import index_lock
 
     with index_lock(index_dir):
@@ -372,12 +391,11 @@ def _delete_docs_locked(spark: SparkSession, index_dir: str, doc_ids) -> int:
         # only tombstone ids actually present in the segment
         seg_docs = spark.read.parquet(os.path.join(seg_dir, "docs.parquet")).select("doc_id")
         hits = in_seg.join(seg_docs, on="doc_id", how="left_semi")
-        dpath = os.path.join(seg_dir, "deletes.parquet")
         if seg.has_deletes:
             # count only NEW tombstones (reference delete semantics: an
             # already-deleted doc does not delete again), and skip the
             # rewrite entirely when this call adds nothing
-            existing = spark.read.parquet(dpath).select("doc_id")
+            existing = spark.read.parquet(seg.deletes_path(index_dir)).select("doc_id")
             hits = hits.join(existing, on="doc_id", how="left_anti").persist()
             n_new = hits.count()
             tombstones = hits.unionByName(existing) if n_new else None
@@ -386,19 +404,13 @@ def _delete_docs_locked(spark: SparkSession, index_dir: str, doc_ids) -> int:
             n_new = hits.count()
             tombstones = hits if n_new else None
         if n_new:
-            tombstones.write.mode("overwrite").parquet(dpath + ".new")
-            # swap via two renames, not rmtree-then-rename: a reader whose
-            # manifest says has_deletes must never catch the path missing
-            # for longer than the instant between the renames (parquet
-            # "files" are directories, so a true atomic replace isn't
-            # available; the old dir is removed only after the new one is
-            # in place)
-            old = dpath + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(dpath):
-                os.rename(dpath, old)
-            os.rename(dpath + ".new", dpath)
-            shutil.rmtree(old, ignore_errors=True)
+            # write a NEW tombstone generation and repoint the manifest
+            # (committed atomically below): readers holding any manifest
+            # keep a complete, immutable file — no swap window. The
+            # superseded generation is GC'd by clean_files after the
+            # snapshot-isolation grace.
+            seg.deletes_gen += 1
+            tombstones.write.mode("overwrite").parquet(seg.deletes_path(index_dir))
             seg.has_deletes = True
             seg.deleted_count += n_new
             total += n_new

@@ -28,6 +28,14 @@ class SegmentInfo:
     lineage: dict = field(default_factory=dict)
     has_deletes: bool = False
     deleted_count: int = 0
+    #: tombstone-file generation: the live tombstone table is
+    #: ``deletes.parquet`` when 0 (legacy layout) else
+    #: ``deletes.<gen>.parquet``. Each delete_docs commit writes a NEW
+    #: file and repoints this via the atomic manifest swap, so a reader
+    #: holding any manifest always sees a complete, immutable file —
+    #: there is no in-place swap window at all. Superseded generations
+    #: are GC'd by clean_files after the snapshot-isolation grace.
+    deletes_gen: int = 0
     #: field -> distinct-term count (lexicon size); lets readers decide
     #: driver-side whether a full-field stats prefetch is safe WITHOUT a job
     field_term_counts: dict = field(default_factory=dict)
@@ -42,6 +50,16 @@ class SegmentInfo:
 
     def path(self, index_dir: str) -> str:
         return os.path.join(index_dir, "segments", self.name)
+
+    def deletes_filename(self) -> str:
+        return (
+            "deletes.parquet"
+            if self.deletes_gen == 0
+            else f"deletes.{self.deletes_gen}.parquet"
+        )
+
+    def deletes_path(self, index_dir: str) -> str:
+        return os.path.join(self.path(index_dir), self.deletes_filename())
 
 
 @dataclass
