@@ -79,6 +79,13 @@ def test_multi_chunk_build_and_resume(spark, tmp_path_factory):
     # resume: a second call is a no-op (all chunks recorded)
     m2 = build_index(spark, df, schema, d, num_chunks=3, sha_col="value")
     assert m2.generation == m.generation
+    # every chunk's lineage carries its identity AND build metrics
+    # (north rule: per-partition lineage + metrics)
+    for s in m.segments:
+        assert s.lineage["chunk_id"] in (0, 1, 2)
+        met = s.lineage["metrics"]
+        assert met["build_sec"] > 0 and met["docs_per_sec"] > 0
+        assert met["bytes"]["postings"] > 0 and met["bytes"]["docs"] > 0
 
 
 def test_hot_term_bucketing(spark, tmp_path_factory):

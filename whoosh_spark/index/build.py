@@ -455,6 +455,17 @@ def _canonical_stored_col(docs: DataFrame, c: str, kind: str):
     return F.col(c).cast("string")
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def build_segment(
     spark: SparkSession,
     docs: DataFrame,
@@ -468,7 +479,14 @@ def build_segment(
     sha_col: str | None = "content",
 ) -> SegmentInfo:
     """Build one immutable segment from ``docs`` and (optionally) commit it
-    into the index manifest."""
+    into the index manifest. The committed lineage record carries build
+    metrics (wall time, docs/s, bytes per table) alongside the caller's
+    chunk identity — the north rule's "per-partition lineage + metrics":
+    a resumed 10^12-file build can tell which chunks are done AND how
+    each one performed."""
+    import time as _time
+
+    _t0 = _time.time()
     manifest = read_manifest(index_dir) if index_exists(index_dir) else None
     if segment_name is not None:
         name = segment_name
@@ -586,13 +604,23 @@ def build_segment(
         F.count("*").alias("n"), F.min(doc_id_col).alias("lo"), F.max(doc_id_col).alias("hi")
     ).collect()[0]
 
+    build_sec = round(_time.time() - _t0, 3)
+    lineage = dict(lineage or {})
+    lineage["metrics"] = {
+        "build_sec": build_sec,
+        "docs_per_sec": round(int(id_stats["n"]) / build_sec, 1) if build_sec else 0.0,
+        "bytes": {
+            t: _dir_bytes(os.path.join(seg_dir, f"{t}.parquet"))
+            for t in ("docs", "postings", "termstats", "lengths")
+        },
+    }
     info = SegmentInfo(
         name=name,
         doc_count=int(id_stats["n"]),
         field_lengths=field_lengths,
         min_doc_id=int(id_stats["lo"]) if id_stats["lo"] is not None else 0,
         max_doc_id=int(id_stats["hi"]) if id_stats["hi"] is not None else -1,
-        lineage=lineage or {},
+        lineage=lineage,
         field_term_counts=field_term_counts,
         stored_cols=list(docs_out.columns),
     )
