@@ -250,3 +250,42 @@ def test_decorate_docs_matches_sql_mirror(spark, lined_corpus):
     want = dict(con.execute(
         f"SELECT doc_id, {decorate_sql()} FROM documents").fetchall())
     assert got == want
+
+
+def test_line_dedup_random_corpora_match_python_model(spark):
+    """Property check: random multi-line corpora (shared line pool so
+    cross-doc duplicates actually occur) against a pure-python model of
+    the C4 rule, at several thresholds."""
+    import random
+
+    from whoosh_spark.functions.pipeline import line_dedup
+
+    pool = [f"line {i}" for i in range(8)] + ["", "   "]  # incl. blank lines
+    rng = random.Random(42)
+    for trial in range(6):
+        rows = [
+            {"doc_id": i, "text": "\n".join(rng.choice(pool) for _ in range(rng.randint(0, 6)))}
+            for i in range(12)
+        ]
+        min_docs = rng.choice([2, 3, 4])
+        got = {r["doc_id"]: r.asDict()
+               for r in line_dedup(_mk_docs(spark, rows), min_docs=min_docs).collect()}
+        # python model
+        from collections import defaultdict
+
+        docs_per_line = defaultdict(set)
+        for r in rows:
+            for l in r["text"].split("\n"):
+                if l.strip():
+                    docs_per_line[l.strip()].add(r["doc_id"])
+        hot = {l for l, ds in docs_per_line.items() if len(ds) >= min_docs}
+        for r in rows:
+            lines = [l for l in r["text"].split("\n") if l.strip()]
+            if not lines:
+                assert r["doc_id"] not in got, (trial, r)
+                continue
+            kept = [l for l in lines if l.strip() not in hot]
+            m = got[r["doc_id"]]
+            assert m["n_lines"] == len(lines), (trial, r)
+            assert m["n_kept"] == len(kept), (trial, r)
+            assert m["clean_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest(), (trial, r)
