@@ -378,47 +378,83 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[i
 
 
 def _delete_docs_locked(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Two Spark jobs total, regardless of segment count (the per-segment
+    loop shape would cost O(segments) jobs — wrong for a 10^12-file index
+    with hundreds of segments):
+
+    1. one unioned aggregation computing every segment's NEW tombstones
+       (present in the segment, not already tombstoned — reference delete
+       semantics: an already-deleted doc does not delete again);
+    2. one partitioned write of the affected segments' FULL tombstone
+       sets (existing ∪ new) into a staging dir, whose ``seg=<name>``
+       subdirs are then renamed into place as the next immutable
+       ``deletes.<gen>.parquet`` generation (committed by the atomic
+       manifest swap below; superseded generations GC'd by clean_files).
+    """
     manifest = read_manifest(index_dir)
     if isinstance(doc_ids, list):
         doc_ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     doc_ids = doc_ids.select("doc_id").distinct().persist()
-    total = 0
+
+    def _finish(total: int) -> int:
+        doc_ids.unpersist()
+        manifest.generation += 1
+        write_manifest(index_dir, manifest)
+        return total
+
+    parts = []
     for seg in manifest.segments:
-        seg_dir = seg.path(index_dir)
+        # min/max prefilter: Catalyst prunes segments whose id range can't
+        # intersect the requested ids before any scan happens
         in_seg = doc_ids.filter(
             (F.col("doc_id") >= seg.min_doc_id) & (F.col("doc_id") <= seg.max_doc_id)
         )
-        # only tombstone ids actually present in the segment
-        seg_docs = spark.read.parquet(os.path.join(seg_dir, "docs.parquet")).select("doc_id")
+        seg_docs = spark.read.parquet(
+            os.path.join(seg.path(index_dir), "docs.parquet")).select("doc_id")
         hits = in_seg.join(seg_docs, on="doc_id", how="left_semi")
         if seg.has_deletes:
-            # count only NEW tombstones (reference delete semantics: an
-            # already-deleted doc does not delete again), and skip the
-            # rewrite entirely when this call adds nothing
             existing = spark.read.parquet(seg.deletes_path(index_dir)).select("doc_id")
-            hits = hits.join(existing, on="doc_id", how="left_anti").persist()
-            n_new = hits.count()
-            tombstones = hits.unionByName(existing) if n_new else None
-        else:
-            hits = hits.persist()
-            n_new = hits.count()
-            tombstones = hits if n_new else None
-        if n_new:
-            # write a NEW tombstone generation and repoint the manifest
-            # (committed atomically below): readers holding any manifest
-            # keep a complete, immutable file — no swap window. The
-            # superseded generation is GC'd by clean_files after the
-            # snapshot-isolation grace.
-            seg.deletes_gen += 1
-            tombstones.write.mode("overwrite").parquet(seg.deletes_path(index_dir))
-            seg.has_deletes = True
-            seg.deleted_count += n_new
-            total += n_new
-        hits.unpersist()
-    doc_ids.unpersist()
-    manifest.generation += 1
-    write_manifest(index_dir, manifest)
-    return total
+            hits = hits.join(existing, on="doc_id", how="left_anti")
+        parts.append(hits.withColumn("seg", F.lit(seg.name)))
+    if not parts:
+        return _finish(0)
+    new_tomb = parts[0]
+    for p in parts[1:]:
+        new_tomb = new_tomb.unionByName(p)
+    new_tomb = new_tomb.persist()
+    counts = {
+        r["seg"]: int(r["n"])
+        for r in new_tomb.groupBy("seg").agg(F.count("*").alias("n")).collect()
+    }
+    affected = [s for s in manifest.segments if counts.get(s.name)]
+    if not affected:
+        new_tomb.unpersist()
+        return _finish(0)
+
+    full = new_tomb.filter(F.col("seg").isin([s.name for s in affected]))
+    for s in affected:
+        if s.has_deletes:
+            full = full.unionByName(
+                spark.read.parquet(s.deletes_path(index_dir))
+                .select("doc_id").withColumn("seg", F.lit(s.name)))
+    # fixed staging name is safe: we hold the index lock
+    staging = os.path.join(index_dir, ".deletes_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    full.write.partitionBy("seg").mode("overwrite").parquet(staging)
+    total = 0
+    for s in affected:
+        s.deletes_gen += 1
+        target = s.deletes_path(index_dir)
+        # a crashed earlier attempt (staged write done, manifest never
+        # committed) may have left an unreferenced dir at this name
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(os.path.join(staging, f"seg={s.name}"), target)
+        s.has_deletes = True
+        s.deleted_count += counts[s.name]
+        total += counts[s.name]
+    shutil.rmtree(staging, ignore_errors=True)
+    new_tomb.unpersist()
+    return _finish(total)
 
 
 def delete_by_term(spark: SparkSession, index_dir: str, field: str, text: str) -> int:
