@@ -354,3 +354,43 @@ def test_concurrent_reader_during_deletes(spark, tmp_path):
     assert counts == sorted(counts, reverse=True), counts
     final = Searcher(Index(spark, d)).search(Q.Term("value", "alfa"), limit=200).collect()
     assert sorted(r["doc_id"] for r in final) == list(range(60, 120))
+
+
+_probe_seq = [0]
+
+
+def _count_jobs(spark, fn):
+    sc = spark.sparkContext
+    # a FRESH group per call: getJobIdsForGroup accumulates over the
+    # group's whole lifetime, so reuse would double-count the second call
+    _probe_seq[0] += 1
+    group = f"job-count-probe-{_probe_seq[0]}"
+    sc.setJobGroup(group, "counting jobs", interruptOnCancel=False)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_delete_job_count_independent_of_segment_count(spark, tmp_path):
+    """delete_docs must launch a BOUNDED number of Spark jobs no matter how
+    many segments the index has (one unioned tombstone aggregation + one
+    partitioned staging write — NOT a count+write pair per segment). At
+    10^12-file scale an index has hundreds of segments; an O(segments)
+    job loop would serialize on driver round-trips."""
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    counts = {}
+    for n_chunks in (3, 9):
+        d = str(tmp_path / f"idx{n_chunks}")
+        df = spark.createDataFrame(
+            [Row(doc_id=i, key=str(i), value=f"alfa w{i % 5} shared") for i in range(90)])
+        build_index(spark, df, schema, d, num_chunks=n_chunks, sha_col=None)
+        assert len(read_manifest(d).segments) == n_chunks
+        # ids spread across every segment so each one is affected
+        counts[n_chunks] = _count_jobs(
+            spark, lambda d=d: delete_docs(spark, d, list(range(0, 90, 4))))
+        assert Index(spark, d).doc_count() == 90 - len(range(0, 90, 4))
+    # shape invariance: 3x the segments must not add a single job
+    assert counts[9] == counts[3], counts
+    assert counts[3] <= 12, counts  # measured 9: AQE stages, not per-segment work
