@@ -399,7 +399,9 @@ class Index:
         paths = self._delete_paths()
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # explicit schema: inference would run a one-task Spark job on
+        # every call, and this runs once per masked query
+        return self.spark.read.schema("doc_id BIGINT").parquet(*paths)
 
     def _mask_deleted(self, df: DataFrame) -> DataFrame:
         dd = self.deleted_docs()
