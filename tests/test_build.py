@@ -128,3 +128,53 @@ def test_null_and_empty_text_docs(spark, tmp_path_factory):
     # the NULL doc has no lengths row; the empty-string doc has one with 0
     lens = {r["doc_id"]: r["length"] for r in ix.lengths().collect()}
     assert lens == {0: 2, 1: 0}
+
+
+def test_crash_mid_build_resumes_missing_chunks_only(spark, tmp_path_factory, monkeypatch):
+    """A build killed between chunk commits restarts from the manifest's
+    completed_chunks record: already-committed chunks are NOT rebuilt and
+    the finished index equals an uninterrupted build (north rule:
+    checkpoint-resumable via per-partition lineage)."""
+    import whoosh_spark.index.build as B
+    import whoosh_spark.query as Q
+    from whoosh_spark.index.segment import read_manifest
+    from whoosh_spark.search import Searcher
+
+    d = str(tmp_path_factory.mktemp("idx_crash"))
+    schema = IndexSchema.of(key=ID(stored=True), value=TEXT())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, key=str(i), value=f"alfa bravo token{i % 3}") for i in range(20)]
+    )
+
+    real = B.build_segment
+    calls = []
+
+    def failing(spark_, docs_, schema_, index_dir_, *a, **kw):
+        chunk = (kw.get("lineage") or {}).get("chunk_id")
+        calls.append(chunk)
+        if chunk == 2:
+            raise RuntimeError("simulated executor loss")
+        return real(spark_, docs_, schema_, index_dir_, *a, **kw)
+
+    monkeypatch.setattr(B, "build_segment", failing)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        B.build_index(spark, df, schema, d, num_chunks=3, sha_col="value")
+    assert sorted(read_manifest(d).completed_chunks) == [0, 1]
+
+    # resume with the failure injection removed: only chunk 2 builds
+    monkeypatch.setattr(B, "build_segment", real)
+    calls_before = len(calls)
+    m = B.build_index(spark, df, schema, d, num_chunks=3, sha_col="value")
+    assert len(calls) == calls_before  # committed chunks were not re-entered
+    assert sorted(m.completed_chunks) == [0, 1, 2]
+
+    # the resumed index matches an uninterrupted build, query-for-query
+    d2 = str(tmp_path_factory.mktemp("idx_clean"))
+    B.build_index(spark, df, schema, d2, num_chunks=3, sha_col="value")
+    got = [(r["doc_id"], r["score"]) for r in Searcher(Index(spark, d))
+           .search(Q.Term("value", "token1"), limit=20).collect()]
+    want = [(r["doc_id"], r["score"]) for r in Searcher(Index(spark, d2))
+            .search(Q.Term("value", "token1"), limit=20).collect()]
+    assert got == want and got
