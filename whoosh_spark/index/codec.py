@@ -72,6 +72,38 @@ def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
     return res
 
 
+def varint_decode_concat(buffers: list[bytes], total_count: int | None = None) -> np.ndarray:
+    """Decode MANY independent LEB128 byte strings in one vectorized pass.
+
+    Each buffer ends on a terminator byte (complete varints), so the
+    concatenation decodes identically to per-buffer calls — but the numpy
+    fixed overhead (~40us/call on 128-value blocks, measured) is paid once
+    instead of once per block. The driver-local path decodes thousands of
+    blocks per query; this is its batched entry point."""
+    data = b"".join(b for b in buffers if b)
+    return varint_decode(data, total_count)
+
+
+def delta_decode_concat(buffers: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Batched delta+varint decode of many blocks: one varint pass over the
+    concatenated buffers, then a segmented cumsum that restarts at each
+    block boundary (each block's first delta is the absolute value)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    deltas = varint_decode_concat(buffers, total)
+    if total == 0:
+        return deltas
+    csum = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = starts[counts > 0]
+    prev = np.zeros(total, dtype=np.int64)
+    prev[starts[1:]] = csum[starts[1:] - 1]
+    # csum is non-decreasing (ids/deltas are non-negative), so the running
+    # "subtract everything before my segment" offset propagates by max
+    np.maximum.accumulate(prev, out=prev)
+    return csum - prev
+
+
 def delta_encode(sorted_values: np.ndarray) -> bytes:
     """Delta + varint encode a non-decreasing int array."""
     v = np.asarray(sorted_values, dtype=np.int64)
@@ -147,6 +179,68 @@ def decode_position_lists(data: bytes, n_postings: int) -> list[np.ndarray]:
         s, e = int(starts[idx]), int(bounds[idx])
         result.append(out[s:e])
     return result
+
+
+def _split_position_payload(data: bytes) -> tuple[bytes, bytes]:
+    """Split one positions cell into (header, body) byte strings."""
+    buf = memoryview(data)
+    i = 0
+    hlen = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        hlen |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not (b & 0x80):
+            break
+    return bytes(buf[i:i + hlen]), bytes(buf[i + hlen:])
+
+
+def decode_position_lists_concat(buffers: list[bytes | None],
+                                 counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batched position-list decode across many blocks.
+
+    Returns (flat positions, per-posting lengths) — the ragged layout the
+    vectorized local evaluator consumes directly (no per-posting Python
+    lists). Headers and bodies of all blocks are each varint-decoded in ONE
+    pass; the per-list delta reset is the same segmented-cumsum trick as
+    decode_position_lists. A None/empty buffer (pre-positions segment)
+    contributes zero-length lists for its postings."""
+    counts = np.asarray(counts, dtype=np.int64)
+    headers: list[bytes] = []
+    bodies: list[bytes] = []
+    lens_parts: list[np.ndarray] = []
+    pending_hdr = 0  # postings covered by accumulated headers
+    for buf, c in zip(buffers, counts):
+        c = int(c)
+        if not buf:
+            if pending_hdr:
+                lens_parts.append(varint_decode(b"".join(headers), pending_hdr))
+                headers.clear()
+                pending_hdr = 0
+            lens_parts.append(np.zeros(c, dtype=np.int64))
+            continue
+        hdr, body = _split_position_payload(buf)
+        headers.append(hdr)
+        pending_hdr += c
+        bodies.append(body)
+    if pending_hdr:
+        lens_parts.append(varint_decode(b"".join(headers), pending_hdr))
+    lens = (np.concatenate(lens_parts) if lens_parts
+            else np.zeros(0, dtype=np.int64))
+    total = int(lens.sum())
+    body_vals = varint_decode(b"".join(bodies), total)
+    if total == 0:
+        return body_vals, lens
+    bounds = np.cumsum(lens)
+    starts = np.concatenate(([0], bounds[:-1]))
+    csum = np.cumsum(body_vals)
+    nz = starts[lens > 0]
+    prev = np.zeros(total, dtype=np.int64)
+    prev[nz[1:]] = csum[nz[1:] - 1]
+    np.maximum.accumulate(prev, out=prev)
+    return csum - prev, lens
 
 
 def encode_float_lists(lists: list[np.ndarray]) -> bytes:

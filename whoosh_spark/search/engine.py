@@ -61,11 +61,29 @@ class _Compiled:
         self.negated = negated
 
 
+class _NotExpr(Exception):
+    """Query shape outside the single-aggregation expression compiler."""
+
+
+class _ExprC:
+    """An expression-compiled subquery over the per-(field,term) aggregate
+    row: ``score``/``present`` Columns (+ the Not marker, where ``present``
+    is the *matched* set to be negated by the consumer)."""
+
+    __slots__ = ("score", "present", "negated")
+
+    def __init__(self, score, present, negated: bool = False):
+        self.score = score
+        self.present = present
+        self.negated = negated
+
+
 class Searcher:
     def __init__(self, index: Index, weighting: WeightingModel | None = None,
                  exact_scores: bool = True, cache_postings: bool = True,
                  max_expansion: int = 1024, use_local: bool = True,
-                 local_threshold: int = 100_000, conjunctive_skip: bool = True):
+                 local_threshold: int | None = None,
+                 conjunctive_skip: bool = True):
         self.index = index
         self.schema = index.schema
         self.weighting = weighting or BM25F()
@@ -75,8 +93,13 @@ class Searcher:
         # chunk-intersection block skipping for And-of-Terms/Phrase roots
         # (exact; False = decode full posting lists, for A/B benchmarking)
         self.conjunctive_skip = conjunctive_skip
-        # adaptive driver-local top-k for tiny candidate sets (search/local.py)
+        # adaptive driver-local top-k for small candidate sets
+        # (search/local.py; None = the measured-crossover default there)
         self.use_local = use_local
+        if local_threshold is None:
+            from whoosh_spark.search.local import LOCAL_THRESHOLD
+
+            local_threshold = LOCAL_THRESHOLD
         self.local_threshold = local_threshold
         self._persisted: list[DataFrame] = []
 
@@ -564,11 +587,212 @@ class _PlanContext:
         q = self.prepare(q)
         if isinstance(q, Q._NullQuery):
             return self._empty()
+        if self.s.exact_scores:
+            # single-aggregation compile for term-leaf trees: the pairwise
+            # join chain below re-derives the decode subtree once per
+            # reference (42 Exchanges for And-of-3 measured), while one
+            # conditional aggregation over the shared scored base needs ONE
+            # exchange and reproduces the identical float-op order as
+            # explicit expressions (see _expr_compile_root)
+            df = self._expr_compile_root(q)
+            if df is not None:
+                return df
         c = self._compile(q)
         if c.negated:
             # standalone Not: complement with constant score 1.0
             return self._complement(c.df)
         return c.df
+
+    # ------------------------------------- single-aggregation expr compile
+
+    def _expr_compile_root(self, q: Q.Query) -> DataFrame | None:
+        """Compile a term-leaf query tree to ONE conditional aggregation.
+
+        The generic path builds a DataFrame per node and combines them with
+        joins — N-1 shuffles and a duplicated decode subtree per reference
+        of the shared base. But every supported node's semantics are a
+        per-doc function of which leaf terms matched and their scores, so
+        the whole tree folds into expressions over one
+        ``base.groupBy(doc_id)`` with a score and presence aggregate per
+        (field, term): one exchange, map-side partial aggregation, no
+        duplicated decode. The expressions mirror the join plan's float ops
+        verbatim (same huffman/fold orders, same coalesce-to-0.0 /
+        greatest(-inf) identities), so results are bit-identical — asserted
+        by tests/test_search_differential + the fuzz campaign.
+
+        Returns None when the tree has non-term leaves (Phrase/Span/Every/
+        multiterm-docs/Otherwise/...) or needs the doc universe
+        (complemented Not), leaving those on the generic plan."""
+        try:
+            pairs = self._expr_pairs(q)
+        except _NotExpr:
+            return None
+        if self.base is None or len(pairs) < 2:
+            return None  # bare Term plans are already single-scan
+        cols: dict[tuple[str, str], tuple] = {}
+        aggs = []
+        for i, (f, t) in enumerate(sorted(pairs)):
+            cond = (F.col("field") == f) & (F.col("term") == t)
+            aggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_s{i}"))
+            aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"_p{i}"))
+            cols[(f, t)] = (F.col(f"_s{i}"), F.col(f"_p{i}").isNotNull())
+        g = self.base.groupBy("doc_id").agg(*aggs)
+        try:
+            c = self._expr(q, cols)
+        except _NotExpr:
+            return None
+        if c.negated:
+            return None  # standalone Not needs the complement universe
+        return g.filter(c.present).select("doc_id", c.score.alias("score"))
+
+    def _expr_pairs(self, q: Q.Query) -> set[tuple[str, str]]:
+        """Leaf (field, term) pairs of an expression-compilable tree;
+        raises _NotExpr on any unsupported node."""
+        if isinstance(q, Q.Term):
+            return {(q.field, q.text)}
+        if isinstance(q, Q._NullQuery):
+            return set()
+        if isinstance(q, Q.Or) and q.scale is not None:
+            raise _NotExpr  # CoordMatcher path — keep on the generic plan
+        if isinstance(q, Q.Otherwise):
+            raise _NotExpr  # needs an eager emptiness check
+        if isinstance(q, (Q.And, Q.Or, Q.DisjunctionMax)):
+            out: set = set()
+            for c in q.subqueries:
+                out |= self._expr_pairs(c)
+            return out
+        if isinstance(q, (Q.AndNot, Q.Require, Q.AndMaybe)):
+            return self._expr_pairs(q.a) | self._expr_pairs(q.b)
+        if isinstance(q, Q.Not):
+            return self._expr_pairs(q.query)
+        if isinstance(q, Q.ConstantScore):
+            return self._expr_pairs(q.child)
+        raise _NotExpr
+
+    def _expr_boost(self, c: _ExprC, boost: float) -> _ExprC:
+        if boost == 1.0:
+            return c
+        return _ExprC(c.score * F.lit(float(boost)), c.present, c.negated)
+
+    def _expr(self, q: Q.Query, cols: dict) -> _ExprC:
+        if isinstance(q, Q._NullQuery):
+            return _ExprC(F.lit(0.0), F.lit(False))
+        if isinstance(q, Q.Term):
+            if (q.field, q.text) not in self.stats:
+                return _ExprC(F.lit(0.0), F.lit(False))
+            s, p = cols[(q.field, q.text)]
+            score = s if q.boost == 1.0 else s * F.lit(float(q.boost))
+            return _ExprC(score, p)
+        if isinstance(q, Q.And):
+            return self._expr_and(q, cols)
+        if isinstance(q, Q.Or):
+            return self._expr_or(q, cols)
+        if isinstance(q, Q.DisjunctionMax):
+            return self._expr_dismax(q, cols)
+        if isinstance(q, Q.Not):
+            inner = self._expr(q.query, cols)
+            if inner.negated:
+                raise _NotExpr  # double-Not complement needs the universe
+            return _ExprC(inner.score, inner.present, negated=True)
+        if isinstance(q, Q.AndNot):
+            a, b = self._expr_realized(q.a, cols), self._expr_realized(q.b, cols)
+            return self._expr_boost(_ExprC(a.score, a.present & ~b.present), q.boost)
+        if isinstance(q, Q.Require):
+            a, b = self._expr_realized(q.a, cols), self._expr_realized(q.b, cols)
+            return self._expr_boost(_ExprC(a.score, a.present & b.present), q.boost)
+        if isinstance(q, Q.AndMaybe):
+            a, b = self._expr_realized(q.a, cols), self._expr_realized(q.b, cols)
+            # left join: score = _sl when _sr missing else _sl + _sr
+            score = F.when(b.present, a.score + b.score).otherwise(a.score)
+            return self._expr_boost(_ExprC(score, a.present), q.boost)
+        if isinstance(q, Q.ConstantScore):
+            child = self._expr_realized(q.child, cols)
+            return self._expr_boost(
+                _ExprC(F.lit(float(q.score)), child.present), q.boost)
+        raise _NotExpr
+
+    def _expr_realized(self, q: Q.Query, cols: dict) -> _ExprC:
+        c = self._expr(q, cols)
+        if c.negated:
+            raise _NotExpr  # _realize would complement against the universe
+        return c
+
+    def _expr_and(self, q: Q.And, cols: dict) -> _ExprC:
+        subs = q.subqueries
+        if not subs:
+            return _ExprC(F.lit(0.0), F.lit(False))
+        compiled = [self._expr(c, cols) for c in subs]
+        ests = [c.estimate_size(self.stats_view) for c in subs]
+        # same huffman merge as _compile_and (weight = -estimate_size)
+        items: list[tuple[float, int, _ExprC]] = []
+        seq = 0
+        for est, c in zip(ests, compiled):
+            items.append((float(0 - est), seq, c))
+            seq += 1
+        items.sort(key=lambda t: (t[0], t[1]))
+        while len(items) > 1:
+            wa, _, ca = items.pop(0)
+            wb, _, cb = items.pop(0)
+            merged = self._expr_intersect(ca, cb)
+            seq += 1
+            entry = (wa + wb, seq, merged)
+            lo = 0
+            while lo < len(items) and items[lo][0] <= entry[0]:
+                lo += 1
+            items.insert(lo, entry)
+        c = items[0][2]
+        if c.negated:
+            raise _NotExpr
+        return self._expr_boost(c, q.boost)
+
+    @staticmethod
+    def _expr_intersect(a: _ExprC, b: _ExprC) -> _ExprC:
+        """_intersect's join arithmetic as expressions (InverseMatcher's
+        constant 1.0 for Not children)."""
+        if a.negated and b.negated:
+            raise _NotExpr  # And of two Nots matches term-free docs
+        if b.negated:
+            return _ExprC(a.score + F.lit(1.0), a.present & ~b.present)
+        if a.negated:
+            return _ExprC(F.lit(1.0) + b.score, b.present & ~a.present)
+        return _ExprC(a.score + b.score, a.present & b.present)
+
+    def _expr_or(self, q: Q.Or, cols: dict) -> _ExprC:
+        if not q.subqueries:
+            return _ExprC(F.lit(0.0), F.lit(False))
+        if q.scale is not None:
+            raise _NotExpr
+        compiled = [self._expr_realized(c, cols) for c in q.subqueries]
+        # ArrayUnionMatcher left fold: coalesce-to-0.0 per side, original
+        # child order (0.0 + s == s exactly for finite BM25 scores)
+        contribs = [F.when(c.present, c.score).otherwise(F.lit(0.0))
+                    for c in compiled]
+        score = contribs[0]
+        for cb in contribs[1:]:
+            score = score + cb
+        present = compiled[0].present
+        for c in compiled[1:]:
+            present = present | c.present
+        if q.minmatch:
+            n = F.lit(0)
+            for c in compiled:
+                n = n + F.when(c.present, F.lit(1)).otherwise(F.lit(0))
+            present = present & (n >= F.lit(int(q.minmatch)))
+        return self._expr_boost(_ExprC(score, present), q.boost)
+
+    def _expr_dismax(self, q: Q.DisjunctionMax, cols: dict) -> _ExprC:
+        if not q.subqueries:
+            return _ExprC(F.lit(0.0), F.lit(False))
+        compiled = [self._expr_realized(c, cols) for c in q.subqueries]
+        # greatest(coalesce(., -inf)) pairwise fold, as _compile_dismax
+        acc_s = F.when(compiled[0].present, compiled[0].score)
+        acc_p = compiled[0].present
+        for c in compiled[1:]:
+            cs = F.when(c.present, c.score)
+            acc_s = F.greatest(F.coalesce(acc_s, F.lit(NEG_INF)),
+                               F.coalesce(cs, F.lit(NEG_INF)))
+            acc_p = acc_p | c.present
+        return self._expr_boost(_ExprC(acc_s, acc_p), q.boost)
 
     def _resolve_multiterms(self, q: Q.Query, in_span: bool = False) -> Q.Query:
         """Resolve Prefix/Wildcard/Regex/FuzzyTerm/TermRange.

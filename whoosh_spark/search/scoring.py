@@ -74,6 +74,13 @@ class BM25F(WeightingModel):
         K1 = self.K1
         return idf * ((w * (K1 + 1)) / (w + K1 * ((1 - B) + B * fl / avgfl)))
 
+    def score_np(self, idf: float, w, fl, avgfl: float, B: float):
+        """Vectorized score_py: identical op order on float64 arrays, so
+        every element is bit-equal to the scalar path (numpy elementwise
+        IEEE-754 ops round exactly like Python floats)."""
+        K1 = self.K1
+        return idf * ((w * (K1 + 1)) / (w + K1 * ((1 - B) + B * fl / avgfl)))
+
     def max_quality(self, idf, max_w, min_fl, avgfl, B, K1=None):
         # monotone increasing in w, decreasing in fl (scoring.py:199-221)
         return self.score_py(idf, max_w, min_fl, avgfl, B)
