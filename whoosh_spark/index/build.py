@@ -511,6 +511,15 @@ def build_segment(
     orig_schema = schema
     schema = schema.bind_columns(docs.columns, exclude=(doc_id_col,))
 
+    # a small/compacted source (e.g. one parquet file) scans as a handful
+    # of input splits, which would serialize the tokenize kernels on as
+    # many cores; spread it first (the docs stream is tiny next to the
+    # exploded postings, and at real scale the scan already has >= nparts
+    # splits so this no-ops)
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    if docs.rdd.getNumPartitions() < nparts:
+        docs = docs.repartition(nparts)
+
     # ---- docs (stored fields) + ingest-fidelity sha256 ----
     # Every stored column is cast to ONE canonical Spark type per schema
     # kind so segments written by different batches/writers always agree
@@ -524,7 +533,6 @@ def build_segment(
     if sha_col and sha_col in docs.columns:
         stored_cols.append(F.sha2(F.col(sha_col).cast("string"), 256).alias("content_sha256"))
     docs_out = docs.select(*stored_cols)
-    docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs.parquet"))
 
     # ---- posting blocks: one tokenize -> one bounded shuffle -> encode ----
     # The HEAVY stream (exploded postings with position arrays) shuffles by
@@ -543,66 +551,96 @@ def build_segment(
     ) + (["positions"] if needs_positions else []) + (
         ["boosts", "startchars", "endchars"] if "boosts" in postings.columns else []
     )
-    nparts = max(1, spark.sparkContext.defaultParallelism)
     blocks = (
         with_bucket.select(*in_cols)
         .repartition(nparts, "field", "term", "bucket")
         .sortWithinPartitions("field", "term", "bucket", "doc_id")
         .mapInPandas(_encode_partition, POSTINGS_SCHEMA)
     )
-    blocks.repartitionByRange(nparts, "field", "term", "bucket").sortWithinPartitions(
-        "field", "term", "bucket", "block_no"
-    ).write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
 
-    # ---- term stats derived from block partials (no extra tokenize) ----
-    blocks_tbl = spark.read.parquet(os.path.join(seg_dir, "postings.parquet"))
-    termstats = blocks_tbl.groupBy("field", "term").agg(
-        F.sum("count").alias("df"),
-        F.sum("sum_tf").alias("total_tf"),
-        F.max("max_tf").alias("max_tf"),
-        F.sum("sum_w").alias("total_w"),
-        F.min("min_len_byte").alias("min_len_byte"),
-        F.max("max_len_byte").alias("max_len_byte"),
-        F.min("min_id").alias("min_id"),
-        F.max("max_id").alias("max_id"),
-    )
-    termstats.repartitionByRange(max(1, nparts // 2), "field", "term").sortWithinPartitions(
-        "field", "term"
-    ).write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
-
-    # ---- term vectors (vector=True fields): decode the already-written
-    # blocks (no second tokenize) and lay the postings out doc-sorted so a
-    # per-doc vector read prunes to one file/row-group (reference
-    # codec/whoosh3.py:224-245 per-doc term maps) ----
+    # The four pipelines below (postings chain, stored docs, lengths chain,
+    # id stats) share no data dependencies, so their jobs run CONCURRENTLY
+    # from a small thread pool: the scheduler back-fills executor cores
+    # freed by one chain's shuffle/write tail with the next chain's tasks
+    # instead of leaving them idle between sequential actions. Postings is
+    # submitted first — FIFO scheduling gives the heaviest chain resources
+    # first and the light chains mop up the stragglers' idle cores.
     vector_fields = [f for f in schema.indexed_fields() if schema[f].vector]
-    if vector_fields:
-        from whoosh_spark.index.catalog import decode_blocks
 
-        vec = decode_blocks(blocks_tbl.filter(F.col("field").isin(vector_fields)))
-        (
-            vec.select("doc_id", "field", "term", "tf")
-            .repartitionByRange(max(1, nparts // 2), "doc_id")
-            .sortWithinPartitions("doc_id", "field", "term")
-            .write.mode("overwrite")
-            .parquet(os.path.join(seg_dir, "vectors.parquet"))
+    def _postings_chain() -> dict:
+        spark.sparkContext.setJobDescription(f"build {name}: postings")
+        blocks.repartitionByRange(nparts, "field", "term", "bucket").sortWithinPartitions(
+            "field", "term", "bucket", "block_no"
+        ).write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
+
+        # term stats derived from block partials (no extra tokenize)
+        blocks_tbl = spark.read.parquet(os.path.join(seg_dir, "postings.parquet"))
+        termstats = blocks_tbl.groupBy("field", "term").agg(
+            F.sum("count").alias("df"),
+            F.sum("sum_tf").alias("total_tf"),
+            F.max("max_tf").alias("max_tf"),
+            F.sum("sum_w").alias("total_w"),
+            F.min("min_len_byte").alias("min_len_byte"),
+            F.max("max_len_byte").alias("max_len_byte"),
+            F.min("min_id").alias("min_id"),
+            F.max("max_id").alias("max_id"),
         )
+        spark.sparkContext.setJobDescription(f"build {name}: termstats")
+        termstats.repartitionByRange(max(1, nparts // 2), "field", "term").sortWithinPartitions(
+            "field", "term"
+        ).write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats.parquet"))
 
-    # ---- lengths (dedicated light pass) ----
-    lengths = lengths_table(docs, schema, doc_id_col)
-    lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))
+        # term vectors (vector=True fields): decode the already-written
+        # blocks (no second tokenize) and lay the postings out doc-sorted
+        # so a per-doc vector read prunes to one file/row-group (reference
+        # codec/whoosh3.py:224-245 per-doc term maps)
+        if vector_fields:
+            from whoosh_spark.index.catalog import decode_blocks
 
-    # ---- per-segment scalar stats ----
-    lengths_tbl = spark.read.parquet(os.path.join(seg_dir, "lengths.parquet"))
-    field_lengths_rows = lengths_tbl.groupBy("field").agg(F.sum("length").alias("total")).collect()
-    field_lengths = {r["field"]: int(r["total"]) for r in field_lengths_rows}
-    term_count_rows = (
-        spark.read.parquet(os.path.join(seg_dir, "termstats.parquet"))
-        .groupBy("field").agg(F.count("*").alias("n")).collect()
-    )
-    field_term_counts = {r["field"]: int(r["n"]) for r in term_count_rows}
-    id_stats = docs.agg(
-        F.count("*").alias("n"), F.min(doc_id_col).alias("lo"), F.max(doc_id_col).alias("hi")
-    ).collect()[0]
+            spark.sparkContext.setJobDescription(f"build {name}: vectors")
+            vec = decode_blocks(blocks_tbl.filter(F.col("field").isin(vector_fields)))
+            (
+                vec.select("doc_id", "field", "term", "tf")
+                .repartitionByRange(max(1, nparts // 2), "doc_id")
+                .sortWithinPartitions("doc_id", "field", "term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(seg_dir, "vectors.parquet"))
+            )
+        term_count_rows = (
+            spark.read.parquet(os.path.join(seg_dir, "termstats.parquet"))
+            .groupBy("field").agg(F.count("*").alias("n")).collect()
+        )
+        return {r["field"]: int(r["n"]) for r in term_count_rows}
+
+    def _docs_chain() -> None:
+        spark.sparkContext.setJobDescription(f"build {name}: stored docs")
+        docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs.parquet"))
+
+    def _lengths_chain() -> dict:
+        spark.sparkContext.setJobDescription(f"build {name}: lengths")
+        lengths = lengths_table(docs, schema, doc_id_col)
+        lengths.write.mode("overwrite").parquet(os.path.join(seg_dir, "lengths.parquet"))
+        lengths_tbl = spark.read.parquet(os.path.join(seg_dir, "lengths.parquet"))
+        rows = lengths_tbl.groupBy("field").agg(F.sum("length").alias("total")).collect()
+        return {r["field"]: int(r["total"]) for r in rows}
+
+    def _id_stats_chain():
+        spark.sparkContext.setJobDescription(f"build {name}: id stats")
+        return docs.agg(
+            F.count("*").alias("n"), F.min(doc_id_col).alias("lo"), F.max(doc_id_col).alias("hi")
+        ).collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_post = pool.submit(_postings_chain)
+        f_docs = pool.submit(_docs_chain)
+        f_len = pool.submit(_lengths_chain)
+        f_ids = pool.submit(_id_stats_chain)
+        field_term_counts = f_post.result()
+        f_docs.result()
+        field_lengths = f_len.result()
+        id_stats = f_ids.result()
 
     build_sec = round(_time.time() - _t0, 3)
     lineage = dict(lineage or {})

@@ -620,53 +620,92 @@ class _PlanContext:
         greatest(-inf) identities), so results are bit-identical — asserted
         by tests/test_search_differential + the fuzz campaign.
 
-        Returns None when the tree has non-term leaves (Phrase/Span/Every/
+        Phrase leaves are supported too: their positions aggregate from the
+        positional base (max-of-one array per (doc, word)) and the
+        adjacency / span-chain check becomes a per-row expression (or
+        pandas UDF for slop>1) over those array columns — replacing the
+        old per-word positional join chain (56 Exchanges measured for a
+        2-word phrase, now one or two aggregations).
+
+        Returns None when the tree has other non-term leaves (Span/Every/
         multiterm-docs/Otherwise/...) or needs the doc universe
         (complemented Not), leaving those on the generic plan."""
+        plain_pairs: set = set()
+        pos_pairs: set = set()
         try:
-            pairs = self._expr_pairs(q)
+            self._expr_collect(q, plain_pairs, pos_pairs)
         except _NotExpr:
             return None
-        if self.base is None or len(pairs) < 2:
+        if len(plain_pairs | pos_pairs) < 2 and not pos_pairs:
             return None  # bare Term plans are already single-scan
+        base_pairs = sorted(plain_pairs - pos_pairs)
+        if (base_pairs and self.base is None) or (pos_pairs and self.pos_base is None):
+            return None
         cols: dict[tuple[str, str], tuple] = {}
-        aggs = []
-        for i, (f, t) in enumerate(sorted(pairs)):
-            cond = (F.col("field") == f) & (F.col("term") == t)
-            aggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_s{i}"))
-            aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"_p{i}"))
-            cols[(f, t)] = (F.col(f"_s{i}"), F.col(f"_p{i}").isNotNull())
-        g = self.base.groupBy("doc_id").agg(*aggs)
+        pcols: dict[tuple[str, str], "F.Column"] = {}
+        idx = 0
+        g = None
+        if base_pairs:
+            aggs = []
+            for f, t in base_pairs:
+                cond = (F.col("field") == f) & (F.col("term") == t)
+                aggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_s{idx}"))
+                aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"_p{idx}"))
+                cols[(f, t)] = (F.col(f"_s{idx}"), F.col(f"_p{idx}").isNotNull())
+                idx += 1
+            g = self.base.groupBy("doc_id").agg(*aggs)
+        if pos_pairs:
+            paggs = []
+            for f, t in sorted(pos_pairs):
+                cond = (F.col("field") == f) & (F.col("term") == t)
+                paggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_s{idx}"))
+                paggs.append(F.max(F.when(cond, F.lit(1))).alias(f"_p{idx}"))
+                paggs.append(F.max(F.when(cond, F.col("positions"))).alias(f"_q{idx}"))
+                cols[(f, t)] = (F.col(f"_s{idx}"), F.col(f"_p{idx}").isNotNull())
+                pcols[(f, t)] = F.col(f"_q{idx}")
+                idx += 1
+            gp = self.pos_base.groupBy("doc_id").agg(*paggs)
+            g = gp if g is None else g.join(gp, on="doc_id", how="full_outer")
         try:
-            c = self._expr(q, cols)
+            c = self._expr(q, cols, pcols)
         except _NotExpr:
             return None
         if c.negated:
             return None  # standalone Not needs the complement universe
         return g.filter(c.present).select("doc_id", c.score.alias("score"))
 
-    def _expr_pairs(self, q: Q.Query) -> set[tuple[str, str]]:
-        """Leaf (field, term) pairs of an expression-compilable tree;
-        raises _NotExpr on any unsupported node."""
+    def _expr_collect(self, q: Q.Query, plain: set, pos: set) -> None:
+        """Collect leaf (field, term) pairs of an expression-compilable
+        tree into plain/positional sets; raises _NotExpr on any
+        unsupported node."""
         if isinstance(q, Q.Term):
-            return {(q.field, q.text)}
+            plain.add((q.field, q.text))
+            return
         if isinstance(q, Q._NullQuery):
-            return set()
+            return
+        if isinstance(q, Q.Phrase):
+            if not q.words:
+                raise _NotExpr
+            pos.update((q.field, w) for w in q.words)
+            return
         if isinstance(q, Q.Or) and q.scale is not None:
             raise _NotExpr  # CoordMatcher path — keep on the generic plan
         if isinstance(q, Q.Otherwise):
             raise _NotExpr  # needs an eager emptiness check
         if isinstance(q, (Q.And, Q.Or, Q.DisjunctionMax)):
-            out: set = set()
             for c in q.subqueries:
-                out |= self._expr_pairs(c)
-            return out
+                self._expr_collect(c, plain, pos)
+            return
         if isinstance(q, (Q.AndNot, Q.Require, Q.AndMaybe)):
-            return self._expr_pairs(q.a) | self._expr_pairs(q.b)
+            self._expr_collect(q.a, plain, pos)
+            self._expr_collect(q.b, plain, pos)
+            return
         if isinstance(q, Q.Not):
-            return self._expr_pairs(q.query)
+            self._expr_collect(q.query, plain, pos)
+            return
         if isinstance(q, Q.ConstantScore):
-            return self._expr_pairs(q.child)
+            self._expr_collect(q.child, plain, pos)
+            return
         raise _NotExpr
 
     def _expr_boost(self, c: _ExprC, boost: float) -> _ExprC:
@@ -674,7 +713,7 @@ class _PlanContext:
             return c
         return _ExprC(c.score * F.lit(float(boost)), c.present, c.negated)
 
-    def _expr(self, q: Q.Query, cols: dict) -> _ExprC:
+    def _expr(self, q: Q.Query, cols: dict, pcols: dict) -> _ExprC:
         if isinstance(q, Q._NullQuery):
             return _ExprC(F.lit(0.0), F.lit(False))
         if isinstance(q, Q.Term):
@@ -684,44 +723,104 @@ class _PlanContext:
             score = s if q.boost == 1.0 else s * F.lit(float(q.boost))
             return _ExprC(score, p)
         if isinstance(q, Q.And):
-            return self._expr_and(q, cols)
+            return self._expr_and(q, cols, pcols)
         if isinstance(q, Q.Or):
-            return self._expr_or(q, cols)
+            return self._expr_or(q, cols, pcols)
         if isinstance(q, Q.DisjunctionMax):
-            return self._expr_dismax(q, cols)
+            return self._expr_dismax(q, cols, pcols)
         if isinstance(q, Q.Not):
-            inner = self._expr(q.query, cols)
+            inner = self._expr(q.query, cols, pcols)
             if inner.negated:
                 raise _NotExpr  # double-Not complement needs the universe
             return _ExprC(inner.score, inner.present, negated=True)
         if isinstance(q, Q.AndNot):
-            a, b = self._expr_realized(q.a, cols), self._expr_realized(q.b, cols)
+            a, b = (self._expr_realized(q.a, cols, pcols),
+                    self._expr_realized(q.b, cols, pcols))
             return self._expr_boost(_ExprC(a.score, a.present & ~b.present), q.boost)
         if isinstance(q, Q.Require):
-            a, b = self._expr_realized(q.a, cols), self._expr_realized(q.b, cols)
+            a, b = (self._expr_realized(q.a, cols, pcols),
+                    self._expr_realized(q.b, cols, pcols))
             return self._expr_boost(_ExprC(a.score, a.present & b.present), q.boost)
         if isinstance(q, Q.AndMaybe):
-            a, b = self._expr_realized(q.a, cols), self._expr_realized(q.b, cols)
+            a, b = (self._expr_realized(q.a, cols, pcols),
+                    self._expr_realized(q.b, cols, pcols))
             # left join: score = _sl when _sr missing else _sl + _sr
             score = F.when(b.present, a.score + b.score).otherwise(a.score)
             return self._expr_boost(_ExprC(score, a.present), q.boost)
         if isinstance(q, Q.ConstantScore):
-            child = self._expr_realized(q.child, cols)
+            child = self._expr_realized(q.child, cols, pcols)
             return self._expr_boost(
                 _ExprC(F.lit(float(q.score)), child.present), q.boost)
+        if isinstance(q, Q.Phrase):
+            return self._expr_phrase(q, cols, pcols)
         raise _NotExpr
 
-    def _expr_realized(self, q: Q.Query, cols: dict) -> _ExprC:
-        c = self._expr(q, cols)
+    def _expr_phrase(self, q: Q.Phrase, cols: dict, pcols: dict) -> _ExprC:
+        """_compile_phrase's positional join chain as expressions over the
+        per-word aggregated position arrays: same adjacency / span-chain
+        predicates, same order-preserving binary-tree score sum."""
+        words = q.words
+        for w in words:
+            if (q.field, w) not in self.stats:
+                return _ExprC(F.lit(0.0), F.lit(False))
+        present = None
+        for w in words:
+            _, p = cols[(q.field, w)]
+            present = p if present is None else (present & p)
+        qs = [pcols[(q.field, w)] for w in words]
+        if len(words) == 1:
+            matched = present
+        elif q.slop == 1:
+            # slop=1 ordered adjacency: exists p in pos0 with p+i in pos_i
+            # (same degenerate form as the join plan's JVM expression)
+            def adjacent(start_col):
+                conds = [F.array_contains(qs[i], start_col + F.lit(i))
+                         for i in range(1, len(qs))]
+                out = conds[0]
+                for c in conds[1:]:
+                    out = out & c
+                return out
+
+            matched = present & F.exists(qs[0], adjacent)
+        else:
+            slop = q.slop
+
+            @pandas_udf(T.BooleanType())
+            def span_chain(*pcs: pd.Series) -> pd.Series:
+                out = []
+                n_rows = len(pcs[0])
+                for ri in range(n_rows):
+                    poslists = [
+                        list(c.iloc[ri]) if c.iloc[ri] is not None else []
+                        for c in pcs
+                    ]
+                    out.append(_span_near_chain(poslists, slop, True, 1))
+                return pd.Series(out)
+
+            matched = present & span_chain(*qs)
+
+        # score: sum of word term-scores over the order-preserving binary
+        # tree (same shape as tree_score / SpanNear2Matcher)
+        def tree(lo: int, hi: int):
+            if hi - lo == 1:
+                s, _ = cols[(q.field, words[lo])]
+                return s
+            half = (hi - lo) // 2
+            return tree(lo, lo + half) + tree(lo + half, hi)
+
+        return self._expr_boost(_ExprC(tree(0, len(words)), matched), q.boost)
+
+    def _expr_realized(self, q: Q.Query, cols: dict, pcols: dict) -> _ExprC:
+        c = self._expr(q, cols, pcols)
         if c.negated:
             raise _NotExpr  # _realize would complement against the universe
         return c
 
-    def _expr_and(self, q: Q.And, cols: dict) -> _ExprC:
+    def _expr_and(self, q: Q.And, cols: dict, pcols: dict) -> _ExprC:
         subs = q.subqueries
         if not subs:
             return _ExprC(F.lit(0.0), F.lit(False))
-        compiled = [self._expr(c, cols) for c in subs]
+        compiled = [self._expr(c, cols, pcols) for c in subs]
         ests = [c.estimate_size(self.stats_view) for c in subs]
         # same huffman merge as _compile_and (weight = -estimate_size)
         items: list[tuple[float, int, _ExprC]] = []
@@ -757,12 +856,12 @@ class _PlanContext:
             return _ExprC(F.lit(1.0) + b.score, b.present & ~a.present)
         return _ExprC(a.score + b.score, a.present & b.present)
 
-    def _expr_or(self, q: Q.Or, cols: dict) -> _ExprC:
+    def _expr_or(self, q: Q.Or, cols: dict, pcols: dict) -> _ExprC:
         if not q.subqueries:
             return _ExprC(F.lit(0.0), F.lit(False))
         if q.scale is not None:
             raise _NotExpr
-        compiled = [self._expr_realized(c, cols) for c in q.subqueries]
+        compiled = [self._expr_realized(c, cols, pcols) for c in q.subqueries]
         # ArrayUnionMatcher left fold: coalesce-to-0.0 per side, original
         # child order (0.0 + s == s exactly for finite BM25 scores)
         contribs = [F.when(c.present, c.score).otherwise(F.lit(0.0))
@@ -780,10 +879,10 @@ class _PlanContext:
             present = present & (n >= F.lit(int(q.minmatch)))
         return self._expr_boost(_ExprC(score, present), q.boost)
 
-    def _expr_dismax(self, q: Q.DisjunctionMax, cols: dict) -> _ExprC:
+    def _expr_dismax(self, q: Q.DisjunctionMax, cols: dict, pcols: dict) -> _ExprC:
         if not q.subqueries:
             return _ExprC(F.lit(0.0), F.lit(False))
-        compiled = [self._expr_realized(c, cols) for c in q.subqueries]
+        compiled = [self._expr_realized(c, cols, pcols) for c in q.subqueries]
         # greatest(coalesce(., -inf)) pairwise fold, as _compile_dismax
         acc_s = F.when(compiled[0].present, compiled[0].score)
         acc_p = compiled[0].present
