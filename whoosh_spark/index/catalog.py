@@ -610,10 +610,11 @@ def decode_doc_ids(blocks: DataFrame) -> DataFrame:
 
     def decode_iter(batches):
         for pdf in batches:
-            out = [codec.delta_decode(row.ids, int(row.count))
-                   for row in pdf.itertuples(index=False)]
-            if out:
-                yield pd.DataFrame({"doc_id": np.concatenate(out)})
+            if not len(pdf):
+                continue
+            counts = pdf["count"].to_numpy().astype(np.int64)
+            ids = codec.delta_decode_concat(pdf["ids"].tolist(), counts)
+            yield pd.DataFrame({"doc_id": ids})
 
     return blocks.select("count", "ids").mapInPandas(
         decode_iter, T.StructType([T.StructField("doc_id", T.LongType())])
@@ -652,8 +653,59 @@ def decode_blocks(blocks: DataFrame, with_positions: bool = False,
 
     from whoosh_spark.index.quantize import BYTE_TO_LENGTH
 
+    def decode_fast(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized batch decode (no char-format payloads): one concat
+        codec pass per column instead of a Python loop per block — the
+        per-block numpy fixed overhead made the loop ~10x slower
+        (measured 1.85s vs 0.17s for 9.5k blocks / 1.2M postings)."""
+        counts = pdf["count"].to_numpy().astype(np.int64)
+        total = int(counts.sum())
+        ids = codec.delta_decode_concat(pdf["ids"].tolist(), counts)
+        tf = codec.varint_decode_concat(pdf["tfs"].tolist(), total)
+        lb_all = np.frombuffer(b"".join(pdf["len_bytes"]), dtype=np.uint8).astype(np.int32)
+        w_col = pdf["weights"]
+        if w_col.isna().all():
+            ws = tf.astype(np.float64)
+        else:
+            parts = []
+            for w, tf_bin, c in zip(w_col, pdf["tfs"], counts):
+                if w is not None:
+                    parts.append(np.frombuffer(w, dtype=np.float64))
+                else:
+                    parts.append(codec.varint_decode(tf_bin, int(c)).astype(np.float64))
+            ws = np.concatenate(parts) if parts else np.empty(0, np.float64)
+        out = pd.DataFrame(
+            {
+                "field": np.repeat(pdf["field"].to_numpy(), counts),
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": ids,
+                "tf": tf,
+                "weight": ws,
+                "len_byte": lb_all,
+                "fl": BYTE_TO_LENGTH[lb_all],
+            },
+            copy=False,  # block consolidation would copy every column
+        )
+        if with_positions:
+            flat, lens = codec.decode_position_lists_concat(
+                pdf["positions"].tolist(), counts)
+            bounds = np.cumsum(lens)[:-1].astype(np.int64)
+            out["positions"] = pd.Series(
+                np.split(flat.astype(np.int32), bounds), dtype=object)
+        if with_block_id:
+            out["bucket"] = np.repeat(
+                pdf["bucket"].to_numpy().astype(np.int64), counts)
+            out["block_no"] = np.repeat(
+                pdf["block_no"].to_numpy().astype(np.int32), counts)
+        return out
+
     def decode_iter(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
+            if not with_char_formats:
+                yield decode_fast(pdf)
+                continue
             fields, terms, doc_ids, tfs, lbs, poss = [], [], [], [], [], []
             wss = []
             pbs, scs, ecs = [], [], []

@@ -58,14 +58,23 @@ def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
     if buf.size == 0:
         return np.empty(0, dtype=np.int64)
     is_end = (buf & _CONT) == 0
-    # group id for each byte = number of terminators strictly before it
-    gid = np.concatenate(([0], np.cumsum(is_end)[:-1]))
     n = int(is_end.sum())
+    if n == buf.size:
+        # every varint is a single byte (small deltas/tfs — the common
+        # posting payload): the bytes ARE the values
+        res = buf.astype(np.int64)
+        if count is not None and res.size != count:
+            raise ValueError(f"varint_decode: expected {count} values, got {res.size}")
+        return res
     starts = np.nonzero(np.concatenate(([True], is_end[:-1])))[0]
-    k = np.arange(buf.size, dtype=np.int64) - starts[gid]
+    # byte offset within its value: position minus the value's start,
+    # propagated by repeat-free subtraction (starts is sorted)
+    k = np.arange(buf.size, dtype=np.int64)
+    k -= np.repeat(starts, np.diff(np.concatenate((starts, [buf.size]))))
     contrib = (buf & 0x7F).astype(_U64) << (k.astype(_U64) * _SEVEN)
-    out = np.zeros(n, dtype=_U64)
-    np.add.at(out, gid, contrib)
+    # values are contiguous byte groups -> reduceat (C-speed segmented sum;
+    # np.add.at was ~5x slower here)
+    out = np.add.reduceat(contrib, starts)
     res = out.astype(np.int64)
     if count is not None and res.size != count:
         raise ValueError(f"varint_decode: expected {count} values, got {res.size}")
