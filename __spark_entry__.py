@@ -609,10 +609,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def sequence_pack(spark, sf):
         # greedy context-window packing: docs laid end-to-end per lang in
-        # doc_id order, cut into 512-token windows (functions/pipeline.py)
+        # doc_id order, cut into 512-token windows (functions/pipeline.py).
+        # start_offset is cast to double to match the oracle SQL's dtype:
+        # DuckDB types the window sum HUGEINT, which reaches pandas as
+        # float64, so a strict result hasher sees 1024.0 there — the Spark
+        # side must render the same (values are identical either way)
         from whoosh_spark.functions.pipeline import sequence_pack as op
 
-        return op(_docs(spark, sf), window_tokens=512)
+        out = op(_docs(spark, sf), window_tokens=512)
+        return out.withColumn("start_offset", F.col("start_offset").cast("double"))
 
     def contamination_flag(spark, sf):
         # n-gram-overlap decontamination: flag corpus docs sharing any

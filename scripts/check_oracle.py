@@ -87,6 +87,18 @@ def main():
         ok = list(a.columns) == list(b.columns) and len(a) == len(b)
         if ok:
             for c in a.columns:
+                # dtype-KIND drift (int on one side, float on the other)
+                # renders differently under a strict hasher (1024 vs
+                # 1024.0) even when values compare equal numerically —
+                # the r5 sequence_pack driver red cell. Fail it locally.
+                ka, kb = a[c].dtype.kind, b[c].dtype.kind
+                num = {"i", "u", "f"}
+                if ka in num and kb in num and ((ka == "f") != (kb == "f")):
+                    ok = False
+                    print(f"      {name}: column {c} dtype-kind mismatch "
+                          f"spark={a[c].dtype} duck={b[c].dtype} "
+                          f"(strict hashers render these differently)")
+                    break
                 if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
                     same = (a[c].astype(float).fillna(-1e300) == b[c].astype(float).fillna(-1e300)).all()
                 else:

@@ -213,12 +213,37 @@ def test_line_dedup_removes_hot_lines(spark, lined_corpus):
     assert out[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
 
 
-def test_line_dedup_broadcasts_hot_set(spark, lined_corpus):
+def test_line_dedup_hot_set_join_left_to_aqe(spark, lined_corpus):
+    """The hot-line set is UNBOUNDED at corpus scale (every 3+-occurrence
+    line), so line_dedup must NOT force a broadcast of it — the anti-join
+    strategy is AQE's runtime choice (r6; the hint the r5 code forced
+    would OOM at 100 TB). The plan stays an anti-join, with no broadcast
+    hint anywhere in the logical tree."""
     from whoosh_spark.functions.pipeline import line_dedup
 
     df, _ = lined_corpus
-    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    out = line_dedup(df)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_hot_line_stats_matches_threshold(spark, lined_corpus):
+    """hot_line_stats (the line_dedup sizing diagnostic) returns exactly
+    the >=min_docs lines the operator drops."""
+    from whoosh_spark.functions.pipeline import hot_line_stats
+
+    df, rows = lined_corpus
+    got = {r["norm"]: r["nd"] for r in hot_line_stats(df, min_docs=3).collect()}
+    from collections import Counter
+
+    counts = Counter()
+    for r in rows:
+        for line in {l.strip() for l in r["text"].split("\n") if l.strip()}:
+            counts[line] += 1
+    want = {l: n for l, n in counts.items() if n >= 3}
+    assert got == want
 
 
 def test_pii_redact_counts_and_hash(spark, lined_corpus):

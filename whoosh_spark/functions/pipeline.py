@@ -328,11 +328,16 @@ def line_dedup(df: DataFrame, min_docs: int = 3, text_col: str = "text") -> Data
     was boilerplate).
 
     Scale shape (100 TB lens): one explode + one groupBy on the line text
-    (map-side combine collapses repeats before the shuffle); the hot set
-    (lines over the threshold) is tiny relative to the corpus — think
-    cookie banners — so it rides a broadcast anti-join; then one groupBy
-    doc_id to reassemble. The corpus text itself is shuffled once (the
-    reassembly), never joined against itself.
+    (map-side combine collapses repeats before the shuffle); then an
+    anti-join against the hot set and one groupBy doc_id to reassemble.
+    The corpus text itself is shuffled once (the reassembly), never joined
+    against itself. The hot-set join strategy is deliberately left to AQE:
+    at web scale the set of ALL lines occurring in >= min_docs documents
+    is unbounded (every 3+-occurrence line, not just cookie banners), so a
+    forced broadcast would OOM — AQE broadcasts when the runtime size is
+    actually small and falls back to a shuffle join otherwise, with
+    identical anti-join semantics. Size the set first with
+    ``hot_line_stats`` when auditing a new corpus.
     """
     lines = (
         df.select("doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
@@ -346,7 +351,7 @@ def line_dedup(df: DataFrame, min_docs: int = 3, text_col: str = "text") -> Data
         .filter(F.col("nd") >= min_docs)
         .select("norm")
     )
-    kept = lines.join(F.broadcast(hot), "norm", "left_anti")
+    kept = lines.join(hot, "norm", "left_anti")
     clean = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.md5(
@@ -364,6 +369,24 @@ def line_dedup(df: DataFrame, min_docs: int = 3, text_col: str = "text") -> Data
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+def hot_line_stats(df: DataFrame, min_docs: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """Diagnostic for line_dedup (the lsh_dropped_buckets analog): the
+    boilerplate lines the threshold would drop, with their distinct-doc
+    counts — ``.count()`` it (or sum lengths) before trusting any
+    broadcast assumption about the hot set on a new corpus."""
+    lines = (
+        df.select("doc_id", F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .select("doc_id", F.trim("line").alias("norm"))
+        .filter(F.col("norm") != "")
+    )
+    return (
+        lines.groupBy("norm")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
     )
 
 
