@@ -48,8 +48,11 @@ def kmeans(
     Returns (assignments DataFrame with a ``label`` column, final centers).
     Scalar column -> scalar centers; array column -> list-of-list centers.
     """
-    first = df.select(col).first()
-    is_vec = isinstance(first[0], list) if first is not None else False
+    from pyspark.sql import types as T
+
+    # the schema knows the column shape — a first() here would launch a
+    # whole Spark job just to sniff the type
+    is_vec = isinstance(df.schema[col].dataType, T.ArrayType)
     dist2 = _dist2_vec if is_vec else _dist2_scalar
     c = [list(x) if is_vec else float(x) for x in centers]
     if len(c) != k:

@@ -489,6 +489,12 @@ def build_segment(
     _t0 = _time.time()
     manifest = read_manifest(index_dir) if index_exists(index_dir) else None
     if segment_name is not None:
+        # partition-escaped chars (=, /, %, # ...) in a caller-supplied
+        # name would break the tombstone staging rename (delete_docs
+        # writes partitionBy("seg") dirs named after the raw segment name)
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", segment_name):
+            raise ValueError(
+                f"segment_name {segment_name!r} must match [A-Za-z0-9._-]+")
         name = segment_name
         seg_dir = os.path.join(index_dir, "segments", name)
         os.makedirs(seg_dir, exist_ok=True)
@@ -526,7 +532,10 @@ def build_segment(
     # on docs.parquet dtypes — otherwise docs()'s mergeSchema read throws
     # "Failed to merge incompatible data types" (e.g. an all-None NUMERIC
     # batch inferring string, or int/float mixing across writer commits).
-    stored_cols = [F.col(doc_id_col).alias("doc_id")] + [
+    # doc_id cast to long so the on-disk type is canonical: readers use an
+    # explicit 'doc_id BIGINT' schema (catalog deletes / delete_docs), and
+    # an int32-id corpus must not depend on parquet int->long widening
+    stored_cols = [F.col(doc_id_col).cast("long").alias("doc_id")] + [
         _canonical_stored_col(docs, c, schema[c].kind)
         for c in schema.stored_fields() if c in docs.columns and c != doc_id_col
     ]

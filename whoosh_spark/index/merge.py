@@ -281,18 +281,28 @@ def clean_files(index_dir: str, grace_secs: float = CLEAN_GRACE_SECS) -> list[st
     if not os.path.isdir(segroot):
         return removed
     now = time.time()
+    # crash leftovers at the index root: an aged .deletes_staging dir from
+    # a delete_docs that died between the staged write and the renames
+    staging = os.path.join(index_dir, ".deletes_staging")
+    try:
+        if now - os.stat(staging).st_mtime >= grace_secs:
+            shutil.rmtree(staging, ignore_errors=True)
+            removed.append(".deletes_staging")
+    except FileNotFoundError:
+        pass
     for name in os.listdir(segroot):
         if name in live:
             # live segment: GC superseded tombstone generations (each
             # delete_docs commit writes a new deletes.<gen>.parquet and
             # repoints the manifest; older files exist only for readers
-            # holding earlier manifest snapshots)
+            # holding earlier manifest snapshots) plus legacy
+            # 'deletes.parquet.new' leftovers of the old in-place swap
             seg = live[name]
             current = seg.deletes_filename()
             segdir = os.path.join(segroot, name)
             for f in os.listdir(segdir):
-                if not (f == "deletes.parquet" or
-                        (f.startswith("deletes.") and f.endswith(".parquet"))):
+                if not (f == "deletes.parquet" or f == "deletes.parquet.new"
+                        or (f.startswith("deletes.") and f.endswith(".parquet"))):
                     continue
                 if f == current:
                     continue
@@ -400,11 +410,14 @@ def _delete_docs_locked(spark: SparkSession, index_dir: str, doc_ids) -> int:
     manifest = read_manifest(index_dir)
     if isinstance(doc_ids, list):
         doc_ids = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
-    # deliberately NOT persisted: a cached shuffle under the broadcast hint
-    # defeats the broadcast (AQE re-plans the semi-join as one shuffled join
-    # per union child — measured 12 jobs vs 5 on a 9-segment index); the
-    # distinct is recomputed 2-3x on the small batch instead
-    doc_ids = doc_ids.select("doc_id").distinct()
+    # localCheckpoint (NOT persist: a cached shuffle under the broadcast
+    # hint defeats the broadcast — AQE re-plans the semi-join as one
+    # shuffled join per union child, measured 12 jobs vs 5 on a 9-segment
+    # index; a checkpointed local relation broadcasts fine) pins ONE
+    # materialization of the batch across the 3 actions below — a
+    # non-deterministic caller DataFrame (e.g. a sampled stale-doc join)
+    # would otherwise produce different counted vs written tombstone sets
+    doc_ids = doc_ids.select("doc_id").distinct().localCheckpoint()
 
     def _finish(total: int) -> int:
         manifest.generation += 1
