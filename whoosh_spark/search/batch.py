@@ -83,12 +83,192 @@ def _selective_fraction(searcher: Searcher,
 
 
 def _topk_window(agg: DataFrame, k: int) -> DataFrame:
+    # NOTE a partition-local pre-top-k via mapInPandas was tried here and
+    # REVERTED: shipping the full aggregated (query, doc) set across the
+    # JVM->Python boundary cost ~2x the Tungsten window sort it displaced
+    # (27.8s -> 52s at 500k docs). The volume fix lives upstream: the
+    # fused bucket kernel (batch_fused_topk) never materializes that set.
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.col("score"), "rank")
     )
+
+
+def batch_fused_topk(
+    searcher: Searcher,
+    queries: list[tuple[str, str, list[str]]],
+    k: int = 10,
+) -> DataFrame | None:
+    """Disjunctive weighted-term batch top-k as ONE fused kernel over
+    bucket-co-partitioned posting blocks — the guide-§8 shape: every
+    per-(query, doc) decision happens where the postings already are, and
+    only ``queries x k`` candidate rows per partition ever reach a shuffle.
+
+    The DataFrame plan (decode -> score -> broadcast-join queries ->
+    groupBy(query, doc) -> window) is the right shape for SELECTIVE
+    batches, but for hot unselective ones it materializes and shuffles the
+    full matched set — |queries| x |matching docs| rows (10^8 at 500k docs
+    x 200 queries) — twice (aggregation + ranking window), just to keep k
+    rows per query. All of a doc's postings for every term share the
+    build-time ``bucket`` (doc_id // bucket_width), so partitioning the
+    compact ENCODED blocks by bucket makes each partition doc-complete:
+    the kernel decodes, scores (same numpy BM25 as the local evaluator,
+    bit-equal to the JVM expression), accumulates per query in the
+    query's term order (the engine's exact left-fold order), and emits its
+    local top-k. A final tiny window merges partition candidates — exact
+    by the top-k merge property (doc_id breaks score ties).
+
+    Parallelism below one-task-per-core is recovered by replicating the
+    block stream over G query-groups (each query belongs to exactly one
+    group, so per-(query, doc) work is never duplicated — only the cheap
+    block decode, bounded by G).
+
+    Eligibility (caller falls back to the DataFrame plan otherwise): plain
+    BM25F weighting, no tombstones (the kernel reads raw blocks), and no
+    ``round_to`` (faithful HALF_UP decimal rounding before the local cut
+    cannot be vectorized; rounded oracle comparisons keep the proven
+    plan)."""
+    import numpy as np
+    import pandas as pd
+
+    from whoosh_spark.index import codec
+    from whoosh_spark.index.quantize import BYTE_TO_LENGTH
+    from whoosh_spark.search.scoring import BM25F
+
+    ix = searcher.index
+    w = searcher.weighting
+    if type(w) is not BM25F or getattr(w, "use_final", False):
+        return None
+    if ix._delete_paths():
+        return None
+    _, all_terms, plan = _prepare(searcher, queries)
+
+    # per-(field, term) scoring constants (same values attach_scores feeds
+    # the JVM expression; score_np reproduces its op order bit-for-bit)
+    dc = ix.doc_count_all()
+    meta: dict = {}
+    for field, ts in all_terms.items():
+        ftype = searcher.schema[field] if field in searcher.schema else None
+        scorable = bool(ftype and ftype.scorable)
+        fboost = float(ftype.field_boost) if ftype else 1.0
+        avgfl = ix.avg_field_length(field) or 1.0
+        B = w.field_B(field)
+        for t in ts:
+            st = plan.stats.get((field, t))
+            if st is None:
+                continue
+            meta[(field, t)] = (w.idf(dc, int(st["df"])), avgfl, B, fboost, scorable)
+
+    nparts = max(1, ix.spark.sparkContext.defaultParallelism)
+    span = max(
+        (s.max_doc_id for s in ix.manifest.segments), default=0
+    ) - min((s.min_doc_id for s in ix.manifest.segments), default=0)
+    from whoosh_spark.index.build import DEFAULT_BUCKET_WIDTH
+
+    n_buckets = max(1, span // DEFAULT_BUCKET_WIDTH + 1)
+    G = int(max(1, min(len(queries), nparts // n_buckets)))
+    import zlib
+
+    qgroup = {qid: zlib.crc32(str(qid).encode()) % G for qid, _, _ in queries}
+    by_group: list[list[tuple[str, str, list[str]]]] = [[] for _ in range(G)]
+    for q in queries:
+        by_group[qgroup[q[0]]].append(q)
+
+    term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
+    blocks = ix.postings_blocks().filter(
+        F.col("term").isin([t for _, t in term_pairs])
+        & F.col("field").isin(list(all_terms))
+    ).select("field", "term", "bucket", "count", "ids", "tfs", "len_bytes",
+             "weights")
+    if G > 1:
+        blocks = blocks.withColumn(
+            "g", F.explode(F.sequence(F.lit(0), F.lit(G - 1))))
+    else:
+        blocks = blocks.withColumn("g", F.lit(0))
+    parts = blocks.repartition(nparts, "bucket", "g")
+
+    def kernel(batches):
+        # (g, field, term) -> [ids chunks], [score chunks]
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for (g, fld, trm), idx in pdf.groupby(
+                    ["g", "field", "term"], sort=False).indices.items():
+                m = meta.get((fld, trm))
+                if m is None:
+                    continue
+                sub = pdf.iloc[idx]
+                counts = sub["count"].to_numpy().astype(np.int64)
+                n = int(counts.sum())
+                ids = codec.delta_decode_concat(sub["ids"].tolist(), counts)
+                wcol = sub["weights"]
+                if wcol.isna().all():
+                    ws = codec.varint_decode_concat(
+                        sub["tfs"].tolist(), n).astype(np.float64)
+                else:
+                    chunks = []
+                    for wv, tf_bin, c in zip(wcol, sub["tfs"], counts):
+                        if wv is not None:
+                            chunks.append(np.frombuffer(wv, dtype=np.float64))
+                        else:
+                            chunks.append(codec.varint_decode(
+                                tf_bin, int(c)).astype(np.float64))
+                    ws = np.concatenate(chunks)
+                lbs = np.frombuffer(b"".join(sub["len_bytes"]), dtype=np.uint8)
+                idf, avgfl, B, fboost, scorable = m
+                if scorable:
+                    fls = BYTE_TO_LENGTH[lbs].astype(np.float64)
+                    sc = w.score_np(idf, ws * fboost, fls, avgfl, B)
+                else:
+                    sc = ws * fboost
+                slot = acc.setdefault((g, fld, trm), ([], []))
+                slot[0].append(ids)
+                slot[1].append(sc)
+        if not acc:
+            return
+        groups = {g for g, _, _ in acc}
+        out_q: list = []
+        out_d: list = []
+        out_s: list = []
+        for g in groups:
+            term_scores = {
+                (fld, trm): (np.concatenate(chunks[0]), np.concatenate(chunks[1]))
+                for (gg, fld, trm), chunks in acc.items() if gg == g
+            }
+            for qid, field, terms in by_group[g]:
+                parts_i = [term_scores[(field, t)] for t in terms
+                           if (field, t) in term_scores]
+                if not parts_i:
+                    continue
+                ids_all = np.concatenate([p[0] for p in parts_i])
+                sc_all = np.concatenate([p[1] for p in parts_i])
+                # per-doc sum in the query's term order (stable sort keeps
+                # concat order within a doc — the engine's exact left fold)
+                order = np.argsort(ids_all, kind="stable")
+                ids_s = ids_all[order]
+                boundary = np.empty(ids_s.size, dtype=bool)
+                boundary[0] = True
+                np.not_equal(ids_s[1:], ids_s[:-1], out=boundary[1:])
+                starts = np.flatnonzero(boundary)
+                sums = np.add.reduceat(sc_all[order], starts)
+                docs = ids_s[starts]
+                top = np.lexsort((docs, -sums))[:k]
+                out_q.extend([qid] * top.size)
+                out_d.append(docs[top])
+                out_s.append(sums[top])
+        if not out_q:
+            return
+        yield pd.DataFrame({
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }, copy=False)
+
+    cand = parts.mapInPandas(kernel, "query_id string, doc_id long, score double")
+    return _topk_window(cand, k)
 
 
 def batch_term_search(
@@ -121,6 +301,12 @@ def batch_term_search(
         return batch_wand_search(searcher, queries, k, round_to=round_to)
     if conjunctive and conjunctive_skip:
         return batch_conjunctive_search(searcher, queries, k, round_to=round_to)
+    if not conjunctive and round_to is None:
+        # unselective disjunctive serving: the fused bucket kernel never
+        # materializes the |queries| x |docs| matched set (see its doc)
+        fused = batch_fused_topk(searcher, queries, k)
+        if fused is not None:
+            return fused
     ix = searcher.index
     qdf, all_terms, plan = _prepare(searcher, queries)
     term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
