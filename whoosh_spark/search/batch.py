@@ -100,6 +100,7 @@ def batch_fused_topk(
     searcher: Searcher,
     queries: list[tuple[str, str, list[str]]],
     k: int = 10,
+    conjunctive: bool = False,
 ) -> DataFrame | None:
     """Disjunctive weighted-term batch top-k as ONE fused kernel over
     bucket-co-partitioned posting blocks — the guide-§8 shape: every
@@ -241,8 +242,8 @@ def batch_fused_topk(
             for qid, field, terms in by_group[g]:
                 parts_i = [term_scores[(field, t)] for t in terms
                            if (field, t) in term_scores]
-                if not parts_i:
-                    continue
+                if not parts_i or (conjunctive and len(parts_i) < len(terms)):
+                    continue  # conjunctive: a term with no postings here
                 ids_all = np.concatenate([p[0] for p in parts_i])
                 sc_all = np.concatenate([p[1] for p in parts_i])
                 # per-doc sum in the query's term order (stable sort keeps
@@ -255,6 +256,13 @@ def batch_fused_topk(
                 starts = np.flatnonzero(boundary)
                 sums = np.add.reduceat(sc_all[order], starts)
                 docs = ids_s[starts]
+                if conjunctive:
+                    # all-terms-required: a doc must have one contribution
+                    # per term occurrence (buckets are doc-complete, so
+                    # the count is global, not partial)
+                    sizes = np.diff(np.append(starts, ids_s.size))
+                    keep = sizes == len(terms)
+                    docs, sums = docs[keep], sums[keep]
                 top = np.lexsort((docs, -sums))[:k]
                 out_q.extend([qid] * top.size)
                 out_d.append(docs[top])
@@ -299,14 +307,21 @@ def batch_term_search(
                     and _selective_fraction(searcher, queries, k) >= 0.8)
     if use_wand and not conjunctive:
         return batch_wand_search(searcher, queries, k, round_to=round_to)
+    if round_to is None:
+        # unselective serving: the fused bucket kernel never materializes
+        # the |queries| x |docs| matched set (see its doc). For SELECTIVE
+        # conjunctive batches the chunk-intersection plan below can still
+        # win by decoding less; route them there (same signal as the WAND
+        # auto-route: a doc-range-sparse term drives the pruning).
+        selective = (conjunctive
+                     and _selective_fraction(searcher, queries, k) >= 0.8)
+        if not selective:
+            fused = batch_fused_topk(searcher, queries, k,
+                                     conjunctive=conjunctive)
+            if fused is not None:
+                return fused
     if conjunctive and conjunctive_skip:
         return batch_conjunctive_search(searcher, queries, k, round_to=round_to)
-    if not conjunctive and round_to is None:
-        # unselective disjunctive serving: the fused bucket kernel never
-        # materializes the |queries| x |docs| matched set (see its doc)
-        fused = batch_fused_topk(searcher, queries, k)
-        if fused is not None:
-            return fused
     ix = searcher.index
     qdf, all_terms, plan = _prepare(searcher, queries)
     term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}

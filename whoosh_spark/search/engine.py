@@ -170,6 +170,7 @@ class Searcher:
         terms = _wand_terms(qn)
         if terms is None:
             return None
+        plan.ensure_persisted()  # WAND references the base twice (seed + main)
         df, _ = wand_topk(plan, terms, limit)
         return df
 
@@ -597,6 +598,7 @@ class _PlanContext:
             df = self._expr_compile_root(q)
             if df is not None:
                 return df
+        self.ensure_persisted()
         c = self._compile(q)
         if c.negated:
             # standalone Not: complement with constant score 1.0
@@ -1162,11 +1164,23 @@ class _PlanContext:
             decoded = parts[0]
             for p in parts[1:]:
                 decoded = decoded.unionByName(p)
-        out = self.attach_scores(decoded, sorted(terms), keep_positions=with_positions)
-        if self.s.cache_postings:
-            out = out.persist()
-            self.s._persisted.append(out)
-        return out
+        return self.attach_scores(decoded, sorted(terms), keep_positions=with_positions)
+
+    def ensure_persisted(self) -> None:
+        """Persist the shared bases for plans that reference them more
+        than once (the generic join path, WAND seeds, sorted search).
+        Deliberately NOT called before the single-aggregation expression
+        path: it reads each base exactly once, so caching would only add
+        the materialization cost."""
+        if not self.s.cache_postings or getattr(self, "_bases_persisted", False):
+            return
+        self._bases_persisted = True
+        if self.base is not None:
+            self.base = self.base.persist()
+            self.s._persisted.append(self.base)
+        if self.pos_base is not None:
+            self.pos_base = self.pos_base.persist()
+            self.s._persisted.append(self.pos_base)
 
     # ------------------------------------------------------------- compile
 

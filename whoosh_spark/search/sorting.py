@@ -114,6 +114,7 @@ def matched_terms(searcher, q: Q.Query, limit: int | None = 10,
 
     plan = _PlanContext(searcher)
     qn = plan.prepare(q)
+    plan.ensure_persisted()  # the matched-terms scan re-reads the base
     top = searcher.search(q, limit=limit, **search_kw)
     leaves = sorted({(f, t) for f, t in qn.leaf_terms()})
     if not leaves or plan.base is None:
