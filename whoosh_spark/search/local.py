@@ -563,8 +563,21 @@ def try_local_search(searcher, q, limit: int):
         terms = [t for f, t in plain if f == field]
         for t, row in ix.term_stats(field, terms).items():
             stats[(field, t)] = row
+    threshold = getattr(searcher, "local_threshold", LOCAL_THRESHOLD)
     total_postings = sum(int(st["df"]) for st in stats.values() if st)
-    if total_postings > getattr(searcher, "local_threshold", LOCAL_THRESHOLD):
+    if total_postings > threshold:
+        return None
+    # positional terms additionally pay per OCCURRENCE (ragged position
+    # decode + the adjacency key join), measured ~5x cheaper per element
+    # than a posting but far more numerous — budget them separately
+    # (2.5M-doc calibration: 6.6M effective = 0.44s local, well under the
+    # ~2s distributed floor; 33M effective = 23s, clearly past it)
+    pos_occ = sum(
+        int(st["df"]) + int(st["total_tf"])
+        for (f, t), st in stats.items()
+        if st is not None and (f, t) in positional
+    )
+    if pos_occ > 5 * threshold:
         return None
     from whoosh_spark.search.engine import _Stats
 
