@@ -101,6 +101,7 @@ def batch_fused_topk(
     queries: list[tuple[str, str, list[str]]],
     k: int = 10,
     conjunctive: bool = False,
+    combine: str = "sum",
 ) -> DataFrame | None:
     """Disjunctive weighted-term batch top-k as ONE fused kernel over
     bucket-co-partitioned posting blocks — the guide-§8 shape: every
@@ -244,24 +245,31 @@ def batch_fused_topk(
                            if (field, t) in term_scores]
                 if not parts_i or (conjunctive and len(parts_i) < len(terms)):
                     continue  # conjunctive: a term with no postings here
-                ids_all = np.concatenate([p[0] for p in parts_i])
-                sc_all = np.concatenate([p[1] for p in parts_i])
-                # per-doc sum in the query's term order (stable sort keeps
-                # concat order within a doc — the engine's exact left fold)
-                order = np.argsort(ids_all, kind="stable")
-                ids_s = ids_all[order]
-                boundary = np.empty(ids_s.size, dtype=bool)
-                boundary[0] = True
-                np.not_equal(ids_s[1:], ids_s[:-1], out=boundary[1:])
-                starts = np.flatnonzero(boundary)
-                sums = np.add.reduceat(sc_all[order], starts)
-                docs = ids_s[starts]
+                # per-doc fold IN TERM ORDER over columns aligned to the
+                # union doc set — bit-identical to the engine's left fold
+                # (0.0-fill for absent terms is the join plan's coalesce;
+                # NOTE add.reduceat was tried and replaced: numpy reduces
+                # pairwise, which re-associates the sum by 1 ulp)
+                docs = np.unique(np.concatenate([p[0] for p in parts_i]))
+                if combine == "max":
+                    sums = np.full(docs.size, float("-inf"))
+                else:
+                    sums = np.zeros(docs.size, dtype=np.float64)
+                npresent = (np.zeros(docs.size, dtype=np.int32)
+                            if conjunctive else None)
+                for ids_t, sc_t in parts_i:
+                    idx = np.searchsorted(docs, ids_t)
+                    if combine == "max":
+                        sums[idx] = np.maximum(sums[idx], sc_t)
+                    else:
+                        sums[idx] = sums[idx] + sc_t
+                    if npresent is not None:
+                        npresent[idx] += 1
                 if conjunctive:
-                    # all-terms-required: a doc must have one contribution
-                    # per term occurrence (buckets are doc-complete, so
-                    # the count is global, not partial)
-                    sizes = np.diff(np.append(starts, ids_s.size))
-                    keep = sizes == len(terms)
+                    # all-terms-required: one contribution per term
+                    # occurrence (buckets are doc-complete, so the count
+                    # is global, not partial)
+                    keep = npresent == len(terms)
                     docs, sums = docs[keep], sums[keep]
                 top = np.lexsort((docs, -sums))[:k]
                 out_q.extend([qid] * top.size)

