@@ -102,6 +102,7 @@ def batch_fused_topk(
     k: int = 10,
     conjunctive: bool = False,
     combine: str = "sum",
+    min_match: int = 0,
 ) -> DataFrame | None:
     """Disjunctive weighted-term batch top-k as ONE fused kernel over
     bucket-co-partitioned posting blocks — the guide-§8 shape: every
@@ -256,7 +257,7 @@ def batch_fused_topk(
                 else:
                     sums = np.zeros(docs.size, dtype=np.float64)
                 npresent = (np.zeros(docs.size, dtype=np.int32)
-                            if conjunctive else None)
+                            if conjunctive or min_match else None)
                 for ids_t, sc_t in parts_i:
                     idx = np.searchsorted(docs, ids_t)
                     if combine == "max":
@@ -270,6 +271,9 @@ def batch_fused_topk(
                     # occurrence (buckets are doc-complete, so the count
                     # is global, not partial)
                     keep = npresent == len(terms)
+                    docs, sums = docs[keep], sums[keep]
+                elif min_match:
+                    keep = npresent >= min_match
                     docs, sums = docs[keep], sums[keep]
                 top = np.lexsort((docs, -sums))[:k]
                 out_q.extend([qid] * top.size)

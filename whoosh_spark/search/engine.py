@@ -213,17 +213,19 @@ class Searcher:
 
         combine = "sum"
         conjunctive = False
+        min_match = 0
         if isinstance(q, Q.Term):
             if q.boost != 1.0:
                 return None
             field, terms = q.field, [q.text]
-        elif type(q) is Q.Or and q.minmatch == 0 and q.scale is None:
+        elif type(q) is Q.Or and q.scale is None:
             subs = q.subqueries
             if (not subs or q.boost != 1.0
                     or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
                     or len({c.field for c in subs}) != 1):
                 return None
             field, terms = subs[0].field, [c.text for c in subs]
+            min_match = int(q.minmatch or 0)
         elif type(q) is Q.DisjunctionMax:
             subs = q.subqueries
             if (not subs or q.boost != 1.0
@@ -232,7 +234,7 @@ class Searcher:
                 return None
             field, terms = subs[0].field, [c.text for c in subs]
             combine = "max"
-        elif type(q) is Q.And and len(q.subqueries) == 2:
+        elif type(q) is Q.And and len(q.subqueries) >= 2:
             subs = q.subqueries
             if (q.boost != 1.0
                     or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
@@ -240,8 +242,14 @@ class Searcher:
                     or len({c.text for c in subs}) != len(subs)):
                 return None
             field = subs[0].field
-            # huffman pop order: weight = -estimate_size, ties by seq —
-            # the larger-df term's score is the LEFT addend
+            # huffman pop order IS a left fold over (df desc, seq): the
+            # first merge takes the two most-negative weights and the
+            # merged weight (their sum) is strictly more negative than
+            # any single remaining item, so the accumulator stays at the
+            # front and every later merge appends the next-largest term —
+            # ((s_a + s_b) + s_c) + ... in df-descending order. (A zero-df
+            # term would tie at weight 0.0, but then the conjunction is
+            # empty under any order.)
             stats = {}
             for t, row in self.index.term_stats(field, [c.text for c in subs]).items():
                 stats[(field, t)] = row
@@ -254,7 +262,8 @@ class Searcher:
         else:
             return None
         df = batch_fused_topk(self, [("q", field, terms)], k=limit,
-                              conjunctive=conjunctive, combine=combine)
+                              conjunctive=conjunctive, combine=combine,
+                              min_match=min_match)
         if df is None:
             return None
         return df.orderBy(F.asc("rank")).select("doc_id", "score")
