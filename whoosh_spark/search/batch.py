@@ -291,6 +291,164 @@ def batch_fused_topk(
     return _topk_window(cand, k)
 
 
+def phrase_fused_topk(
+    searcher: Searcher,
+    field: str,
+    words: list[str],
+    k: int = 10,
+) -> DataFrame | None:
+    """Single-phrase top-k through the bucket-co-partitioned kernel: per
+    partition, decode the words' postings WITH positions, intersect the
+    doc sets in word order, run the slop=1 adjacency check
+    (keys-vectorized, the same degenerate form as the engine expression
+    and the local evaluator), sum word scores over the engine's
+    order-preserving binary tree, and emit the local top-k. The generic
+    plan ships every matched doc's position ARRAYS through an
+    aggregation exchange; here positions never leave the partition that
+    decoded them. Same eligibility rules as batch_fused_topk."""
+    import numpy as np
+    import pandas as pd
+
+    from whoosh_spark.index import codec
+    from whoosh_spark.index.quantize import BYTE_TO_LENGTH
+    from whoosh_spark.search.scoring import BM25F
+
+    ix = searcher.index
+    w = searcher.weighting
+    if type(w) is not BM25F or getattr(w, "use_final", False):
+        return None
+    if ix._delete_paths():
+        return None
+    stats = ix.term_stats(field, sorted(set(words)))
+    if any(t not in stats for t in words):
+        # a missing word means no matches (reference positional.py)
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    ftype = searcher.schema[field] if field in searcher.schema else None
+    scorable = bool(ftype and ftype.scorable)
+    fboost = float(ftype.field_boost) if ftype else 1.0
+    avgfl = ix.avg_field_length(field) or 1.0
+    B = w.field_B(field)
+    dc = ix.doc_count_all()
+    meta = {t: (w.idf(dc, int(stats[t]["df"])), avgfl, B, fboost, scorable)
+            for t in set(words)}
+
+    nparts = max(1, ix.spark.sparkContext.defaultParallelism)
+    blocks = ix.postings_blocks().filter(
+        (F.col("field") == field) & F.col("term").isin(list(set(words)))
+    ).select("term", "bucket", "count", "ids", "tfs", "len_bytes",
+             "weights", "positions")
+    parts = blocks.repartition(nparts, "bucket")
+    uwords = sorted(set(words))
+
+    def kernel(batches):
+        acc: dict = {t: ([], [], [], []) for t in uwords}
+        got = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            got = True
+            for trm, idx in pdf.groupby("term", sort=False).indices.items():
+                sub = pdf.iloc[idx]
+                counts = sub["count"].to_numpy().astype(np.int64)
+                n = int(counts.sum())
+                ids = codec.delta_decode_concat(sub["ids"].tolist(), counts)
+                wcol = sub["weights"]
+                if wcol.isna().all():
+                    ws = codec.varint_decode_concat(
+                        sub["tfs"].tolist(), n).astype(np.float64)
+                else:
+                    chunks = []
+                    for wv, tf_bin, c in zip(wcol, sub["tfs"], counts):
+                        if wv is not None:
+                            chunks.append(np.frombuffer(wv, dtype=np.float64))
+                        else:
+                            chunks.append(codec.varint_decode(
+                                tf_bin, int(c)).astype(np.float64))
+                    ws = np.concatenate(chunks)
+                lbs = np.frombuffer(b"".join(sub["len_bytes"]), dtype=np.uint8)
+                pos_flat, pos_lens = codec.decode_position_lists_concat(
+                    sub["positions"].tolist(), counts)
+                idf, avgfl_, B_, fboost_, scorable_ = meta[trm]
+                if scorable_:
+                    fls = BYTE_TO_LENGTH[lbs].astype(np.float64)
+                    sc = w.score_np(idf, ws * fboost_, fls, avgfl_, B_)
+                else:
+                    sc = ws * fboost_
+                slot = acc[trm]
+                slot[0].append(ids)
+                slot[1].append(sc)
+                slot[2].append(pos_flat)
+                slot[3].append(pos_lens)
+        if not got:
+            return
+        per_word: dict = {}
+        for t in uwords:
+            ids_c, sc_c, pf_c, pl_c = acc[t]
+            if not ids_c:
+                return  # a word absent from this partition: no match here
+            ids = np.concatenate(ids_c)
+            sc = np.concatenate(sc_c)
+            pf = np.concatenate(pf_c) if pf_c else np.empty(0, np.int64)
+            pl = np.concatenate(pl_c)
+            if ids.size > 1 and np.any(np.diff(ids) < 0):
+                order = np.argsort(ids, kind="stable")
+                offs = np.concatenate(([0], np.cumsum(pl))).astype(np.int64)
+                lens_o = pl[order]
+                starts_o = offs[order]
+                total = int(lens_o.sum())
+                gstart = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
+                within = np.arange(total, dtype=np.int64) - np.repeat(gstart, lens_o)
+                pf = pf[np.repeat(starts_o, lens_o) + within]
+                pl = lens_o
+                ids, sc = ids[order], sc[order]
+            per_word[t] = (ids, sc, pf,
+                           np.concatenate(([0], np.cumsum(pl))).astype(np.int64))
+        docs = per_word[words[0]][0]
+        for t in words[1:]:
+            docs = np.intersect1d(docs, per_word[t][0], assume_unique=True)
+        if docs.size == 0:
+            return
+        if len(words) > 1:
+            # slop=1 ordered adjacency via (candidate << 32 | position)
+            KEY = np.int64(1) << np.int64(32)
+            keys = []
+            for t in words:
+                ids, _, pf, offs = per_word[t]
+                idx = np.searchsorted(ids, docs)
+                lens = offs[idx + 1] - offs[idx]
+                total = int(lens.sum())
+                gstart = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                within = np.arange(total, dtype=np.int64) - np.repeat(gstart, lens)
+                pvals = pf[np.repeat(offs[idx], lens) + within]
+                group = np.repeat(np.arange(idx.size, dtype=np.int64), lens)
+                keys.append(group * KEY + pvals)
+            survivors = keys[0]
+            for i in range(1, len(keys)):
+                survivors = survivors[np.isin(survivors + np.int64(i), keys[i])]
+            if not survivors.size:
+                return
+            matched = docs[np.unique(survivors // KEY)]
+        else:
+            matched = docs
+
+        # order-preserving binary score tree (engine tree_score shape)
+        def tree(lo: int, hi: int):
+            if hi - lo == 1:
+                ids, sc, _, _ = per_word[words[lo]]
+                idx = np.searchsorted(ids, matched)
+                return sc[idx]
+            half = (hi - lo) // 2
+            return tree(lo, lo + half) + tree(lo + half, hi)
+
+        sums = tree(0, len(words))
+        top = np.lexsort((matched, -sums))[:k]
+        yield pd.DataFrame({"doc_id": matched[top], "score": sums[top]},
+                           copy=False)
+
+    cand = parts.mapInPandas(kernel, "doc_id long, score double")
+    return cand
+
+
 def batch_term_search(
     searcher: Searcher,
     queries: list[tuple[str, str, list[str]]],

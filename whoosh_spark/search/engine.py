@@ -214,6 +214,13 @@ class Searcher:
         combine = "sum"
         conjunctive = False
         min_match = 0
+        if type(q) is Q.Phrase and q.slop == 1 and q.boost == 1.0 and q.words:
+            from whoosh_spark.search.batch import phrase_fused_topk
+
+            df = phrase_fused_topk(self, q.field, list(q.words), k=limit)
+            if df is None:
+                return None
+            return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
         if isinstance(q, Q.Term):
             if q.boost != 1.0:
                 return None
