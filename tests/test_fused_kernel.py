@@ -54,6 +54,12 @@ CASES = {
     "and4": lambda: Q.And([T(t) for t in VOCAB[:4]]),
     "and_missing": lambda: Q.And([T("alfa"), T("zzz")]),
     "dismax": lambda: Q.DisjunctionMax([T("alfa"), T("bravo"), T("echo")]),
+    "andnot": lambda: Q.AndNot(T("alfa"), T("bravo")),
+    "andnot_or_both": lambda: Q.AndNot(Q.Or([T("alfa"), T("charlie")]),
+                                       Q.Or([T("bravo"), T("delta")])),
+    "andnot_overlap": lambda: Q.AndNot(Q.Or([T("alfa"), T("bravo")]), T("bravo")),
+    "require": lambda: Q.Require(T("alfa"), T("bravo")),
+    "require_and_a": lambda: Q.Require(Q.And([T("alfa"), T("charlie")]), T("echo")),
     "phrase2": lambda: Q.Phrase("text", ["alfa", "bravo"]),
     "phrase3": lambda: Q.Phrase("text", ["alfa", "bravo", "charlie"]),
     "phrase1": lambda: Q.Phrase("text", ["alfa"]),

@@ -103,6 +103,8 @@ def batch_fused_topk(
     conjunctive: bool = False,
     combine: str = "sum",
     min_match: int = 0,
+    exclude: list[tuple[str, str]] | None = None,
+    require: list[tuple[str, str]] | None = None,
 ) -> DataFrame | None:
     """Disjunctive weighted-term batch top-k as ONE fused kernel over
     bucket-co-partitioned posting blocks — the guide-§8 shape: every
@@ -179,10 +181,17 @@ def batch_fused_topk(
     for q in queries:
         by_group[qgroup[q[0]]].append(q)
 
-    term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts}
+    # membership-only term sets (AndNot / Require on the single-query
+    # route): their ids are decoded per partition but never scored —
+    # buckets are doc-complete, so per-partition exclusion/required
+    # membership is exact
+    extra_pairs = set(exclude or ()) | set(require or ())
+    exclude = list(exclude or ())
+    require = list(require or ())
+    term_pairs = {(f, t) for f, ts in all_terms.items() for t in ts} | extra_pairs
     blocks = ix.postings_blocks().filter(
-        F.col("term").isin([t for _, t in term_pairs])
-        & F.col("field").isin(list(all_terms))
+        F.col("term").isin(sorted({t for _, t in term_pairs}))
+        & F.col("field").isin(sorted({f for f, _ in term_pairs}))
     ).select("field", "term", "bucket", "count", "ids", "tfs", "len_bytes",
              "weights")
     if G > 1:
@@ -195,6 +204,8 @@ def batch_fused_topk(
     def kernel(batches):
         # (g, field, term) -> [ids chunks], [score chunks]
         acc: dict = {}
+        # (g, field, term) -> [ids chunks] for membership-only terms
+        macc: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -202,6 +213,11 @@ def batch_fused_topk(
                     ["g", "field", "term"], sort=False).indices.items():
                 m = meta.get((fld, trm))
                 if m is None:
+                    if (fld, trm) in extra_pairs:
+                        sub = pdf.iloc[idx]
+                        counts = sub["count"].to_numpy().astype(np.int64)
+                        macc.setdefault((g, fld, trm), []).append(
+                            codec.delta_decode_concat(sub["ids"].tolist(), counts))
                     continue
                 sub = pdf.iloc[idx]
                 counts = sub["count"].to_numpy().astype(np.int64)
@@ -241,6 +257,23 @@ def batch_fused_topk(
                 (fld, trm): (np.concatenate(chunks[0]), np.concatenate(chunks[1]))
                 for (gg, fld, trm), chunks in acc.items() if gg == g
             }
+            mem = {
+                (fld, trm): np.concatenate(chunks)
+                for (gg, fld, trm), chunks in macc.items() if gg == g
+            }
+
+            def _member_ids(pairs_list):
+                """Union doc set of membership pairs present here (a pair
+                that is also a scoring term reads its ids from acc)."""
+                arrs = []
+                for p in pairs_list:
+                    if p in term_scores:
+                        arrs.append(term_scores[p][0])
+                    elif p in mem:
+                        arrs.append(mem[p])
+                return (np.unique(np.concatenate(arrs)) if arrs
+                        else np.empty(0, dtype=np.int64))
+
             for qid, field, terms in by_group[g]:
                 parts_i = [term_scores[(field, t)] for t in terms
                            if (field, t) in term_scores]
@@ -274,6 +307,14 @@ def batch_fused_topk(
                     docs, sums = docs[keep], sums[keep]
                 elif min_match:
                     keep = npresent >= min_match
+                    docs, sums = docs[keep], sums[keep]
+                if exclude:
+                    keep = ~np.isin(docs, _member_ids(exclude),
+                                    assume_unique=True)
+                    docs, sums = docs[keep], sums[keep]
+                if require:
+                    keep = np.isin(docs, _member_ids(require),
+                                   assume_unique=True)
                     docs, sums = docs[keep], sums[keep]
                 top = np.lexsort((docs, -sums))[:k]
                 out_q.extend([qid] * top.size)

@@ -211,9 +211,6 @@ class Searcher:
             return None
         from whoosh_spark.search.batch import batch_fused_topk
 
-        combine = "sum"
-        conjunctive = False
-        min_match = 0
         if type(q) is Q.Phrase and q.slop == 1 and q.boost == 1.0 and q.words:
             from whoosh_spark.search.batch import phrase_fused_topk
 
@@ -221,27 +218,57 @@ class Searcher:
             if df is None:
                 return None
             return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+        exclude = require = None
+        if type(q) is Q.AndNot or type(q) is Q.Require:
+            # anti/semi joins keep the positive side's scores untouched:
+            # the kernel applies the membership set per doc-complete
+            # partition, which is the same doc filter
+            if q.boost != 1.0:
+                return None
+            docset = self._fused_docset(q.b)
+            bag = self._fused_bag(q.a)
+            if docset is None or bag is None:
+                return None
+            if type(q) is Q.AndNot:
+                exclude = docset
+            else:
+                require = docset
+        else:
+            bag = self._fused_bag(q)
+            if bag is None:
+                return None
+        field, terms, conjunctive, combine, min_match = bag
+        df = batch_fused_topk(self, [("q", field, terms)], k=limit,
+                              conjunctive=conjunctive, combine=combine,
+                              min_match=min_match, exclude=exclude,
+                              require=require)
+        if df is None:
+            return None
+        return df.orderBy(F.asc("rank")).select("doc_id", "score")
+
+    def _fused_bag(self, q: Q.Query):
+        """(field, terms, conjunctive, combine, min_match) when ``q`` is a
+        flat term bag the kernel reproduces bit-exactly; None otherwise."""
         if isinstance(q, Q.Term):
             if q.boost != 1.0:
                 return None
-            field, terms = q.field, [q.text]
-        elif type(q) is Q.Or and q.scale is None:
+            return q.field, [q.text], False, "sum", 0
+        if type(q) is Q.Or and q.scale is None:
             subs = q.subqueries
             if (not subs or q.boost != 1.0
                     or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
                     or len({c.field for c in subs}) != 1):
                 return None
-            field, terms = subs[0].field, [c.text for c in subs]
-            min_match = int(q.minmatch or 0)
-        elif type(q) is Q.DisjunctionMax:
+            return (subs[0].field, [c.text for c in subs], False, "sum",
+                    int(q.minmatch or 0))
+        if type(q) is Q.DisjunctionMax:
             subs = q.subqueries
             if (not subs or q.boost != 1.0
                     or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
                     or len({c.field for c in subs}) != 1):
                 return None
-            field, terms = subs[0].field, [c.text for c in subs]
-            combine = "max"
-        elif type(q) is Q.And and len(q.subqueries) >= 2:
+            return subs[0].field, [c.text for c in subs], False, "max", 0
+        if type(q) is Q.And and len(q.subqueries) >= 2:
             subs = q.subqueries
             if (q.boost != 1.0
                     or not all(type(c) is Q.Term and c.boost == 1.0 for c in subs)
@@ -264,16 +291,21 @@ class Searcher:
             ests = [(0 - c.estimate_size(sv), i, c.text)
                     for i, c in enumerate(subs)]
             ests.sort()
-            terms = [t for _, _, t in ests]
-            conjunctive = True
-        else:
-            return None
-        df = batch_fused_topk(self, [("q", field, terms)], k=limit,
-                              conjunctive=conjunctive, combine=combine,
-                              min_match=min_match)
-        if df is None:
-            return None
-        return df.orderBy(F.asc("rank")).select("doc_id", "score")
+            return field, [t for _, _, t in ests], True, "sum", 0
+        return None
+
+    @staticmethod
+    def _fused_docset(q: Q.Query):
+        """Membership (field, term) pairs whose doc-id UNION is q's
+        matched set — Term or a plain Or of Terms (boosts are irrelevant
+        to membership); None for shapes needing more than a union."""
+        if isinstance(q, Q.Term):
+            return [(q.field, q.text)]
+        if (type(q) is Q.Or and q.minmatch == 0 and q.scale is None
+                and q.subqueries
+                and all(type(c) is Q.Term for c in q.subqueries)):
+            return [(c.field, c.text) for c in q.subqueries]
+        return None
 
     def search_results(self, q: Q.Query, limit: int | None = 10,
                        terms: bool = False, sortedby=None,
